@@ -1,0 +1,349 @@
+"""EdgeLine-YOLO custom blocks: linear attention, wavelet neck, DS family.
+
+Behavioral spec (reference, ultralytics/nn/modules/block.py):
+- LinearAttention:3348-3373           O(N d^2) global mixing (softmax-k over
+  head_dim, softmax-q over tokens, d x d context matmul).
+- PSABlock_LinearAttention:3412-3449  residual attn + FFN.
+- C2PSA_LinearAttention:3452-3497     CSP split around the LA stack.
+- _PywtDWT2D:3582-3642                1-level DWT as depthwise stride-2 conv.
+- _WaveletEnhancer:3645-3710          sub-band enhance with learnable softplus
+  weights and tanh(gamma)-scaled residual (gamma init 0).
+- C3k2_Wavelet:3713 / DSC3K2_Wavelet:3749 / SPPF_Wavelet:261 / C3k2_TWavelet:3499
+- DSBottleneck:1467 / DSC3k:1506 / DSC3K2:1567
+- MulGate:93 / RHJM:2011
+
+TPU-first design notes: the DWT is a single grouped stride-2 conv XLA maps to
+the MXU; linear attention is two batched d x d einsums (MXU) plus softmaxes
+(VPU) — also available as a fused Pallas kernel in ops/pallas/linear_attention.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from edgeyolo_tpu.nn.modules.block import C2f, C3, Bottleneck, C3k
+from edgeyolo_tpu.nn.modules.conv import KERNEL_INIT, ConvBN, DSConv
+from edgeyolo_tpu.ops.wavelets import dwt2d_kernel, dwt_pad_each_side
+
+
+# ---------------------------------------------------------------------------
+# Linear attention backbone stage
+# ---------------------------------------------------------------------------
+class LinearAttention(nn.Module):
+    """Linear attention: y = softmax_N(q) @ (softmax_d(k)^T v), O(N d^2).
+
+    Optionally dispatches to the fused Pallas kernel on TPU (use_pallas).
+    """
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = False
+    proj_bias: bool = True
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        n = h * w
+        hd = self.dim // self.num_heads
+        qkv = nn.Conv(3 * self.dim, (1, 1), use_bias=self.qkv_bias,
+                      kernel_init=KERNEL_INIT, dtype=x.dtype, name="qkv")(x)
+        # channel layout [3][heads][head_dim] to mirror the reference split
+        qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, heads, hd)
+        if self.use_pallas:
+            from edgeyolo_tpu.ops.pallas.linear_attention import linear_attention
+
+            y = linear_attention(q, k, v)  # (b, n, heads, hd)
+        else:
+            k = jax.nn.softmax(k, axis=-1)   # over head_dim
+            q = jax.nn.softmax(q, axis=1)    # over tokens N
+            context = jnp.einsum("bnhd,bnhe->bhde", k, v)
+            y = jnp.einsum("bnhd,bhde->bnhe", q, context)
+        y = y.reshape(b, h, w, c)
+        return nn.Conv(self.dim, (1, 1), use_bias=self.proj_bias,
+                       kernel_init=KERNEL_INIT, dtype=x.dtype, name="proj")(y)
+
+
+class PSABlockLinearAttention(nn.Module):
+    """x = x + LinearAttention(x); x = x + FFN(x)."""
+
+    dim: int
+    attn_ratio: float = 0.5
+    num_heads: int | None = None
+    mlp_ratio: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        heads = max(1, (self.dim // 64) if self.num_heads is None else int(self.num_heads))
+        # reference PSABlock_LinearAttention defaults: qkv_bias=True, proj_bias=False
+        # (block.py:3419-3434), overriding LinearAttention's own defaults.
+        x = x + LinearAttention(self.dim, heads, qkv_bias=True, proj_bias=False, name="attn")(x, train)
+        hidden = int(self.dim * self.mlp_ratio)
+        y = ConvBN(hidden, 1, name="ffn_0")(x, train)
+        y = ConvBN(self.dim, 1, act=False, name="ffn_1")(y, train)
+        return x + y
+
+
+class C2PSA_LinearAttention(nn.Module):
+    """CSP split + stacked linear-attention PSA blocks (EdgeLine backbone S32 stage)."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    attn_ratio: float = 0.5
+    num_heads: int | None = None
+    mlp_ratio: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert x.shape[-1] == self.c2, "C2PSA_LinearAttention requires c1 == c2"
+        c = int(self.c2 * self.e)
+        heads = max(1, (c // 64) if self.num_heads is None else int(self.num_heads))
+        y = ConvBN(2 * c, 1, name="cv1")(x, train)
+        a, b = jnp.split(y, 2, axis=-1)
+        for i in range(self.n):
+            b = PSABlockLinearAttention(c, self.attn_ratio, heads, self.mlp_ratio, name=f"m_{i}")(b, train)
+        return ConvBN(self.c2, 1, name="cv2")(jnp.concatenate([a, b], axis=-1), train)
+
+
+# ---------------------------------------------------------------------------
+# Wavelet sub-band enhancement
+# ---------------------------------------------------------------------------
+class DWT2D(nn.Module):
+    """1-level 2D DWT as a fixed-weight depthwise stride-2 conv, NHWC.
+
+    Returns (LL, LH, HL, HH), each (B, H', W', C). Reflect padding approximates
+    pywt 'symmetric' boundaries exactly as the reference does.
+    """
+
+    wave: str = "haar"
+    mode: str = "symmetric"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        kern = jnp.asarray(dwt2d_kernel(self.wave), dtype=x.dtype)  # (k,k,1,4)
+        pad = dwt_pad_each_side(self.wave)
+        if pad > 0:
+            x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+        kern = jnp.tile(kern, (1, 1, 1, c))  # (k,k,1,4c): per-channel 4-subband bank
+        y = jax.lax.conv_general_dilated(
+            x, kern, window_strides=(2, 2), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        )
+        # output channel layout is [channel-major][subband]: (B,H',W',C*4)
+        b, hh, ww, _ = y.shape
+        y = y.reshape(b, hh, ww, c, 4)
+        return y[..., 0], y[..., 1], y[..., 2], y[..., 3]
+
+
+def _bilinear_resize(x, size):
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")
+
+
+class WaveletEnhancer(nn.Module):
+    """DWT -> light per-sub-band convs -> learnable softplus-normalized weights
+    -> bilinear upsample -> 1x1 fuse -> tanh(gamma)-scaled residual."""
+
+    c: int
+    use_ds: bool = False
+    alpha0: Sequence[float] = (0.5, 0.2, 0.2, 0.1)
+    wave: str = "haar"
+    mode: str = "symmetric"
+
+    @nn.compact
+    def __call__(self, b_in, train: bool = False):
+        B, H, W, C = b_in.shape
+        ll, lh, hl, hh = DWT2D(self.wave, self.mode, name="dwt")(b_in, train)
+        half = self.c // 2
+        llp = ConvBN(half, 1, name="f_ll")(ll, train)
+        f_h = DSConv(half, 3, name="f_h") if self.use_ds else ConvBN(half, 3, name="f_h")
+        lhp = f_h(lh, train)
+        hlp = f_h(hl, train)
+        hhp = f_h(hh, train)
+
+        alpha = self.param("alpha", lambda k: jnp.asarray(self.alpha0, jnp.float32))
+        wgt = jax.nn.softplus(alpha)
+        wgt = wgt / (wgt.sum() + 1e-6)
+        gamma = self.param("gamma", nn.initializers.zeros, ())
+
+        subs = [
+            _bilinear_resize(p, (H, W)) * wgt[i]
+            for i, p in enumerate((llp, lhp, hlp, hhp))
+        ]
+        y = jnp.concatenate([b_in, *subs], axis=-1)  # (B,H,W,3c)
+        y = ConvBN(self.c, 1, name="fuse")(y, train)
+        return b_in + jnp.tanh(gamma) * y
+
+
+class C3k2_Wavelet(C2f):
+    """C3k2 with the stacked branch wavelet-enhanced before the chain."""
+
+    c3k: bool = False
+    shortcut: bool = True
+    wave: str = "haar"
+    mode: str = "symmetric"
+    use_ds: bool = False
+
+    def make_block(self, c: int, i: int):
+        if self.c3k:
+            return C3k(c, 2, self.shortcut, self.g, name=f"m_{i}")
+        return Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, name=f"m_{i}")
+
+    def enhance_b(self, b, train):
+        c = max(1, int(self.c2 * self.e))
+        return WaveletEnhancer(c, self.use_ds, wave=self.wave, mode=self.mode, name="wave")(b, train)
+
+
+# ---------------------------------------------------------------------------
+# Depthwise-separable family
+# ---------------------------------------------------------------------------
+class DSBottleneck(nn.Module):
+    """Two DSConvs (k1 then dilated k2) with optional residual."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 0.5
+    k1: int = 3
+    k2: int = 5
+    d2: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = DSConv(c_, self.k1, 1, name="cv1")(x, train)
+        y = DSConv(self.c2, self.k2, 1, d=self.d2, name="cv2")(y, train)
+        return x + y if (self.shortcut and c1 == self.c2) else y
+
+
+class DSC3k(C3):
+    """C3 whose inner blocks are DSBottlenecks."""
+
+    k1: int = 3
+    k2: int = 5
+    d2: int = 1
+
+    def make_block(self, c_: int, i: int):
+        return DSBottleneck(c_, self.shortcut, 1.0, self.k1, self.k2, self.d2, name=f"m_{i}")
+
+
+class DSC3K2(C2f):
+    """C2f whose inner blocks are DSC3k stacks or DSBottlenecks."""
+
+    dsc3k: bool = False
+    shortcut: bool = True
+    k1: int = 3
+    k2: int = 7
+    d2: int = 1
+
+    def make_block(self, c: int, i: int):
+        if self.dsc3k:
+            return DSC3k(c, 2, self.shortcut, self.g, 1.0, self.k1, self.k2, self.d2, name=f"m_{i}")
+        return DSBottleneck(c, self.shortcut, 1.0, self.k1, self.k2, self.d2, name=f"m_{i}")
+
+
+class DSC3K2_Wavelet(C2f):
+    """The EdgeLine neck block: DSC3K2 with the b-branch wavelet enhancer.
+
+    Signature parity: (c1, c2, n, dsc3k, e, g, shortcut, k1, k2, d2,
+    wave, mode, use_ds). Reference quirk kept: with dsc3k=True the inner
+    DSC3k is built with its *defaults* e=0.5, k1=3, k2=5 — the outer
+    k1/k2/d2 are not forwarded (block.py:3778-3781), unlike DSC3K2 which
+    forwards them with e=1.0.
+    """
+
+    dsc3k: bool = False
+    shortcut: bool = True
+    k1: int = 3
+    k2: int = 7
+    d2: int = 1
+    wave: str = "haar"
+    mode: str = "symmetric"
+    use_ds: bool = False
+
+    def make_block(self, c: int, i: int):
+        if self.dsc3k:
+            return DSC3k(c, 2, self.shortcut, self.g, 0.5, 3, 5, 1, name=f"m_{i}")
+        return DSBottleneck(c, self.shortcut, 1.0, self.k1, self.k2, self.d2, name=f"m_{i}")
+
+    def enhance_b(self, b, train):
+        c = int(self.c2 * self.e)
+        return WaveletEnhancer(c, self.use_ds, wave=self.wave, mode=self.mode, name="wave")(b, train)
+
+
+class SPPF_Wavelet(nn.Module):
+    """SPPF variant pooling sub-bands instead of max pools: cv1 -> DWT -> 1x1/3x3
+    sub-band convs at half res -> upsample -> concat(3c_) -> cv2."""
+
+    c2: int
+    k: int = 5
+    wave: str = "haar"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        y0 = ConvBN(c_, 1, name="cv1")(x, train)
+        ll, lh, hl, hh = DWT2D(self.wave, name="dwt")(y0, train)
+        H, W = y0.shape[1:3]
+        f_h = ConvBN(c_ // 2, 3, name="f_h")
+        parts = [
+            _bilinear_resize(ConvBN(c_ // 2, 1, name="f_ll")(ll, train), (H, W)),
+            _bilinear_resize(f_h(lh, train), (H, W)),
+            _bilinear_resize(f_h(hl, train), (H, W)),
+            _bilinear_resize(f_h(hh, train), (H, W)),
+        ]
+        y = jnp.concatenate([y0, *parts], axis=-1)  # 3*c_
+        return ConvBN(self.c2, 1, name="cv2")(y, train)
+
+
+class MulGate(nn.Module):
+    """DSConv pre + ReLU6-gated expansion + zero-init-scaled residual mix."""
+
+    c2: int
+    e: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        y = DSConv(c1, 3, name="pre")(x, train)
+        hidden = int(c1 * self.e)
+        f1 = ConvBN(hidden, 1, act="relu6", name="f1")(y, train)
+        f2 = ConvBN(hidden, 1, act=False, name="f2")(y, train)
+        mix = ConvBN(self.c2, 1, act=False, name="mix")(f1 * f2, train)
+        gamma = self.param("gamma", nn.initializers.zeros, ())
+        return x + gamma * mix if c1 == self.c2 else mix
+
+
+class RHJM(nn.Module):
+    """ECA-style dual 1-D conv channel attention (local pooled + global pooled
+    branches, sigmoid gates blended by local_weight, multiplied into x)."""
+
+    c2: int
+    local_size: int = 5
+    local_weight: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        k = 3  # 1-D conv kernel over channel dim
+        # global branch: GAP -> conv1d over channels -> sigmoid
+        g = jnp.mean(x, axis=(1, 2))  # (b, c)
+        g = nn.Conv(1, (k,), padding="SAME", use_bias=False, name="conv_g")(g[..., None]).squeeze(-1)
+        g = jax.nn.sigmoid(g)[:, None, None, :]
+        # local branch: SxS adaptive pool -> conv1d per cell -> sigmoid -> resize
+        s = self.local_size
+        xl = jax.image.resize(x, (b, s, s, c), method="bilinear")
+        xl = xl.reshape(b * s * s, c, 1)
+        xl = nn.Conv(1, (k,), padding="SAME", use_bias=False, name="conv_l")(xl).reshape(b, s, s, c)
+        xl = jax.nn.sigmoid(xl)
+        xl = jax.image.resize(xl, (b, h, w, c), method="bilinear")
+        att = xl * self.local_weight + g * (1.0 - self.local_weight)
+        return x * att

@@ -1,0 +1,197 @@
+"""Detection heads: anchor-free Detect and the GFLv2xUniHead quality family.
+
+Behavioral spec (reference ultralytics/nn/modules/head.py):
+- Detect:38-189       decoupled reg/cls towers, DFL integral decode, per-level
+  channel widths c2=max(16, ch0/4, 4*reg_max), c3=max(ch0, min(nc,100)),
+  non-legacy cls tower = DWConv+1x1 pairs, bias priors in bias_init:150.
+- GF2Detect:194-345   adds per-level quality mini-head reg_conf over DFL
+  distribution statistics (top-4 per side + mean = 20ch -> 64 -> 1 sigmoid),
+  multiplies quality into cls probs at inference.
+- GFLHeadv2_uniH:827 / GFLHeadv2_E2E:976 are aliases of the intended GFLv2
+  behavior (their local inference paths are dead in the reference; the working
+  semantics is GF2Detect's — implemented once here, SURVEY.md §2.4).
+- Classify:454        conv -> GAP -> dropout -> linear.
+
+Everything stays on device and fixed-shape: the decode emits a padded
+(B, A, 4+nc) tensor; NMS lives in ops/nms.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from edgeyolo_tpu.nn.modules.block import dfl_decode
+from edgeyolo_tpu.nn.modules.conv import KERNEL_INIT, ConvBN, DWConv
+from edgeyolo_tpu.ops.boxes import dist2bbox, make_anchors
+
+
+def _bias_const(v: float):
+    return lambda key, shape, dtype=jnp.float32: jnp.full(shape, v, dtype)
+
+
+class Detect(nn.Module):
+    """Anchor-free decoupled detection head over nl pyramid levels."""
+
+    nc: int = 80
+    ch: Sequence[int] = ()
+    stride: Sequence[int] = (8, 16, 32)
+    reg_max: int = 16
+    legacy: bool = False
+    end2end: bool = False
+    max_det: int = 300
+
+    @property
+    def no(self) -> int:
+        return self.nc + self.reg_max * 4
+
+    def _towers(self, xs, train, prefix: str = ""):
+        """Run reg (cv2) and cls (cv3) towers on each level; returns lists."""
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        cls_bias = lambda s: math.log(5 / self.nc / (640 / s) ** 2)
+        boxes, clss = [], []
+        for i, x in enumerate(xs):
+            b = ConvBN(c2, 3, name=f"{prefix}cv2_{i}_0")(x, train)
+            b = ConvBN(c2, 3, name=f"{prefix}cv2_{i}_1")(b, train)
+            b = nn.Conv(4 * self.reg_max, (1, 1), use_bias=True, kernel_init=KERNEL_INIT,
+                        bias_init=_bias_const(1.0), dtype=x.dtype, name=f"{prefix}cv2_{i}_2")(b)
+            if self.legacy:
+                c = ConvBN(c3, 3, name=f"{prefix}cv3_{i}_0")(x, train)
+                c = ConvBN(c3, 3, name=f"{prefix}cv3_{i}_1")(c, train)
+            else:
+                c = DWConv(x.shape[-1], 3, name=f"{prefix}cv3_{i}_0_0")(x, train)
+                c = ConvBN(c3, 1, name=f"{prefix}cv3_{i}_0_1")(c, train)
+                c = DWConv(c3, 3, name=f"{prefix}cv3_{i}_1_0")(c, train)
+                c = ConvBN(c3, 1, name=f"{prefix}cv3_{i}_1_1")(c, train)
+            c = nn.Conv(self.nc, (1, 1), use_bias=True, kernel_init=KERNEL_INIT,
+                        bias_init=_bias_const(cls_bias(self.stride[i])), dtype=x.dtype,
+                        name=f"{prefix}cv3_{i}_2")(c)
+            boxes.append(b)
+            clss.append(c)
+        return boxes, clss
+
+    def decode(self, feats, quality=None):
+        """Concatenate levels, DFL-decode boxes to image space, sigmoid cls.
+
+        feats: list of (B, H, W, 4*reg_max + nc). Returns (B, A, 4+nc) with
+        xywh boxes in input-image pixels.
+        """
+        b = feats[0].shape[0]
+        flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1)
+        box_logits, cls_logits = flat[..., : 4 * self.reg_max], flat[..., 4 * self.reg_max :]
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors, strides = make_anchors(shapes, self.stride, 0.5)
+        dist = dfl_decode(box_logits, self.reg_max)
+        dbox = dist2bbox(dist, anchors[None], xywh=True) * strides[None]
+        cls_prob = jax.nn.sigmoid(cls_logits)
+        if quality is not None:
+            q = jnp.concatenate([qi.reshape(b, -1, 1) for qi in quality], axis=1)
+            cls_prob = cls_prob * jnp.clip(q, 1e-6, 1 - 1e-6)
+        return jnp.concatenate([dbox, cls_prob], axis=-1)
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        boxes, clss = self._towers(xs, train)
+        feats = [jnp.concatenate([b, c], axis=-1) for b, c in zip(boxes, clss)]
+        out = {"feats": feats}
+        if self.end2end:
+            xs_d = [jax.lax.stop_gradient(x) for x in xs]
+            b1, c1 = self._towers(xs_d, train, prefix="one2one_")
+            out["one2one_feats"] = [jnp.concatenate([b, c], axis=-1) for b, c in zip(b1, c1)]
+        if not train:
+            out["pred"] = self.decode(out.get("one2one_feats", feats))
+        return out
+
+
+class GF2Detect(Detect):
+    """Detect + DGQP quality mini-head (the working EdgeLine head).
+
+    Quality input statistic per anchor: for each of the 4 sides, top-k(4)
+    softmax probabilities of the DFL distribution plus their mean -> 20
+    channels -> 1x1 conv(64) -> ReLU -> 1x1 -> sigmoid -> q in [0,1].
+    Training returns per-level qualities for the joint J = sigma(cls)*q loss
+    hook (reference utils/loss.py:382-396); inference multiplies q into cls.
+    """
+
+    reg_topk: int = 4
+    add_mean: bool = True
+    reg_channels: int = 64
+
+    def _quality(self, box_logits, idx: int, prefix: str = ""):
+        b, h, w, _ = box_logits.shape
+        prob = jax.nn.softmax(box_logits.reshape(b, h, w, 4, self.reg_max), axis=-1)
+        k = min(self.reg_topk, self.reg_max)
+        topk = jax.lax.top_k(prob, k)[0]  # (b,h,w,4,k)
+        parts = [topk]
+        if self.add_mean:
+            parts.append(prob.mean(axis=-1, keepdims=True))
+        stat = jnp.concatenate(parts, axis=-1).reshape(b, h, w, -1)
+        q = nn.Conv(self.reg_channels, (1, 1), use_bias=True, kernel_init=KERNEL_INIT,
+                    dtype=stat.dtype, name=f"{prefix}reg_conf_{idx}_0")(stat)
+        q = jax.nn.relu(q)
+        q = nn.Conv(1, (1, 1), use_bias=True, kernel_init=KERNEL_INIT,
+                    dtype=stat.dtype, name=f"{prefix}reg_conf_{idx}_1")(q)
+        return jax.nn.sigmoid(q)  # (b,h,w,1)
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        boxes, clss = self._towers(xs, train)
+        quality = [self._quality(b, i) for i, b in enumerate(boxes)]
+        feats = [jnp.concatenate([b, c], axis=-1) for b, c in zip(boxes, clss)]
+        out = {"feats": feats, "quality": quality}
+        if self.end2end:
+            xs_d = [jax.lax.stop_gradient(x) for x in xs]
+            b1, c1 = self._towers(xs_d, train, prefix="one2one_")
+            q1 = [self._quality(bb, i, prefix="one2one_") for i, bb in enumerate(b1)]
+            out["one2one_feats"] = [jnp.concatenate([b, c], axis=-1) for b, c in zip(b1, c1)]
+            out["one2one_quality"] = q1
+        if not train:
+            if self.end2end:
+                out["pred"] = self.decode(out["one2one_feats"], out["one2one_quality"])
+            else:
+                out["pred"] = self.decode(feats, quality)
+        return out
+
+
+class E2EDetect(GF2Detect):
+    """End-to-end (NMS-free) GF2Detect: one2one branch + top-k postprocess."""
+
+    end2end: bool = True
+
+
+class GFLHeadv2_uniH(GF2Detect):
+    """UniHead-named alias. The reference's extra stem/DAT/posCNN/CiT slots are
+    identity placeholders (head.py:832-838) and its local inference is dead
+    code; the functional behavior is GF2Detect's (SURVEY.md §2.4)."""
+
+
+class GFLHeadv2_E2E(E2EDetect):
+    """Alias implementing the *intended* Detect+DGQP+E2E behavior (the
+    reference class is non-functional as-is; SURVEY.md §2.4)."""
+
+
+class Classify(nn.Module):
+    """Classification head: conv -> GAP -> dropout -> linear -> logits."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if isinstance(x, (list, tuple)):
+            x = jnp.concatenate(x, axis=-1)
+        c_ = 1280
+        x = ConvBN(c_, self.k, self.s, self.p, self.g, name="conv")(x, train)
+        x = jnp.mean(x, axis=(1, 2))
+        if self.dropout_rate > 0 and train:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return nn.Dense(self.c2, kernel_init=KERNEL_INIT, name="linear")(x)

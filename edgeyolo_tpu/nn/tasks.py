@@ -1,0 +1,379 @@
+"""YAML model DSL -> flax graph compiler + task models.
+
+Behavioral spec: ultralytics/nn/tasks.py:958-1147 (parse_model: depth/width/
+max-channel compound scaling, channel inference, save-list for skips,
+per-family arg rules) and :113-460 (BaseModel/DetectionModel graph walk).
+
+TPU-first re-design: the layer graph is parsed once on host into a static
+`LayerSpec` tuple; `GraphNet` (flax) executes it as a straight-line program —
+no dynamic module dispatch inside jit, everything traced and fused by XLA.
+Strides are derived statically from the graph (no dummy forward needed).
+"""
+
+from __future__ import annotations
+
+import ast
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from edgeyolo_tpu.cfg import find_model_yaml, guess_model_scale
+from edgeyolo_tpu.utils import LOGGER, colorstr, make_divisible, yaml_load
+from edgeyolo_tpu.nn import modules as M
+
+# ----------------------------------------------------------------------------
+# Module registry: name -> (flax class, positional field names AFTER c1/c2
+# transformation, i.e. args as they appear post-parse: [c2?, ...]).
+# ----------------------------------------------------------------------------
+_REG: dict[str, tuple[type, list[str]]] = {
+    "Conv": (M.Conv, ["c2", "k", "s", "p", "g", "d", "act"]),
+    "ConvBN": (M.ConvBN, ["c2", "k", "s", "p", "g", "d", "act"]),
+    "DWConv": (M.DWConv, ["c2", "k", "s", "d", "act"]),
+    "DSConv": (M.DSConv, ["c2", "k", "s", "p", "d"]),
+    "LightConv": (M.LightConv, ["c2", "k"]),
+    "GhostConv": (M.GhostConv, ["c2", "k", "s", "g", "act"]),
+    "Focus": (M.Focus, ["c2", "k", "s", "p", "g", "act"]),
+    "ConvTranspose": (M.ConvTranspose, ["c2", "k", "s", "p", "bn", "act"]),
+    "Index": (M.Index, ["c2", "index"]),
+    "Bottleneck": (M.Bottleneck, ["c2", "shortcut", "g", "k", "e"]),
+    "C1": (M.C1, ["c2", "n"]),
+    "C2": (M.C2, ["c2", "n", "shortcut", "g", "e"]),
+    "C2f": (M.C2f, ["c2", "n", "shortcut", "g", "e"]),
+    "C3": (M.C3, ["c2", "n", "shortcut", "g", "e"]),
+    "C3x": (M.C3x, ["c2", "n", "shortcut", "g", "e"]),
+    "C3k": (M.C3k, ["c2", "n", "shortcut", "g", "e", "k"]),
+    "C3k2": (M.C3k2, ["c2", "n", "c3k", "e", "g", "shortcut"]),
+    "SPP": (M.SPP, ["c2", "k"]),
+    "SPPF": (M.SPPF, ["c2", "k"]),
+    "C2PSA": (M.C2PSA, ["c2", "n", "e"]),
+    "C2fPSA": (M.C2fPSA, ["c2", "n", "e"]),
+    "PSA": (M.PSA, ["c2", "e"]),
+    "SCDown": (M.SCDown, ["c2", "k", "s"]),
+    "CBAM": (M.CBAM, ["c1", "k"]),
+    # EdgeLine family
+    "C2PSA_LinearAttention": (M.C2PSA_LinearAttention, ["c2", "n", "e", "attn_ratio", "num_heads", "mlp_ratio"]),
+    "C3k2_Wavelet": (M.C3k2_Wavelet, ["c2", "n", "c3k", "e", "g", "shortcut"]),
+    "C3k2_TWavelet": (M.C3k2_Wavelet, ["c2", "n", "c3k", "e", "g", "shortcut"]),
+    "DSC3K2": (M.DSC3K2, ["c2", "n", "dsc3k", "e", "g", "shortcut", "k1", "k2", "d2"]),
+    "DSC3K2_Wavelet": (M.DSC3K2_Wavelet, ["c2", "n", "dsc3k", "e", "g", "shortcut", "k1", "k2", "d2"]),
+    "SPPF_Wavelet": (M.SPPF_Wavelet, ["c2", "k"]),
+    "MulGate": (M.MulGate, ["c2", "e"]),
+    "RHJM": (M.RHJM, ["c2", "local_size", "local_weight"]),
+    # glue
+    "Concat": (M.Concat, ["dim"]),
+    "nn.Upsample": (M.Upsample, ["size", "scale_factor", "mode"]),
+    "Upsample": (M.Upsample, ["size", "scale_factor", "mode"]),
+    # heads
+    "Detect": (M.Detect, ["nc"]),
+    "GF2Detect": (M.GF2Detect, ["nc"]),
+    "E2EDetect": (M.E2EDetect, ["nc"]),
+    "GFLHeadv2_uniH": (M.GFLHeadv2_uniH, ["nc"]),
+    "GFLHeadv2_E2E": (M.GFLHeadv2_E2E, ["nc"]),
+    "Classify": (M.Classify, ["c2", "k", "s", "p", "g"]),
+}
+
+# parse-time sets (membership by *name*, keeping the parser table-driven)
+_CONV_LIKE = {
+    "Conv", "ConvBN", "ConvTranspose", "GhostConv", "Bottleneck", "SPP", "SPPF", "SPPF_Wavelet",
+    "C2fPSA", "C2PSA", "C2PSA_LinearAttention", "DWConv", "Focus", "C1", "C2", "C2f",
+    "C3", "C3x", "C3k", "C3k2", "C3k2_Wavelet", "C3k2_TWavelet", "DSC3K2", "DSC3K2_Wavelet",
+    "PSA", "SCDown", "DSConv", "LightConv", "Classify", "MulGate", "RHJM",
+}
+_REPEAT_INSERT = {
+    "C1", "C2", "C2f", "C3", "C3x", "C3k", "C3k2", "C3k2_Wavelet", "C3k2_TWavelet",
+    "C2fPSA", "C2PSA", "C2PSA_LinearAttention", "DSC3K2", "DSC3K2_Wavelet",
+}
+_C3K2_FAMILY = {"C3k2", "DSC3K2", "C3k2_Wavelet", "C3k2_TWavelet", "DSC3K2_Wavelet"}
+_HEADS = {"Detect", "GF2Detect", "E2EDetect", "GFLHeadv2_uniH", "GFLHeadv2_E2E"}
+# spatial stride factor per module (for static stride derivation)
+_STRIDE_ARG = {"Conv", "ConvBN", "DWConv", "DSConv", "GhostConv", "Focus", "SCDown"}
+
+
+@dataclass(frozen=True)
+class LayerSpec:
+    """One compiled graph node (hashable: safe as a flax module field)."""
+
+    i: int
+    f: tuple[int, ...]  # input layer indices (-1 = previous)
+    n: int
+    name: str
+    args: tuple
+    kwargs: tuple[tuple[str, Any], ...]
+    c2: int
+
+
+def _literal(v):
+    if isinstance(v, str):
+        try:
+            return ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            return v
+    return v
+
+
+def yaml_model_load(path: str | Path) -> dict:
+    """Load a model YAML, inferring scale from the *requested* name (yolo11s -> s),
+    which may differ from the resolved unified file (yolo11.yaml)."""
+    requested = Path(path)
+    resolved = find_model_yaml(path)
+    d = yaml_load(resolved, append_filename=True)
+    d["scale"] = d.get("scale") or guess_model_scale(requested) or guess_model_scale(resolved)
+    return d
+
+
+def parse_spec(d: dict, ch: int = 3, verbose: bool = False):
+    """Compile a model dict into (layers, save, info).
+
+    Mirrors reference parse_model scaling semantics exactly (tasks.py:958-1147):
+      n' = max(round(n*depth), 1) for n>1;
+      c2' = make_divisible(min(c2, max_channels)*width, 8) unless c2 == nc;
+      CSP family gets repeats inserted at arg index 2;
+      C3k2 family forces c3k=True at scales l/x;
+      heads receive the per-level input channel list.
+    """
+    nc = d.get("nc", 80)
+    scales = d.get("scales")
+    scale = d.get("scale") or (tuple(scales.keys())[0] if scales else "")
+    depth, width, max_channels = (scales[scale] if scales and scale in scales else (
+        d.get("depth_multiple", 1.0), d.get("width_multiple", 1.0), float("inf")))
+    legacy = True
+
+    ch_list = [ch]
+    layers: list[LayerSpec] = []
+    save: set[int] = set()
+    if verbose:
+        LOGGER.info(f"{'':>3}{'from':>20}{'n':>3}  {'module':<30}{'arguments':<30}")
+    for i, (f, n, name, args) in enumerate(d["backbone"] + d["head"]):
+        args = [(_literal(a) if a != "nc" else nc) for a in args]
+        n_scaled = max(round(n * depth), 1) if n > 1 else n
+        kwargs: dict[str, Any] = {}
+        f_list = [f] if isinstance(f, int) else list(f)
+
+        if name in _CONV_LIKE:
+            c1, c2 = ch_list[f_list[0]], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            args = [c2, *args[1:]]
+            if name in _REPEAT_INSERT:
+                args.insert(1, n_scaled)  # post-c1-drop index (=ref index 2)
+                n_scaled = 1
+            if name in _C3K2_FAMILY:
+                legacy = False
+                if scale in "lx":
+                    # args = [c2, n, c3k, ...]
+                    if len(args) > 2:
+                        args[2] = True
+                    else:
+                        args.append(True)
+        elif name == "Concat":
+            c2 = sum(ch_list[x] for x in f_list)
+        elif name in _HEADS:
+            kwargs["ch"] = tuple(ch_list[x] for x in f_list)
+            kwargs["legacy"] = legacy
+            c2 = sum(kwargs["ch"])
+        elif name in {"nn.Upsample", "Upsample"}:
+            c2 = ch_list[f_list[0]]
+        elif name == "Index":
+            c2 = args[0]
+        else:
+            c2 = ch_list[f_list[0]]
+
+        f_norm = tuple(x if x < 0 else x for x in f_list)
+        layers.append(LayerSpec(i=i, f=f_norm, n=n_scaled, name=name,
+                                args=tuple(_freeze(a) for a in args),
+                                kwargs=tuple(sorted(kwargs.items())), c2=c2))
+        save.update(x % i for x in f_list if x != -1)
+        if i == 0:
+            ch_list = []
+        ch_list.append(c2)
+        if verbose:
+            LOGGER.info(f"{i:>3}{str(f):>20}{n_scaled:>3}  {name:<30}{str(args):<30}")
+    return tuple(layers), tuple(sorted(save)), {"nc": nc, "scale": scale, "ch": tuple(ch_list)}
+
+
+def _freeze(a):
+    return tuple(a) if isinstance(a, list) else a
+
+
+def derive_strides(layers: Sequence[LayerSpec]) -> list[float]:
+    """Static per-layer output stride (input stride 1 at the image)."""
+    strides: list[float] = []
+    for sp in layers:
+        src = sp.f[0]
+        s_in = 1.0 if sp.i == 0 else strides[src if src >= 0 else sp.i - 1]
+        factor = 1.0
+        if sp.name in _STRIDE_ARG:
+            fields = _REG[sp.name][1]
+            if "s" in fields:
+                idx = fields.index("s")
+                if idx < len(sp.args):
+                    factor = float(sp.args[idx])
+            if sp.name == "Focus":
+                factor *= 2.0
+        elif sp.name in {"nn.Upsample", "Upsample"}:
+            sf = sp.args[1] if len(sp.args) > 1 else 2
+            factor = 1.0 / float(sf or 2)
+        elif sp.name == "ConvTranspose":
+            fields = _REG[sp.name][1]
+            idx = fields.index("s")
+            sv = float(sp.args[idx]) if idx < len(sp.args) else 2.0
+            factor = 1.0 / sv
+        strides.append(s_in * factor)
+    return strides
+
+
+def build_module(sp: LayerSpec, extra_kwargs: dict | None = None) -> nn.Module:
+    """Instantiate the flax module for one graph node."""
+    if sp.name not in _REG:
+        raise KeyError(f"unknown module '{sp.name}' in model spec")
+    cls, fields = _REG[sp.name]
+    kw = {}
+    for fname, val in zip(fields, sp.args):
+        if val is not None or fname in {"p", "size", "num_heads"}:
+            kw[fname] = val
+    kw.update(dict(sp.kwargs))
+    if extra_kwargs:
+        kw.update(extra_kwargs)
+    kw["name"] = f"l{sp.i}_{sp.name.replace('.', '_')}"
+    # repeats >1 for non-CSP modules: wrap sequentially (rare; mirrors nn.Sequential)
+    if sp.n > 1 and sp.name not in _REPEAT_INSERT:
+        mods = [cls(**{**kw, "name": f"{kw['name']}_{j}"}) for j in range(sp.n)]
+        return _Sequential(mods, name=f"l{sp.i}_seq")
+    return cls(**kw)
+
+
+class _Sequential(nn.Module):
+    mods: Sequence[nn.Module]
+
+    def __call__(self, x, train: bool = False):
+        for m in self.mods:
+            x = m(x, train)
+        return x
+
+
+class GraphNet(nn.Module):
+    """Executes a compiled LayerSpec graph (the reference's _predict_once walk,
+    reference nn/tasks.py:152-179, as a traced straight-line program)."""
+
+    spec: tuple[LayerSpec, ...]
+    save: tuple[int, ...]
+    head_stride: tuple[int, ...] = ()
+
+    def setup(self):
+        mods = []
+        for sp in self.spec:
+            extra = {"stride": self.head_stride} if sp.name in _HEADS else None
+            mods.append(build_module(sp, extra))
+        self.blocks = mods
+
+    def __call__(self, x, train: bool = False):
+        y: dict[int, Any] = {}
+        out = x
+        for sp, blk in zip(self.spec, self.blocks):
+            if len(sp.f) == 1:
+                inp = out if sp.f[0] == -1 else y[sp.f[0]]
+            else:
+                inp = [out if j == -1 else y[j] for j in sp.f]
+            out = blk(inp, train=train)
+            if sp.i in self.save:
+                y[sp.i] = out
+        return out
+
+
+class BaseModel:
+    """Host-side handle: spec + flax net + params lifecycle."""
+
+    task = "detect"
+
+    def __init__(self, cfg="yolo11n.yaml", ch: int = 3, nc: int | None = None, verbose: bool = False):
+        self.yaml = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+        if nc and nc != self.yaml.get("nc"):
+            LOGGER.info(f"overriding nc={self.yaml.get('nc')} with nc={nc}")
+            self.yaml["nc"] = nc
+        self.spec, self.save, info = parse_spec(self.yaml, ch, verbose=verbose)
+        self.nc = info["nc"]
+        self.scale = info["scale"]
+        strides = derive_strides(self.spec)
+        head_sp = self.spec[-1]
+        self.head_name = head_sp.name
+        if head_sp.name in _HEADS:
+            self.stride = tuple(int(strides[j]) for j in head_sp.f)
+        else:
+            self.stride = (int(max(strides)),) if strides else (32,)
+        self.net = GraphNet(self.spec, self.save, head_stride=self.stride)
+        self.names = {i: f"{i}" for i in range(self.nc)}
+        self.variables = None  # {"params": ..., "batch_stats": ...}
+
+    # -- lifecycle ------------------------------------------------------------
+    def init(self, rng: jax.Array | int = 0, imgsz: int = 640, batch: int = 1):
+        rng = jax.random.PRNGKey(rng) if isinstance(rng, int) else rng
+        x = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
+        self.variables = jax.jit(self.net.init, static_argnames=("train",))(rng, x, train=False)
+        return self.variables
+
+    def apply(self, variables, x, train: bool = False, mutable=None):
+        if mutable is None:
+            mutable = ["batch_stats"] if train else False
+        return self.net.apply(variables, x, train=train, mutable=mutable)
+
+    def __call__(self, x, train: bool = False):
+        assert self.variables is not None, "call .init() first"
+        return self.apply(self.variables, x, train=train)
+
+    # -- introspection ----------------------------------------------------------
+    def num_params(self, variables=None) -> int:
+        v = variables or self.variables
+        assert v is not None
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+
+    def info(self, verbose: bool = True):
+        n = self.num_params() if self.variables else None
+        msg = f"{type(self).__name__}: {len(self.spec)} layers, {n} parameters, strides {self.stride}"
+        if verbose:
+            LOGGER.info(msg)
+        return msg
+
+
+class DetectionModel(BaseModel):
+    task = "detect"
+
+    def init_criterion(self):
+        from edgeyolo_tpu.train.loss import DetectionLoss
+
+        return DetectionLoss(self)
+
+
+class SegmentationModel(DetectionModel):
+    task = "segment"
+
+
+class PoseModel(DetectionModel):
+    task = "pose"
+
+
+class OBBModel(DetectionModel):
+    task = "obb"
+
+
+class ClassificationModel(BaseModel):
+    task = "classify"
+
+
+def guess_model_task(cfg: dict | str | Path) -> str:
+    """Infer task from the head module name in a model config."""
+    d = cfg if isinstance(cfg, dict) else yaml_model_load(cfg)
+    head = d["head"][-1][2] if isinstance(d, dict) and "head" in d else ""
+    if "Classify" in head:
+        return "classify"
+    if "Segment" in head:
+        return "segment"
+    if "Pose" in head:
+        return "pose"
+    if "OBB" in head:
+        return "obb"
+    return "detect"

@@ -1,0 +1,118 @@
+"""Fully on-device, fixed-shape, class-aware NMS.
+
+Replaces torchvision.ops.nms (reference NATIVE-DEP, ultralytics/utils/ops.py:167-316)
+with a TPU-friendly design:
+
+1. candidate gating at `conf_thres` (masked, not filtered — static shapes);
+2. multi-label expansion over (anchor, class) pairs exactly like the reference
+   (`multi_label` path, ops.py:264-287);
+3. top-`max_nms` pre-NMS selection by score (the reference sorts and truncates
+   to 30k);
+4. the class-offset trick (boxes shifted by class * max_wh) turning class-aware
+   NMS into one agnostic pass (ops.py:288);
+5. exact greedy suppression as a `lax.scan` over `max_det` steps: pick the
+   highest unsuppressed box, mask everything with IoU > `iou_thres` against it.
+   This matches torchvision's sequential semantics (not the triu
+   approximation), so mAP parity holds.
+
+Output is a fixed (max_det, 6) [x1,y1,x2,y2,conf,cls] tensor padded with
+zero-conf rows, plus a validity count.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from edgeyolo_tpu.ops.boxes import xywh2xyxy
+
+
+def _iou_1_vs_all(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    """IoU of one xyxy box against (N,4)."""
+    x1 = jnp.maximum(box[0], boxes[:, 0])
+    y1 = jnp.maximum(box[1], boxes[:, 1])
+    x2 = jnp.minimum(box[2], boxes[:, 2])
+    y2 = jnp.minimum(box[3], boxes[:, 3])
+    inter = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
+    a1 = (box[2] - box[0]) * (box[3] - box[1])
+    a2 = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return inter / (a1 + a2 - inter + 1e-7)
+
+
+def _greedy_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float, max_det: int):
+    """Greedy NMS over pre-sorted-or-not candidates; returns indices (max_det,)
+    and a keep-validity mask. Suppressed/invalid entries point at argmax of
+    leftover junk but carry score 0 through the mask."""
+
+    def step(carry, _):
+        alive_scores = carry
+        idx = jnp.argmax(alive_scores)
+        best = alive_scores[idx]
+        valid = best > 0.0
+        iou = _iou_1_vs_all(boxes[idx], boxes)
+        suppress = (iou > iou_thres) | (jnp.arange(boxes.shape[0]) == idx)
+        new_scores = jnp.where(valid & suppress, 0.0, alive_scores)
+        return new_scores, (idx, valid)
+
+    _, (keep_idx, keep_valid) = jax.lax.scan(step, scores, None, length=max_det)
+    return keep_idx, keep_valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "max_wh", "multi_label", "agnostic", "nc"),
+)
+def non_max_suppression(
+    pred: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    max_nms: int = 30000,
+    max_wh: float = 7680.0,
+    multi_label: bool = False,
+    agnostic: bool = False,
+    nc: int | None = None,
+):
+    """Batched class-aware NMS.
+
+    pred: (B, A, 4+nc) with xywh boxes in pixels and per-class scores.
+    Returns (dets (B, max_det, 6) xyxy/conf/cls, n_valid (B,)).
+    """
+    b, a, no = pred.shape
+    nc = nc or (no - 4)
+    boxes_xywh, cls_scores = pred[..., :4], pred[..., 4 : 4 + nc]
+    boxes = xywh2xyxy(boxes_xywh)  # (B,A,4)
+
+    def per_image(bx, sc):
+        if multi_label and nc > 1:
+            flat = sc.reshape(-1)  # (A*nc,)
+            n_cand = min(max_nms, flat.shape[0])
+            top_sc, top_ix = jax.lax.top_k(flat, n_cand)
+            anchor_ix = top_ix // nc
+            cls_ix = (top_ix % nc).astype(jnp.float32)
+            cand_boxes = bx[anchor_ix]
+            cand_sc = jnp.where(top_sc > conf_thres, top_sc, 0.0)
+        else:
+            best = jnp.max(sc, axis=-1)
+            cls_ix_all = jnp.argmax(sc, axis=-1).astype(jnp.float32)
+            n_cand = min(max_nms, a)
+            top_sc, top_ix = jax.lax.top_k(best, n_cand)
+            cand_boxes = bx[top_ix]
+            cls_ix = cls_ix_all[top_ix]
+            cand_sc = jnp.where(top_sc > conf_thres, top_sc, 0.0)
+
+        offset = jnp.zeros_like(cls_ix) if agnostic else cls_ix * max_wh
+        shifted = cand_boxes + offset[:, None]
+        keep_idx, keep_valid = _greedy_nms(shifted, cand_sc, iou_thres, max_det)
+        out_boxes = cand_boxes[keep_idx]
+        out_conf = cand_sc[keep_idx] * keep_valid
+        out_cls = cls_ix[keep_idx]
+        det = jnp.concatenate(
+            [out_boxes, out_conf[:, None], out_cls[:, None]], axis=-1
+        )
+        det = jnp.where(keep_valid[:, None], det, 0.0)
+        return det, keep_valid.sum().astype(jnp.int32)
+
+    return jax.vmap(per_image)(boxes, cls_scores)

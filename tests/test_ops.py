@@ -1,0 +1,105 @@
+"""Box math, NMS and wavelet filter-bank unit tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from edgeyolo_tpu.ops.boxes import (
+    bbox2dist,
+    bbox_iou,
+    box_iou,
+    dist2bbox,
+    make_anchors,
+    xywh2xyxy,
+    xyxy2xywh,
+)
+from edgeyolo_tpu.ops.nms import non_max_suppression
+from edgeyolo_tpu.ops.wavelets import get_filter_bank
+
+
+def test_xywh_roundtrip():
+    b = jnp.asarray([[10.0, 20.0, 30.0, 40.0], [1.0, 2.0, 3.0, 4.0]])
+    np.testing.assert_allclose(np.asarray(xyxy2xywh(xywh2xyxy(b))), np.asarray(b), atol=1e-5)
+
+
+def test_box_iou_identity_and_disjoint():
+    a = jnp.asarray([[0.0, 0, 10, 10], [20, 20, 30, 30]])
+    m = box_iou(a, a)
+    np.testing.assert_allclose(np.asarray(jnp.diag(m)), 1.0, atol=1e-5)
+    assert float(m[0, 1]) < 1e-6
+
+
+def test_ciou_less_equal_iou():
+    a = jnp.asarray([[5.0, 5.0, 4.0, 4.0]])
+    b = jnp.asarray([[6.0, 6.0, 4.0, 4.0]])
+    iou = bbox_iou(a, b, xywh=True).reshape(-1)
+    ciou = bbox_iou(a, b, xywh=True, CIoU=True).reshape(-1)
+    assert float(ciou[0]) <= float(iou[0]) + 1e-6
+
+
+def test_make_anchors_counts_and_offsets():
+    pts, strides = make_anchors([(4, 4), (2, 2)], [8, 16])
+    assert pts.shape == (20, 2)
+    assert float(pts[0, 0]) == 0.5
+    assert float(strides[0, 0]) == 8.0 and float(strides[-1, 0]) == 16.0
+
+
+def test_dist2bbox_bbox2dist_roundtrip():
+    anchors = jnp.asarray([[4.0, 4.0], [10.0, 10.0]])
+    dist = jnp.asarray([[1.0, 2.0, 3.0, 2.5], [4.0, 4.0, 4.0, 4.0]])
+    xyxy = dist2bbox(dist, anchors, xywh=False)
+    back = bbox2dist(anchors, xyxy, reg_max=16)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(dist), atol=1e-5)
+
+
+def _mk_pred(boxes_xywh, scores):
+    """boxes (A,4) xywh, scores (A,nc) -> (1,A,4+nc)."""
+    return jnp.concatenate([jnp.asarray(boxes_xywh), jnp.asarray(scores)], axis=-1)[None]
+
+
+def test_nms_suppresses_overlap_keeps_distinct():
+    boxes = [[50, 50, 20, 20], [51, 51, 20, 20], [150, 150, 20, 20]]
+    scores = [[0.9], [0.8], [0.7]]
+    det, n = non_max_suppression(_mk_pred(boxes, scores), conf_thres=0.1, iou_thres=0.5, max_det=10, max_nms=16)
+    assert int(n[0]) == 2
+    kept_conf = sorted(np.asarray(det[0, :2, 4]).tolist(), reverse=True)
+    np.testing.assert_allclose(kept_conf, [0.9, 0.7], atol=1e-5)
+
+
+def test_nms_class_aware():
+    """Same location, different classes -> both kept (class-offset trick)."""
+    boxes = [[50, 50, 20, 20], [50, 50, 20, 20]]
+    scores = [[0.9, 0.0], [0.0, 0.8]]
+    det, n = non_max_suppression(
+        _mk_pred(boxes, scores), conf_thres=0.1, iou_thres=0.5, max_det=10, max_nms=16, multi_label=True
+    )
+    assert int(n[0]) == 2
+    det, n = non_max_suppression(
+        _mk_pred(boxes, scores), conf_thres=0.1, iou_thres=0.5, max_det=10, max_nms=16, multi_label=True, agnostic=True
+    )
+    assert int(n[0]) == 1
+
+
+def test_nms_conf_gate():
+    boxes = [[50, 50, 20, 20], [150, 150, 20, 20]]
+    scores = [[0.9], [0.01]]
+    det, n = non_max_suppression(_mk_pred(boxes, scores), conf_thres=0.25, iou_thres=0.5, max_det=10, max_nms=16)
+    assert int(n[0]) == 1
+
+
+def test_nms_output_is_xyxy():
+    boxes = [[50, 50, 20, 20]]
+    scores = [[0.9]]
+    det, n = non_max_suppression(_mk_pred(boxes, scores), conf_thres=0.1, iou_thres=0.5, max_det=4, max_nms=8)
+    np.testing.assert_allclose(np.asarray(det[0, 0, :4]), [40, 40, 60, 60], atol=1e-4)
+
+
+def test_filter_banks_match_pywt_published_values():
+    lo, hi, _, _ = get_filter_bank("db2")
+    np.testing.assert_allclose(
+        lo, [-0.12940952255092145, 0.22414386804185735, 0.836516303737469, 0.48296291314469025], atol=1e-9
+    )
+    for w in ("haar", "db2", "db3", "db4", "db8"):
+        lo, hi, rlo, rhi = get_filter_bank(w)
+        assert abs(float(np.sum(lo)) - np.sqrt(2)) < 1e-9  # DC gain
+        assert abs(float(np.sum(lo**2)) - 1.0) < 1e-9  # orthonormal
+        assert abs(float(np.sum(hi))) < 1e-9  # high-pass kills DC

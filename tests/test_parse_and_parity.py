@@ -1,0 +1,54 @@
+"""Model DSL parsing + parameter-count parity with the reference as-built.
+
+Reference counts were measured by running the reference's own parse_model
+(ultralytics/nn/tasks.py:958) on its YAMLs; our counts exclude the 16 frozen
+DFL arange weights the reference counts as parameters (nn/modules/block.py:72,
+'2624080 parameters, 2624064 gradients'). Note the fork forces c3k=True only
+for scales l/x (tasks.py:1064-1066), so its yolo11m is 19,774,656 — the 20.1M
+in the YAML comment is stale upstream data.
+"""
+
+import pytest
+
+from edgeyolo_tpu.nn.tasks import DetectionModel, derive_strides, parse_spec, yaml_model_load
+
+DFL = 16  # frozen DFL weights counted by torch but not owned as params here
+
+PARITY = {
+    ("yolo11", "n"): 2624080,
+    ("yolo11", "s"): 9458752,
+    ("yolo11", "m"): 19774656,  # fork as-built (see module docstring)
+    ("yolo11", "l"): 25372160,
+    ("yolo11", "x"): 56966176,
+    ("yolo11-lineattention", "n"): 2638672,
+    ("yolo11-dsc3k2-wavelet", "n"): 2659880,
+    ("yolo11-gf2detect", "n"): 2628307,
+    ("yolo11-t", "n"): 2664107,
+    ("edgeline-yolo", "n"): 2678699,
+    ("edgeline-yolo", "s"): 9617483,
+}
+
+
+@pytest.mark.parametrize("cfg,scale", list(PARITY))
+def test_param_parity(cfg, scale):
+    d = yaml_model_load(f"{cfg}.yaml")
+    d["scale"] = scale
+    m = DetectionModel(d)
+    m.init(0, imgsz=64)
+    assert m.num_params() == PARITY[(cfg, scale)] - DFL
+
+
+def test_strides_static():
+    m = DetectionModel("yolo11n.yaml")
+    assert m.stride == (8, 16, 32)
+
+
+def test_save_list():
+    d = yaml_model_load("yolo11n.yaml")
+    _, save, _ = parse_spec(d)
+    assert save == (4, 6, 10, 13, 16, 19, 22)
+
+
+def test_scale_inference_from_name():
+    d = yaml_model_load("yolo11s.yaml")
+    assert d["scale"] == "s"
