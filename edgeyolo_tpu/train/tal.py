@@ -1,0 +1,92 @@
+"""Task-Aligned Assigner — dense, fixed-shape, jit-safe.
+
+Behavioral spec: ultralytics/utils/tal.py:14-295. The reference uses masked
+scatters and a CUDA-OOM CPU fallback; here everything is dense masked algebra
+over the static (B, max_gt, A) lattice — the shape TPUs want (SURVEY.md §7
+notes the reference already pads GT, so TAL is TPU-friendly by construction).
+
+Semantics preserved exactly:
+  align = score^alpha * CIoU^beta over (anchor-center-in-gt ∧ valid-gt);
+  top-10 anchors per gt; anchor claimed by multiple gts -> max-CIoU gt wins;
+  target scores = one-hot * per-gt normalization (align/max_align)*max_IoU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from edgeyolo_tpu.ops.boxes import bbox_iou
+
+
+@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta", "eps"))
+def task_aligned_assign(
+    pd_scores: jnp.ndarray,   # (B, A, nc) sigmoid probabilities
+    pd_bboxes: jnp.ndarray,   # (B, A, 4) xyxy, image units
+    anc_points: jnp.ndarray,  # (A, 2) image units
+    gt_labels: jnp.ndarray,   # (B, M) int
+    gt_bboxes: jnp.ndarray,   # (B, M, 4) xyxy, image units
+    mask_gt: jnp.ndarray,     # (B, M) 1.0 for real gts
+    topk: int = 10,
+    num_classes: int = 80,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+    eps: float = 1e-9,
+):
+    """Returns (target_labels (B,A), target_bboxes (B,A,4), target_scores
+    (B,A,nc), fg_mask (B,A) bool, target_gt_idx (B,A))."""
+    B, A, nc = pd_scores.shape
+    M = gt_bboxes.shape[1]
+    mask_gt_f = mask_gt.astype(jnp.float32)[..., None]  # (B,M,1)
+
+    # --- candidates: anchor centers strictly inside each gt box -------------
+    lt = gt_bboxes[:, :, None, :2]  # (B,M,1,2)
+    rb = gt_bboxes[:, :, None, 2:]  # (B,M,1,2)
+    deltas = jnp.concatenate([anc_points[None, None] - lt, rb - anc_points[None, None]], axis=-1)
+    mask_in_gts = (jnp.min(deltas, axis=-1) > eps).astype(jnp.float32)  # (B,M,A)
+
+    gate = mask_in_gts * mask_gt_f  # (B,M,A)
+
+    # --- alignment metric ----------------------------------------------------
+    labels = jnp.clip(gt_labels, 0, nc - 1).astype(jnp.int32)
+    # score of each anchor for its gt's class: (B,A,nc) -> (B,M,A)
+    bbox_scores = jnp.take_along_axis(
+        pd_scores.transpose(0, 2, 1), labels[:, :, None], axis=1
+    ) * gate
+    ious = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True)
+    overlaps = jnp.clip(jnp.squeeze(ious, -1), 0.0, None) * gate  # (B,M,A)
+    align = jnp.power(bbox_scores, alpha) * jnp.power(overlaps, beta)
+
+    # --- top-k anchors per gt -------------------------------------------------
+    k = min(topk, A)
+    topk_vals, topk_idx = jax.lax.top_k(align, k)  # (B,M,k)
+    onehot = jax.nn.one_hot(topk_idx, A, dtype=jnp.float32)  # (B,M,k,A)
+    mask_topk = jnp.sum(onehot * mask_gt_f[..., None], axis=2)  # (B,M,A)
+    mask_topk = jnp.where(mask_topk > 1, 0.0, mask_topk)  # mirror dup filter
+    mask_pos = mask_topk * mask_in_gts * mask_gt_f  # (B,M,A)
+
+    # --- resolve anchors claimed by multiple gts: max-overlap wins ----------
+    fg_counts = jnp.sum(mask_pos, axis=1)  # (B,A)
+    multi = (fg_counts[:, None, :] > 1.0)
+    max_idx = jnp.argmax(overlaps, axis=1)  # (B,A)
+    is_max = jax.nn.one_hot(max_idx, M, dtype=jnp.float32).transpose(0, 2, 1)  # (B,M,A)
+    mask_pos = jnp.where(multi, is_max, mask_pos)
+    fg_mask = jnp.sum(mask_pos, axis=1) > 0  # (B,A) bool
+    target_gt_idx = jnp.argmax(mask_pos, axis=1)  # (B,A)
+
+    # --- gather targets -------------------------------------------------------
+    target_labels = jnp.take_along_axis(labels, target_gt_idx, axis=1)  # (B,A)
+    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)  # (B,A,4)
+    target_scores = jax.nn.one_hot(target_labels, nc, dtype=jnp.float32)
+    target_scores = target_scores * fg_mask[..., None]
+
+    # --- per-gt normalization -------------------------------------------------
+    align_pos = align * mask_pos
+    pos_align = jnp.max(align_pos, axis=-1, keepdims=True)  # (B,M,1)
+    pos_overlap = jnp.max(overlaps * mask_pos, axis=-1, keepdims=True)  # (B,M,1)
+    norm = jnp.max(align_pos * pos_overlap / (pos_align + eps), axis=1)  # (B,A)
+    target_scores = target_scores * norm[..., None]
+
+    return target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx
