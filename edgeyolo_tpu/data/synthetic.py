@@ -1,0 +1,63 @@
+"""Synthetic detection dataset generator (zero-network substitute for coco8).
+
+Draws colored geometric shapes on noise backgrounds with exact YOLO-format
+labels, so end-to-end train/val/predict paths are testable offline — the
+reference's tiny-dataset e2e strategy (SURVEY.md §4) without the download.
+Class mapping: 0=rectangle, 1=ellipse, 2=cross.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+PALETTE = [(220, 40, 40), (40, 180, 60), (50, 80, 220), (230, 200, 40), (160, 60, 200)]
+
+
+def generate_dataset(
+    root: str | Path,
+    n_train: int = 16,
+    n_val: int = 8,
+    imgsz: int = 320,
+    nc: int = 3,
+    max_objs: int = 4,
+    seed: int = 0,
+) -> Path:
+    """Create {root}/{images,labels}/{train,val} + dataset.yaml; returns yaml path."""
+    root = Path(root)
+    rng = np.random.RandomState(seed)
+    for split, n in (("train", n_train), ("val", n_val)):
+        (root / "images" / split).mkdir(parents=True, exist_ok=True)
+        (root / "labels" / split).mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            img = Image.fromarray(
+                (rng.rand(imgsz, imgsz, 3) * 60 + 90).astype(np.uint8)
+            )
+            draw = ImageDraw.Draw(img)
+            lines = []
+            for _ in range(rng.randint(1, max_objs + 1)):
+                c = int(rng.randint(0, nc))
+                w = rng.uniform(0.15, 0.4) * imgsz
+                h = rng.uniform(0.15, 0.4) * imgsz
+                cx = rng.uniform(w / 2 + 2, imgsz - w / 2 - 2)
+                cy = rng.uniform(h / 2 + 2, imgsz - h / 2 - 2)
+                x1, y1, x2, y2 = cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2
+                color = PALETTE[c % len(PALETTE)]
+                if c % 3 == 0:
+                    draw.rectangle([x1, y1, x2, y2], fill=color, outline=(255, 255, 255))
+                elif c % 3 == 1:
+                    draw.ellipse([x1, y1, x2, y2], fill=color, outline=(255, 255, 255))
+                else:
+                    draw.line([x1, cy, x2, cy], fill=color, width=max(3, int(h / 5)))
+                    draw.line([cx, y1, cx, y2], fill=color, width=max(3, int(w / 5)))
+                lines.append(f"{c} {cx/imgsz:.6f} {cy/imgsz:.6f} {w/imgsz:.6f} {h/imgsz:.6f}")
+            img.save(root / "images" / split / f"{split}_{i:04d}.jpg", quality=92)
+            (root / "labels" / split / f"{split}_{i:04d}.txt").write_text("\n".join(lines) + "\n")
+    yaml_path = root / "dataset.yaml"
+    names = "\n".join(f"  {i}: {n}" for i, n in enumerate(["rectangle", "ellipse", "cross"][:nc]))
+    yaml_path.write_text(
+        f"path: {root}\ntrain: images/train\nval: images/val\nnc: {nc}\nnames:\n{names}\n"
+    )
+    return yaml_path

@@ -1,0 +1,161 @@
+"""The YOLO model facade: load spec/checkpoint, dispatch train/val/predict/
+track/export/benchmark via the task map.
+
+Behavioral spec: ultralytics/engine/model.py:31-1105 (mode dispatch, arg
+precedence overrides < method kwargs, task_map extension point
+models/yolo/model.py:26-60).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from edgeyolo_tpu.cfg import get_cfg, get_save_dir
+from edgeyolo_tpu.nn.tasks import (
+    ClassificationModel,
+    DetectionModel,
+    OBBModel,
+    PoseModel,
+    SegmentationModel,
+    guess_model_task,
+)
+from edgeyolo_tpu.utils import LOGGER
+
+
+class YOLO:
+    """User-facing handle: YOLO('yolo11n.yaml') or YOLO('path/to/last.msgpack')."""
+
+    def __init__(self, model: str = "yolo11n.yaml", task: str | None = None, verbose: bool = False):
+        self.overrides: dict = {}
+        self.predictor = None
+        self.ckpt_path = None
+        model = str(model)
+        if model.endswith(".msgpack"):
+            self._load_checkpoint(model, task)
+        else:
+            self.task = task or guess_model_task(model)
+            cls = self.task_map[self.task]["model"]
+            self.model = cls(model, verbose=verbose)
+            self.model_name = model
+        self.model.names = getattr(self.model, "names", {})
+
+    # -- task map (the reference's single extension point) ---------------------
+    @property
+    def task_map(self):
+        from edgeyolo_tpu.engine.predictor import DetectionPredictor
+        from edgeyolo_tpu.engine.validator import DetectionValidator
+        from edgeyolo_tpu.train.trainer import DetectionTrainer
+
+        return {
+            "detect": {
+                "model": DetectionModel,
+                "trainer": DetectionTrainer,
+                "validator": DetectionValidator,
+                "predictor": DetectionPredictor,
+            },
+            "segment": {"model": SegmentationModel, "trainer": DetectionTrainer,
+                        "validator": DetectionValidator, "predictor": DetectionPredictor},
+            "pose": {"model": PoseModel, "trainer": DetectionTrainer,
+                     "validator": DetectionValidator, "predictor": DetectionPredictor},
+            "obb": {"model": OBBModel, "trainer": DetectionTrainer,
+                    "validator": DetectionValidator, "predictor": DetectionPredictor},
+            "classify": {"model": ClassificationModel, "trainer": DetectionTrainer,
+                         "validator": DetectionValidator, "predictor": DetectionPredictor},
+        }
+
+    def _load_checkpoint(self, path: str, task: str | None):
+        import json
+
+        meta_p = Path(path).with_suffix(".json")
+        if not meta_p.exists():
+            raise FileNotFoundError(f"checkpoint metadata {meta_p} not found")
+        meta = json.loads(meta_p.read_text())
+        model_yaml = meta.get("model_yaml") or "yolo11n.yaml"
+        self.task = task or "detect"
+        cls = self.task_map[self.task]["model"]
+        from edgeyolo_tpu.nn.tasks import yaml_model_load
+
+        d = yaml_model_load(model_yaml)
+        if meta.get("scale"):
+            d["scale"] = meta["scale"]
+        if meta.get("nc"):
+            d["nc"] = int(meta["nc"])
+        self.model = cls(d)
+        from edgeyolo_tpu.train.trainer import load_checkpoint
+
+        load_checkpoint(self.model, path)
+        self.ckpt_path = path
+        self.model_name = model_yaml
+        self.overrides.update({k: v for k, v in (meta.get("train_args") or {}).items()
+                               if k in ("imgsz", "task", "single_cls")})
+
+    # -- lifecycle helpers -------------------------------------------------------
+    def _ensure_init(self, imgsz: int = 640):
+        if self.model.variables is None:
+            self.model.init(0, imgsz=int(imgsz))
+
+    @property
+    def names(self):
+        return self.model.names
+
+    def info(self, verbose: bool = True):
+        self._ensure_init()
+        return self.model.info(verbose)
+
+    # -- modes -------------------------------------------------------------------
+    def train(self, **kwargs):
+        args = get_cfg(overrides={**self.overrides, "mode": "train",
+                                  "model": self.model_name, "task": self.task, **kwargs})
+        if not args.data:
+            raise ValueError("train() requires data=<dataset.yaml>")
+        trainer_cls = self.task_map[self.task]["trainer"]
+        save_dir = get_save_dir(args, name=args.name or "train")
+        self._ensure_init(args.imgsz)
+        trainer = trainer_cls(self.model, args, save_dir=save_dir)
+        self.trainer = trainer
+        best = trainer.train()
+        self.overrides["imgsz"] = args.imgsz
+        return best
+
+    def val(self, **kwargs):
+        args = get_cfg(overrides={**self.overrides, "mode": "val", "task": self.task, **kwargs})
+        if not args.data:
+            raise ValueError("val() requires data=<dataset.yaml>")
+        validator_cls = self.task_map[self.task]["validator"]
+        save_dir = get_save_dir(args, name=args.name or "val")
+        self._ensure_init(args.imgsz)
+        validator = validator_cls(args, save_dir=save_dir)
+        return validator(self.model)
+
+    def predict(self, source, stream: bool = False, **kwargs):
+        args = get_cfg(overrides={**self.overrides, "mode": "predict", "task": self.task, **kwargs})
+        predictor_cls = self.task_map[self.task]["predictor"]
+        save_dir = get_save_dir(args, name=args.name or "predict")
+        self._ensure_init(args.imgsz)
+        if self.predictor is None or kwargs:
+            self.predictor = predictor_cls(args, save_dir=save_dir)
+        if stream:
+            return self.predictor.stream(self.model, source)
+        return self.predictor(self.model, source)
+
+    def __call__(self, source, **kwargs):
+        return self.predict(source, **kwargs)
+
+    def track(self, source, **kwargs):
+        from edgeyolo_tpu.trackers.track import track_stream
+
+        kwargs.setdefault("conf", 0.1)
+        results = self.predict(source, stream=True, **kwargs)
+        return track_stream(results, tracker_cfg=kwargs.get("tracker", "bytetrack"))
+
+    def export(self, **kwargs):
+        from edgeyolo_tpu.export.exporter import Exporter
+
+        args = get_cfg(overrides={**self.overrides, "mode": "export", "task": self.task, **kwargs})
+        self._ensure_init(args.imgsz)
+        return Exporter(args)(self.model)
+
+    def benchmark(self, **kwargs):
+        from edgeyolo_tpu.utils.benchmarks import benchmark as bench_fn
+
+        return bench_fn(self, **kwargs)

@@ -1,0 +1,151 @@
+"""Model export: StableHLO / SavedModel / TFLite / ONNX out of the jitted
+inference program.
+
+Behavioral spec: ultralytics/engine/exporter.py:107-1476 (15-format table,
+@try_export wrappers, metadata embedding). The TPU-native set starts from the
+XLA world: StableHLO text + a serialized jax.export artifact are the native
+formats; TF-family formats go through jax2tf when tensorflow is present
+(gated — not baked into this image); ONNX via the torch bridge is gated the
+same way. Weight export to a name-mapped npz always works and feeds the
+PyTorch-interop converter.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edgeyolo_tpu.utils import LOGGER, colorstr
+
+EXPORT_FORMATS = {
+    # name: (suffix, available)
+    "stablehlo": (".stablehlo", True),
+    "jax_export": (".jaxexp", True),
+    "npz": (".npz", True),
+    "saved_model": ("_saved_model", None),  # requires tensorflow
+    "tflite": (".tflite", None),  # requires tensorflow
+    "onnx": (".onnx", None),  # requires a torch bridge
+}
+
+
+def try_export(fn):
+    def wrapper(*args, **kwargs):
+        prefix = colorstr("export:")
+        t = time.time()
+        try:
+            out = fn(*args, **kwargs)
+            LOGGER.info(f"{prefix} {fn.__name__} done in {time.time() - t:.1f}s -> {out}")
+            return out
+        except Exception as e:
+            LOGGER.warning(f"{prefix} {fn.__name__} FAILED: {e}")
+            raise
+
+    return wrapper
+
+
+class Exporter:
+    def __init__(self, args):
+        self.args = args
+
+    def __call__(self, model, out_dir: str | Path = "runs/export"):
+        fmt = str(self.args.format or "stablehlo").lower()
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        imgsz = int(self.args.imgsz)
+        batch = 1
+        name = Path(getattr(model.yaml, "get", lambda *_: "model")("yaml_file") or "model").stem
+
+        variables = model.variables
+        assert variables is not None, "model not initialized"
+
+        def fwd(img):
+            return model.net.apply(variables, img, train=False)["pred"]
+
+        x = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
+        meta = {
+            "description": "edgeyolo_tpu export",
+            "imgsz": imgsz,
+            "nc": model.nc,
+            "names": model.names,
+            "stride": list(model.stride),
+            "layout": "NHWC",
+            "pred": "(B, A, 4+nc) xywh pixels + class probs",
+        }
+
+        if fmt == "stablehlo":
+            return self.export_stablehlo(fwd, x, out_dir / f"{name}.stablehlo", meta)
+        if fmt in {"jax_export", "jaxexp"}:
+            return self.export_jax(fwd, x, out_dir / f"{name}.jaxexp", meta)
+        if fmt == "npz":
+            return self.export_npz(variables, out_dir / f"{name}.npz", meta)
+        if fmt in {"saved_model", "tflite", "pb", "tfjs", "edgetpu"}:
+            return self.export_tf(fwd, x, out_dir / name, fmt, meta)
+        if fmt == "onnx":
+            raise NotImplementedError(
+                "onnx export requires an ONNX exporter bridge not present in this "
+                "environment; use stablehlo/jax_export (native) or npz weights"
+            )
+        raise ValueError(f"unknown export format '{fmt}'; supported: {list(EXPORT_FORMATS)}")
+
+    @try_export
+    def export_stablehlo(self, fwd, x, path: Path, meta: dict):
+        exported = jax.export.export(jax.jit(fwd))(x)
+        path.write_text(exported.mlir_module())
+        path.with_suffix(".json").write_text(json.dumps(meta, default=str))
+        return str(path)
+
+    @try_export
+    def export_jax(self, fwd, x, path: Path, meta: dict):
+        exported = jax.export.export(jax.jit(fwd))(x)
+        blob = exported.serialize()
+        path.write_bytes(blob)
+        path.with_suffix(".json").write_text(json.dumps(meta, default=str))
+        return str(path)
+
+    @try_export
+    def export_npz(self, variables, path: Path, meta: dict):
+        flat = {}
+        for coll, tree in variables.items():
+            for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+                key = coll + "/" + "/".join(getattr(p, "key", str(p)) for p in kp)
+                flat[key] = np.asarray(leaf)
+        np.savez(path, **flat)
+        path.with_suffix(".json").write_text(json.dumps(meta, default=str))
+        return str(path)
+
+    @try_export
+    def export_tf(self, fwd, x, path: Path, fmt: str, meta: dict):
+        try:
+            import tensorflow as tf  # noqa: F401
+            from jax.experimental import jax2tf
+        except ImportError as e:
+            raise NotImplementedError(
+                f"'{fmt}' export requires tensorflow, which is not baked into this image"
+            ) from e
+        tf_fn = tf.function(
+            jax2tf.convert(fwd, with_gradient=False),
+            input_signature=[tf.TensorSpec(x.shape, tf.float32)],
+            autograph=False,
+        )
+        module = tf.Module()
+        module.f = tf_fn
+        sm_path = str(path) + "_saved_model"
+        tf.saved_model.save(module, sm_path)
+        if fmt == "tflite":
+            converter = tf.lite.TFLiteConverter.from_saved_model(sm_path)
+            blob = converter.convert()
+            out = str(path) + ".tflite"
+            Path(out).write_bytes(blob)
+            return out
+        return sm_path
+
+
+def load_exported(path: str | Path):
+    """Round-trip a .jaxexp artifact back to a callable."""
+    exported = jax.export.deserialize(Path(path).read_bytes())
+    return lambda x: exported.call(x)

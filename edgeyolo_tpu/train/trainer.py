@@ -1,0 +1,358 @@
+"""Training loop: optax optimizer, warmup, EMA, grad accumulation, on-device
+augmentation, SPMD data parallelism, checkpoints, early stopping.
+
+Behavioral spec: ultralytics/engine/trainer.py:58-690 — warmup lr/momentum
+interpolation (366-376), accumulate=round(nbs/batch) (301), clip 10.0 (589),
+EMA decay 0.9999*(1-exp(-t/2000)) (torch_utils.py:495-531), linear/cos LR
+(646-656), EarlyStopping (torch_utils.py:713), checkpoint contents (513-544),
+auto optimizer selection (759-817).
+
+TPU design: ONE jitted train step containing the fused device augmentation,
+forward, loss, grad, clip, update and EMA; batch sharded over the "data" mesh
+axis, state replicated (XLA inserts the psums — no DDP, no subprocess,
+SURVEY.md §2.9). bf16 activations under amp; params/optimizer fp32.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import math
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from edgeyolo_tpu.data.augment_device import augment_batch
+from edgeyolo_tpu.data.dataset import YOLODataset, build_dataloader, check_det_dataset
+from edgeyolo_tpu.parallel.mesh import get_mesh, replicated, shard_batch
+from edgeyolo_tpu.train.loss import DetectionLoss
+from edgeyolo_tpu.utils import LOGGER, colorstr, yaml_save
+
+
+# ----------------------------------------------------------------------------
+# Optimizer construction (reference build_optimizer semantics)
+# ----------------------------------------------------------------------------
+def _decay_mask(params):
+    """True for leaves that get weight decay: conv/dense kernels only
+    (BN scale/bias and all biases excluded, reference trainer.py:759-817)."""
+
+    def mask(path, leaf):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        name = keys[-1] if keys else ""
+        if name in ("bias", "scale"):
+            return False
+        if any("bn" in k for k in keys):
+            return False
+        return name == "kernel"
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def build_optimizer(params, name: str, lr: float, momentum: float, decay: float,
+                    schedule) -> optax.GradientTransformation:
+    wd = optax.masked(optax.add_decayed_weights(decay), _decay_mask(params))
+    if name in {"SGD", "sgd"}:
+        core = optax.chain(wd, optax.sgd(schedule, momentum=momentum, nesterov=True))
+    elif name in {"Adam", "adam"}:
+        core = optax.chain(wd, optax.adam(schedule, b1=momentum, b2=0.999))
+    elif name in {"AdamW", "adamw"}:
+        core = optax.chain(wd, optax.adam(schedule, b1=momentum, b2=0.999))
+    elif name in {"RMSProp", "rmsprop"}:
+        core = optax.chain(wd, optax.rmsprop(schedule, momentum=momentum))
+    else:
+        raise ValueError(f"unknown optimizer {name}")
+    return optax.chain(optax.clip_by_global_norm(10.0), core)
+
+
+def auto_optimizer(nc: int, lr0: float, momentum: float, iterations: float):
+    """auto rule: AdamW(lr=0.002*5/(4+nc) rounded, m=0.9) for short runs,
+    SGD(0.01, 0.937) otherwise (reference trainer.py:773-786)."""
+    if iterations > 10000:
+        return "SGD", lr0, momentum
+    lr_fit = round(0.002 * 5 / (4 + nc), 6)
+    return "AdamW", lr_fit, 0.9
+
+
+class EarlyStopping:
+    """Stop when fitness hasn't improved for `patience` epochs."""
+
+    def __init__(self, patience: int = 100):
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+        self.patience = patience or float("inf")
+
+    def __call__(self, epoch: int, fitness: float | None) -> bool:
+        if fitness is None:
+            return False
+        if fitness >= self.best_fitness:
+            self.best_epoch = epoch
+            self.best_fitness = fitness
+        stop = (epoch - self.best_epoch) >= self.patience
+        if stop:
+            LOGGER.info(f"EarlyStopping: no improvement in last {self.patience} epochs, stopping")
+        return stop
+
+
+class DetectionTrainer:
+    """End-to-end detection training."""
+
+    def __init__(self, model, args, save_dir: str | Path = "runs/train"):
+        self.model = model  # nn.tasks.DetectionModel handle
+        self.args = args
+        self.save_dir = Path(save_dir)
+        self.best_fitness = 0.0
+        self.mesh = None
+
+    # -- public entry -----------------------------------------------------------
+    def train(self):
+        args = self.args
+        data_cfg = check_det_dataset(args.data)
+        names = data_cfg["names"]
+        nc = data_cfg["nc"]
+        if nc != self.model.nc:
+            raise ValueError(f"dataset nc={nc} != model nc={self.model.nc}")
+        self.model.names = names
+        imgsz = int(args.imgsz)
+        epochs = int(args.epochs)
+        bs = int(args.batch)
+
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        yaml_save(self.save_dir / "args.yaml", vars(args))
+
+        train_set = YOLODataset(
+            data_cfg["train"], imgsz=imgsz, augment=True,
+            single_cls=bool(args.single_cls), fraction=float(args.fraction), names=names,
+        )
+        loader = build_dataloader(train_set, bs, shuffle=True, seed=int(args.seed), drop_last=False)
+        nb = len(loader)
+
+        # optimizer
+        accumulate = max(round(int(args.nbs) / bs), 1)
+        iterations = epochs * nb
+        opt_name, lr0, momentum = (
+            (args.optimizer, float(args.lr0), float(args.momentum))
+            if args.optimizer != "auto"
+            else auto_optimizer(nc, float(args.lr0), float(args.momentum), iterations)
+        )
+        lrf = float(args.lrf)
+        warmup_steps = max(round(float(args.warmup_epochs) * nb), 100) if epochs > 1 else 0
+
+        def lr_at(step):
+            # per-update schedule: warmup then linear/cos per-epoch decay
+            e = step * accumulate / max(nb, 1)
+            if args.cos_lr:
+                lf = ((1 - jnp.cos(e / epochs * math.pi)) / 2) * (lrf - 1) + 1
+            else:
+                lf = jnp.maximum(1 - e / epochs, 0.0) * (1.0 - lrf) + lrf
+            warm = jnp.clip((step * accumulate + 1) / max(warmup_steps, 1), 0.0, 1.0) if warmup_steps else 1.0
+            return lr0 * lf * warm
+
+        # weight decay scaled like reference: decay * batch * accumulate / nbs
+        decay = float(args.weight_decay) * bs * accumulate / int(args.nbs)
+
+        if self.model.variables is None:
+            self.model.init(int(args.seed), imgsz=imgsz, batch=1)
+        variables = self.model.variables
+        params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+        tx_inner = build_optimizer(params, opt_name, lr0, momentum, decay, lr_at)
+        tx = optax.MultiSteps(tx_inner, every_k_schedule=accumulate)
+        opt_state = tx.init(params)
+        LOGGER.info(
+            f"{colorstr('optimizer:')} {opt_name}(lr={lr0}, momentum={momentum}) "
+            f"decay={decay:.5g} accumulate={accumulate} warmup_steps={warmup_steps}"
+        )
+
+        criterion = DetectionLoss(self.model, hyp=args)
+        has_quality = "GF" in self.model.head_name or "E2E" in self.model.head_name
+        hyp_dict = {k: v for k, v in vars(args).items() if isinstance(v, (int, float))}
+        use_bf16 = bool(args.amp)
+        self.mesh = get_mesh()
+        n_dev = self.mesh.devices.size
+        if bs % n_dev:
+            LOGGER.warning(f"batch {bs} not divisible by {n_dev} devices; padding applies")
+
+        @partial(jax.jit, static_argnames=("mosaic",), donate_argnums=(0,))
+        def train_step(state, images, cls, bboxes, mask, key, mosaic):
+            params, batch_stats, opt_state, ema, step = state
+            img01, acls, aboxes, amask = augment_batch(
+                images, cls, bboxes, mask, key, imgsz, hyp_dict, mosaic=mosaic
+            )
+            x = img01.astype(jnp.bfloat16) if use_bf16 else img01
+            tgt = {"cls": acls, "bboxes": aboxes, "mask_gt": amask}
+
+            def loss_fn(p):
+                out, mut = self.model.net.apply(
+                    {"params": p, "batch_stats": batch_stats}, x, train=True,
+                    mutable=["batch_stats"],
+                )
+                q = out.get("quality") if has_quality else None
+                feats = [f.astype(jnp.float32) for f in out["feats"]]
+                qq = [qi.astype(jnp.float32) for qi in q] if q is not None else None
+                loss, items = criterion(feats, tgt, qq)
+                return loss, (items, mut["batch_stats"])
+
+            (loss, (items, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            # EMA on completed optimizer updates
+            upd = step + 1
+            d = 0.9999 * (1 - jnp.exp(-upd / 2000.0))
+            new_ema = jax.tree.map(lambda e, p: e * d + (1 - d) * p, ema, new_params)
+            return (new_params, new_bs, new_opt, new_ema, upd), loss, items
+
+        ema = jax.tree.map(jnp.copy, params)
+        state = (params, batch_stats, opt_state, ema, jnp.zeros((), jnp.int32))
+        state = jax.device_put(state, replicated(self.mesh))
+
+        key = jax.random.PRNGKey(int(args.seed))
+        stopper = EarlyStopping(int(args.patience))
+        csv_path = self.save_dir / "results.csv"
+        t_start = time.time()
+        stop = False
+
+        for epoch in range(epochs):
+            mosaic_on = (
+                float(getattr(args, "mosaic", 1.0)) > 0
+                and epoch < epochs - int(args.close_mosaic)
+            )
+            losses = []
+            for bi, batch in enumerate(loader):
+                key, sub = jax.random.split(key)
+                sb = shard_batch(
+                    {
+                        "img": batch["img"],
+                        "cls": batch["cls"],
+                        "bboxes": batch["bboxes"],
+                        "mask_gt": batch["mask_gt"],
+                    },
+                    self.mesh,
+                )
+                state, loss, items = train_step(
+                    state, sb["img"], sb["cls"], sb["bboxes"], sb["mask_gt"], sub, mosaic_on
+                )
+                losses.append([float(items["box"]), float(items["cls"]), float(items["dfl"])])
+            mloss = np.mean(losses, axis=0) if losses else np.zeros(3)
+
+            # validation with EMA params
+            fitness_val = None
+            metrics_row = {}
+            if args.val:
+                metrics_row = self._validate(state, data_cfg)
+                fitness_val = metrics_row.get("fitness", 0.0)
+            lr_now = float(lr_at(np.asarray(int(state[4]))))
+            row = {
+                "epoch": epoch,
+                "time": round(time.time() - t_start, 2),
+                "train/box_loss": round(float(mloss[0]), 5),
+                "train/cls_loss": round(float(mloss[1]), 5),
+                "train/dfl_loss": round(float(mloss[2]), 5),
+                **{k: round(float(v), 5) for k, v in metrics_row.items()},
+                "lr/pg0": round(lr_now, 6),
+            }
+            write_header = not csv_path.exists()
+            with open(csv_path, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(row))
+                if write_header:
+                    w.writeheader()
+                w.writerow(row)
+            LOGGER.info(
+                f"epoch {epoch + 1}/{epochs} box {mloss[0]:.4f} cls {mloss[1]:.4f} "
+                f"dfl {mloss[2]:.4f}" + (f" fitness {fitness_val:.4f}" if fitness_val is not None else "")
+            )
+
+            if fitness_val is not None and fitness_val >= self.best_fitness:
+                self.best_fitness = fitness_val
+                self._save_ckpt(state, epoch, "best")
+            self._save_ckpt(state, epoch, "last")
+            sp = int(args.save_period)
+            if sp > 0 and (epoch + 1) % sp == 0:
+                self._save_ckpt(state, epoch, f"epoch{epoch}")
+            if stopper(epoch, fitness_val):
+                stop = True
+            if args.time and (time.time() - t_start) > float(args.time) * 3600:
+                LOGGER.info("time budget reached, stopping")
+                stop = True
+            if stop:
+                break
+
+        # adopt final (EMA) weights into the model handle
+        params_f, batch_stats_f, _, ema_f, _ = jax.device_get(state)
+        self.model.variables = {"params": ema_f, "batch_stats": batch_stats_f}
+        self.raw_variables = {"params": params_f, "batch_stats": batch_stats_f}
+        LOGGER.info(
+            f"training done in {(time.time() - t_start) / 3600:.3f}h, "
+            f"best fitness {self.best_fitness:.4f}, results in {self.save_dir}"
+        )
+        return self.best_fitness
+
+    # -- helpers ---------------------------------------------------------------
+    def _validate(self, state, data_cfg) -> dict:
+        from edgeyolo_tpu.cfg import get_cfg
+        from edgeyolo_tpu.engine.validator import DetectionValidator
+
+        params, batch_stats, _, ema, _ = state
+        if not hasattr(self, "_validator"):
+            vargs = get_cfg(overrides={
+                "mode": "val", "data": self.args.data, "imgsz": self.args.imgsz,
+                "batch": self.args.batch, "conf": 0.001, "iou": 0.7,
+                "max_det": 300, "plots": False, "task": self.args.task,
+            })
+            self._validator = DetectionValidator(vargs, save_dir=self.save_dir / "val")
+        variables = {"params": ema, "batch_stats": batch_stats}
+        return self._validator(self.model, data=data_cfg, variables=variables,
+                               batch_size=int(self.args.batch), max_nms=4096)
+
+    def _save_ckpt(self, state, epoch: int, name: str):
+        params, batch_stats, _, ema, step = jax.device_get(state)
+        ckpt = {
+            "params": params,
+            "batch_stats": batch_stats,
+            "ema": ema,
+            "updates": int(step),
+            "epoch": epoch,
+            "best_fitness": float(self.best_fitness),
+        }
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        blob = serialization.to_bytes(ckpt)
+        (self.save_dir / f"{name}.msgpack").write_bytes(blob)
+        meta = {
+            "epoch": epoch, "best_fitness": float(self.best_fitness),
+            "model_yaml": self.model.yaml.get("yaml_file", ""),
+            "scale": self.model.scale, "nc": self.model.nc,
+            "names": self.model.names,
+            "train_args": {k: v for k, v in vars(self.args).items()
+                           if isinstance(v, (int, float, str, bool, type(None)))},
+        }
+        (self.save_dir / f"{name}.json").write_text(json.dumps(meta, default=str))
+
+
+def load_checkpoint(model, path: str | Path, use_ema: bool = True):
+    """Restore weights from a trainer checkpoint into a model handle."""
+    path = Path(path)
+    if model.variables is None:
+        model.init(0, imgsz=64)
+    template = {
+        "params": model.variables["params"],
+        "batch_stats": model.variables.get("batch_stats", {}),
+        "ema": model.variables["params"],
+        "updates": 0,
+        "epoch": 0,
+        "best_fitness": 0.0,
+    }
+    ckpt = serialization.from_bytes(template, path.read_bytes())
+    model.variables = {
+        "params": ckpt["ema"] if use_ema else ckpt["params"],
+        "batch_stats": ckpt["batch_stats"],
+    }
+    meta_p = path.with_suffix(".json")
+    if meta_p.exists():
+        meta = json.loads(meta_p.read_text())
+        model.names = {int(k): v for k, v in (meta.get("names") or {}).items()}
+    return ckpt

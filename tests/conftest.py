@@ -4,7 +4,11 @@ TPU pod (closing the reference's biggest test gap, SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before any jax import: the axon TPU plugin registers itself via
+# sitecustomize whenever PALLAS_AXON_POOL_IPS is non-empty, overriding
+# JAX_PLATFORMS=cpu. Blank it so tests run on a true host-CPU backend.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
