@@ -83,11 +83,11 @@ def _warp_one(quads, boxes4, valid4, key, S: int, hyp: dict, mosaic: bool):
     c = jax.random.uniform(kc, (2,), minval=0.5 * S, maxval=1.5 * S)  # (yc, xc)
     yc, xc = (c[0], c[1]) if mosaic else (jnp.asarray(float(S)), jnp.asarray(float(S)))
 
-    A = _affine_params(ka, S, hyp)  # canvas->output ... output = A @ C @ p
-    # C centers: canvas(2S) shifted by -S/2 border => out coords = canvas - S/2 pre-affine
-    # Reference composes C with translation -w/2,-h/2 of the *canvas*; with T
-    # re-centering at ~0.5*out + jitter. Net semantics: p_out = A @ (p_canvas - S/2·1)
-    offs = 0.5 * S if mosaic else 0.0  # single-image path: canvas == image
+    A = _affine_params(ka, S, hyp)  # centered-canvas -> output homography
+    # C centers the canvas at the origin (translate by -canvas_size/2); T inside
+    # A re-centers at ~(0.5 +- translate)*S. Net map: p_out = A @ (p_canvas - offs),
+    # identity at zero magnitudes. Canvas is 2S for mosaic, S for single image.
+    offs = float(S) if mosaic else 0.5 * S
     Ainv = jnp.linalg.inv(A)
 
     ys = jnp.arange(S, dtype=jnp.float32)

@@ -173,10 +173,14 @@ class DetectionTrainer:
         has_quality = "GF" in self.model.head_name or "E2E" in self.model.head_name
         hyp_dict = {k: v for k, v in vars(args).items() if isinstance(v, (int, float))}
         use_bf16 = bool(args.amp)
-        self.mesh = get_mesh()
-        n_dev = self.mesh.devices.size
-        if bs % n_dev:
-            LOGGER.warning(f"batch {bs} not divisible by {n_dev} devices; padding applies")
+        # data-parallel mesh over the largest device count that divides the batch
+        import jax as _jax
+
+        n_avail = len(_jax.devices())
+        n_dev = max(n for n in range(1, n_avail + 1) if bs % n == 0)
+        if n_dev < n_avail:
+            LOGGER.warning(f"batch {bs} not divisible by {n_avail} devices; using {n_dev}-device mesh")
+        self.mesh = get_mesh(n_dev)
 
         @partial(jax.jit, static_argnames=("mosaic",), donate_argnums=(0,))
         def train_step(state, images, cls, bboxes, mask, key, mosaic):

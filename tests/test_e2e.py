@@ -1,0 +1,76 @@
+"""End-to-end tests through the public YOLO facade on a synthetic dataset —
+the reference's tiny-dataset e2e strategy (SURVEY.md §4), fully offline.
+
+Kept deliberately small (1-CPU CI): one short train run, val, predict,
+checkpoint round-trip.
+"""
+
+import numpy as np
+import pytest
+
+from edgeyolo_tpu import YOLO
+from edgeyolo_tpu.data.synthetic import generate_dataset
+from edgeyolo_tpu.nn.tasks import DetectionModel
+
+
+@pytest.fixture(scope="module")
+def shapes_ds(tmp_path_factory):
+    root = tmp_path_factory.mktemp("shapes")
+    return generate_dataset(root, n_train=8, n_val=4, imgsz=96, nc=3)
+
+
+@pytest.fixture(scope="module")
+def trained(shapes_ds, tmp_path_factory):
+    runs = tmp_path_factory.mktemp("runs")
+    m = YOLO("yolo11n.yaml")
+    m.model = DetectionModel("yolo11n.yaml", nc=3)
+    m.train(data=str(shapes_ds), epochs=2, imgsz=96, batch=4, nbs=4, val=False,
+            plots=False, close_mosaic=0, amp=False, workers=0, mosaic=1.0,
+            project=str(runs), name="e2e", patience=5)
+    return m, runs / "e2e"
+
+
+def test_train_produces_artifacts(trained):
+    m, run_dir = trained
+    assert (run_dir / "last.msgpack").exists()
+    assert (run_dir / "results.csv").exists()
+    assert (run_dir / "args.yaml").exists()
+    csv = (run_dir / "results.csv").read_text()
+    assert "train/box_loss" in csv and csv.count("\n") >= 3
+
+
+def test_val_runs_and_reports(trained, shapes_ds):
+    m, _ = trained
+    res = m.val(data=str(shapes_ds), imgsz=96, batch=4, plots=False)
+    assert "metrics/mAP50-95(B)" in res and "fitness" in res
+    assert res["metrics/mAP50-95(B)"] >= 0.0
+
+
+def test_predict_returns_results(trained, shapes_ds):
+    m, _ = trained
+    img_dir = shapes_ds.parent / "images" / "val"
+    results = m.predict(str(img_dir), imgsz=96, conf=0.01, verbose=False)
+    assert len(results) == 4
+    r = results[0]
+    assert r.orig_shape == (96, 96)
+    assert r.plot().shape == (96, 96, 3)
+
+
+def test_checkpoint_roundtrip(trained):
+    m, run_dir = trained
+    m2 = YOLO(str(run_dir / "last.msgpack"))
+    import jax
+
+    p1 = jax.tree.leaves(m.model.variables["params"])
+    p2 = jax.tree.leaves(m2.model.variables["params"])
+    # loaded model uses EMA weights; shapes must match and values be finite
+    assert all(a.shape == b.shape for a, b in zip(p1, p2))
+    assert m2.model.nc == 3
+
+
+def test_stream_predict_generator(trained, shapes_ds):
+    m, _ = trained
+    img_dir = shapes_ds.parent / "images" / "val"
+    gen = m.predict(str(img_dir), imgsz=96, stream=True, verbose=False)
+    first = next(iter(gen))
+    assert first.orig_shape == (96, 96)
