@@ -70,6 +70,9 @@ class YOLODataset:
         fraction: float = 1.0,
         max_gt: int | None = None,
         names: dict | None = None,
+        task: str = "detect",
+        kpt_shape: tuple[int, int] = (17, 3),
+        mask_ratio: int = 4,
     ):
         self.img_path = img_path
         self.imgsz = imgsz
@@ -77,6 +80,9 @@ class YOLODataset:
         self.hyp = hyp
         self.single_cls = single_cls
         self.names = names or {}
+        self.task = task
+        self.kpt_shape = tuple(kpt_shape)
+        self.mask_ratio = mask_ratio
         self.im_files = self._scan_images(img_path, fraction)
         if not self.im_files:
             raise FileNotFoundError(f"no images found in {img_path}")
@@ -122,37 +128,68 @@ class YOLODataset:
     def _load_labels(self):
         cache = self._cache_path()
         sig = [os.path.getmtime(f) if os.path.exists(f) else 0 for f in map(img2label_path, self.im_files)]
-        if cache.exists():
+        if cache.exists() and self.task == "detect":
             try:
                 d = json.loads(cache.read_text())
                 if d.get("sig") == sig:
+                    K = self.kpt_shape[0]
                     return [
-                        {"cls": np.asarray(l["cls"], np.float32), "bboxes": np.asarray(l["bboxes"], np.float32).reshape(-1, 4)}
+                        {"cls": np.asarray(l["cls"], np.float32),
+                         "bboxes": np.asarray(l["bboxes"], np.float32).reshape(-1, 4),
+                         "segments": [], "keypoints": np.zeros((0, K, 3), np.float32)}
                         for l in d["labels"]
                     ]
             except Exception:
                 pass
         labels = []
         nm = nf = ne = nch = 0
+        K, D = self.kpt_shape
         for f in self.im_files:
             lp = img2label_path(f)
-            cls, boxes = [], []
+            cls, boxes, segments, kpts = [], [], [], []
             if os.path.exists(lp):
                 for line in Path(lp).read_text().splitlines():
                     parts = line.split()
-                    if len(parts) >= 5:
-                        c = float(parts[0])
-                        b = [float(x) for x in parts[1:5]]
-                        if all(0 <= v <= 1 for v in b) and b[2] > 0 and b[3] > 0:
-                            cls.append(c)
-                            boxes.append(b)
-                        else:
-                            nch += 1
+                    if len(parts) < 5:
+                        continue
+                    c = float(parts[0])
+                    vals = [float(x) for x in parts[1:]]
+                    if self.task == "pose" and len(vals) == 4 + K * D:
+                        b = vals[:4]
+                        kp = np.asarray(vals[4:], np.float32).reshape(K, D)
+                        if D == 2:
+                            kp = np.concatenate([kp, 2 * np.ones((K, 1), np.float32)], 1)
+                        kpts.append(kp)
+                        seg = None
+                    elif self.task in ("segment", "obb") or (len(vals) > 5 and len(vals) % 2 == 0):
+                        # polygon: x1 y1 ... xn yn (obb = 4-corner special case)
+                        poly = np.asarray(vals, np.float32).reshape(-1, 2)
+                        seg = poly
+                        x1, y1 = poly[:, 0].min(), poly[:, 1].min()
+                        x2, y2 = poly[:, 0].max(), poly[:, 1].max()
+                        b = [(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1]
+                    else:
+                        b = vals[:4]
+                        seg = None
+                    if all(0 <= v <= 1.001 for v in b) and b[2] > 0 and b[3] > 0:
+                        cls.append(c)
+                        boxes.append(b)
+                        if seg is not None:
+                            segments.append(seg)
+                    else:
+                        nch += 1
+                        if self.task == "pose" and kpts:
+                            kpts.pop()
                 nf += 1 if cls else 0
                 ne += 0 if cls else 1
             else:
                 nm += 1
-            labels.append({"cls": np.asarray(cls, np.float32), "bboxes": np.asarray(boxes, np.float32).reshape(-1, 4)})
+            labels.append({
+                "cls": np.asarray(cls, np.float32),
+                "bboxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+                "segments": segments,
+                "keypoints": np.asarray(kpts, np.float32).reshape(-1, K, 3) if kpts else np.zeros((0, K, 3), np.float32),
+            })
         LOGGER.info(f"dataset {self.img_path}: {len(self.im_files)} images, {nf} labelled, {ne} empty, {nm} missing labels, {nch} corrupt boxes dropped")
         try:
             cache.write_text(json.dumps({
@@ -189,8 +226,10 @@ class YOLODataset:
         pc = np.zeros(self.max_gt, np.float32)
         pb = np.zeros((self.max_gt, 4), np.float32)
         pm = np.zeros(self.max_gt, np.float32)
-        pc[:n], pb[:n], pm[:n] = cls[:n], boxes[:n], 1.0
-        return {
+        pc[:n], pm[:n] = cls[:n], 1.0
+        if n:
+            pb[:n] = boxes[:n]
+        item = {
             "img": img,
             "cls": pc,
             "bboxes": pb,
@@ -201,6 +240,40 @@ class YOLODataset:
             "ori_cls": lab["cls"],
             "ori_bboxes": lab["bboxes"],  # normalized xywh, original space
         }
+        if self.task == "segment":
+            item["masks"] = self._rasterize_masks(lab.get("segments") or [], n, w0, h0, r, pw, ph)
+        elif self.task == "pose":
+            K, _ = self.kpt_shape
+            pk = np.zeros((self.max_gt, K, 3), np.float32)
+            kp = lab["keypoints"]
+            if len(kp):
+                kpx = kp[:n].copy()
+                kpx[..., 0] = kpx[..., 0] * w0 * r + pw  # to letterbox pixels
+                kpx[..., 1] = kpx[..., 1] * h0 * r + ph
+                pk[: len(kpx)] = kpx
+            item["keypoints"] = pk
+        elif self.task == "obb":
+            pr = np.zeros((self.max_gt, 5), np.float32)
+            segs = lab.get("segments") or []
+            for j, poly in enumerate(segs[:n]):
+                pr[j] = _poly2rbox_norm(poly)
+            item["rboxes"] = pr
+        return item
+
+    def _rasterize_masks(self, segments, n, w0, h0, r, pw, ph):
+        """Polygons (normalized, original space) -> (max_gt, S/ratio, S/ratio)."""
+        from PIL import Image, ImageDraw
+
+        s = self.imgsz // self.mask_ratio
+        out = np.zeros((self.max_gt, s, s), np.float32)
+        for j, poly in enumerate(segments[:n]):
+            pts = poly.copy()
+            pts[:, 0] = (pts[:, 0] * w0 * r + pw) / self.imgsz * s
+            pts[:, 1] = (pts[:, 1] * h0 * r + ph) / self.imgsz * s
+            im = Image.new("L", (s, s), 0)
+            ImageDraw.Draw(im).polygon([tuple(p) for p in pts.tolist()], fill=1)
+            out[j] = np.asarray(im, np.float32)
+        return out
 
 
 class DataLoader:
@@ -254,6 +327,9 @@ class DataLoader:
                     "n_real": n_real,
                     "meta": items,
                 }
+                for extra in ("masks", "keypoints", "rboxes"):
+                    if extra in items[0]:
+                        batch[extra] = np.stack([it[extra] for it in items])
                 q.put(batch)
             q.put(None)
 
@@ -268,3 +344,27 @@ class DataLoader:
 
 def build_dataloader(dataset, batch_size, shuffle=True, seed=0, drop_last=False):
     return DataLoader(dataset, batch_size, shuffle=shuffle, seed=seed, drop_last=drop_last)
+
+
+def _poly2rbox_norm(poly: np.ndarray) -> np.ndarray:
+    """4-corner normalized polygon -> (cx, cy, w, h, r) normalized xywh + rad.
+
+    Minimal minAreaRect substitute: assumes the polygon is (close to) a
+    rotated rectangle (DOTA-style), taking edge directions from the corners.
+    """
+    p = poly.reshape(-1, 2)
+    c = p.mean(0)
+    e1 = p[1] - p[0]
+    e2 = p[2] - p[1]
+    w = float(np.linalg.norm(e1))
+    h = float(np.linalg.norm(e2))
+    r = float(np.arctan2(e1[1], e1[0]))
+    # canonicalize to r in [-pi/4, 3pi/4) with w >= h convention
+    if w < h:
+        w, h = h, w
+        r += np.pi / 2
+    while r >= 3 * np.pi / 4:
+        r -= np.pi
+    while r < -np.pi / 4:
+        r += np.pi
+    return np.asarray([c[0], c[1], w, h, r], np.float32)

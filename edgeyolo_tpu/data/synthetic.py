@@ -24,8 +24,13 @@ def generate_dataset(
     nc: int = 3,
     max_objs: int = 4,
     seed: int = 0,
+    task: str = "detect",
 ) -> Path:
-    """Create {root}/{images,labels}/{train,val} + dataset.yaml; returns yaml path."""
+    """Create {root}/{images,labels}/{train,val} + dataset.yaml; returns yaml path.
+
+    task selects the label format: detect (xywh), segment (polygons),
+    pose (xywh + 5 keypoints: corners + center), obb (4-corner polygons).
+    """
     root = Path(root)
     rng = np.random.RandomState(seed)
     for split, n in (("train", n_train), ("val", n_val)):
@@ -52,7 +57,17 @@ def generate_dataset(
                 else:
                     draw.line([x1, cy, x2, cy], fill=color, width=max(3, int(h / 5)))
                     draw.line([cx, y1, cx, y2], fill=color, width=max(3, int(w / 5)))
-                lines.append(f"{c} {cx/imgsz:.6f} {cy/imgsz:.6f} {w/imgsz:.6f} {h/imgsz:.6f}")
+                S = imgsz
+                if task in ("segment", "obb"):
+                    corners = [x1, y1, x2, y1, x2, y2, x1, y2]
+                    pts = " ".join(f"{v/S:.6f}" for v in corners)
+                    lines.append(f"{c} {pts}")
+                elif task == "pose":
+                    kpts = [(x1, y1), (x2, y1), (x2, y2), (x1, y2), (cx, cy)]
+                    ks = " ".join(f"{px/S:.6f} {py/S:.6f} 2" for px, py in kpts)
+                    lines.append(f"{c} {cx/S:.6f} {cy/S:.6f} {w/S:.6f} {h/S:.6f} {ks}")
+                else:
+                    lines.append(f"{c} {cx/S:.6f} {cy/S:.6f} {w/S:.6f} {h/S:.6f}")
             img.save(root / "images" / split / f"{split}_{i:04d}.jpg", quality=92)
             (root / "labels" / split / f"{split}_{i:04d}.txt").write_text("\n".join(lines) + "\n")
     yaml_path = root / "dataset.yaml"

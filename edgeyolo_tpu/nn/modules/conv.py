@@ -218,8 +218,11 @@ class ConvTranspose(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # torch ConvTranspose2d(k, s, p) output = (in-1)*s - 2p + k; for the
+        # common k==s, p=0 exact-upsample case flax 'SAME' reproduces in*s.
+        pad = "SAME" if (self.p == 0 and self.k == self.s) else [(self.p, self.p), (self.p, self.p)]
         x = nn.ConvTranspose(self.c2, (self.k, self.k), strides=(self.s, self.s),
-                             padding=[(self.p, self.p), (self.p, self.p)],
+                             padding=pad,
                              use_bias=not self.bn, kernel_init=KERNEL_INIT,
                              dtype=x.dtype, name="conv_transpose")(x)
         if self.bn:

@@ -195,3 +195,139 @@ class Classify(nn.Module):
         if self.dropout_rate > 0 and train:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         return nn.Dense(self.c2, kernel_init=KERNEL_INIT, name="linear")(x)
+
+
+class Segment(Detect):
+    """Segmentation head: Detect + per-anchor mask coefficients + Proto bank.
+
+    Behavioral spec: head.py:347-371 — proto on the P3 feature, per-level cv4
+    towers emitting nm coefficients; inference appends coefficients to the
+    decoded predictions so NMS carries them through.
+    """
+
+    nm: int = 32
+    npr: int = 256
+
+    def _coefs(self, xs, train):
+        from edgeyolo_tpu.nn.modules.conv import ConvBN
+
+        c4 = max(self.ch[0] // 4, self.nm)
+        out = []
+        for i, x in enumerate(xs):
+            m = ConvBN(c4, 3, name=f"cv4_{i}_0")(x, train)
+            m = ConvBN(c4, 3, name=f"cv4_{i}_1")(m, train)
+            m = nn.Conv(self.nm, (1, 1), use_bias=True, kernel_init=KERNEL_INIT,
+                        dtype=x.dtype, name=f"cv4_{i}_2")(m)
+            out.append(m.reshape(x.shape[0], -1, self.nm))
+        return jnp.concatenate(out, axis=1)  # (B, A, nm)
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        from edgeyolo_tpu.nn.modules.block import Proto
+
+        proto = Proto(self.npr, self.nm, name="proto")(xs[0], train)  # (B, 4H, 4W? -> H*?, nm)
+        mc = self._coefs(xs, train)
+        boxes, clss = self._towers(xs, train)
+        feats = [jnp.concatenate([b, c], axis=-1) for b, c in zip(boxes, clss)]
+        out = {"feats": feats, "mask_coefs": mc, "proto": proto}
+        if not train:
+            out["pred"] = jnp.concatenate([self.decode(feats), mc], axis=-1)
+        return out
+
+
+class OBB(Detect):
+    """Oriented-box head: Detect + per-anchor angle in [-pi/4, 3pi/4].
+
+    Behavioral spec: head.py:372-400 — angle = (sigmoid(t) - 0.25) * pi,
+    boxes decoded with the rotated dist2rbox.
+    """
+
+    ne: int = 1
+
+    def _angles(self, xs, train):
+        from edgeyolo_tpu.nn.modules.conv import ConvBN
+
+        c4 = max(self.ch[0] // 4, self.ne)
+        out = []
+        for i, x in enumerate(xs):
+            a = ConvBN(c4, 3, name=f"cv4_{i}_0")(x, train)
+            a = ConvBN(c4, 3, name=f"cv4_{i}_1")(a, train)
+            a = nn.Conv(self.ne, (1, 1), use_bias=True, kernel_init=KERNEL_INIT,
+                        dtype=x.dtype, name=f"cv4_{i}_2")(a)
+            out.append(a.reshape(x.shape[0], -1, self.ne))
+        return jnp.concatenate(out, axis=1)  # (B, A, ne)
+
+    def decode_rotated(self, feats, angle):
+        from edgeyolo_tpu.nn.modules.block import dfl_decode
+        from edgeyolo_tpu.ops.boxes import dist2rbox, make_anchors
+
+        b = feats[0].shape[0]
+        flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1)
+        box_logits, cls_logits = flat[..., : 4 * self.reg_max], flat[..., 4 * self.reg_max :]
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchors, strides = make_anchors(shapes, self.stride, 0.5)
+        dist = dfl_decode(box_logits, self.reg_max)
+        rbox = dist2rbox(dist, angle, anchors[None]) * strides[None]
+        return jnp.concatenate([rbox, jax.nn.sigmoid(cls_logits)], axis=-1)
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        angle_logits = self._angles(xs, train)
+        angle = (jax.nn.sigmoid(angle_logits) - 0.25) * math.pi
+        boxes, clss = self._towers(xs, train)
+        feats = [jnp.concatenate([b, c], axis=-1) for b, c in zip(boxes, clss)]
+        out = {"feats": feats, "angle": angle}
+        if not train:
+            out["pred"] = jnp.concatenate([self.decode_rotated(feats, angle), angle], axis=-1)
+        return out
+
+
+class Pose(Detect):
+    """Keypoint head: Detect + per-anchor K x D keypoint regressions.
+
+    Behavioral spec: head.py:402-452 — kpt xy decoded as
+    (raw*2 + anchor - 0.5) * stride, visibility sigmoid for D=3.
+    """
+
+    kpt_shape: Sequence[int] = (17, 3)
+
+    @property
+    def nk(self) -> int:
+        return self.kpt_shape[0] * self.kpt_shape[1]
+
+    def _kpts(self, xs, train):
+        from edgeyolo_tpu.nn.modules.conv import ConvBN
+
+        c4 = max(self.ch[0] // 4, self.nk)
+        out = []
+        for i, x in enumerate(xs):
+            k = ConvBN(c4, 3, name=f"cv4_{i}_0")(x, train)
+            k = ConvBN(c4, 3, name=f"cv4_{i}_1")(k, train)
+            k = nn.Conv(self.nk, (1, 1), use_bias=True, kernel_init=KERNEL_INIT,
+                        dtype=x.dtype, name=f"cv4_{i}_2")(k)
+            out.append(k.reshape(x.shape[0], -1, self.nk))
+        return jnp.concatenate(out, axis=1)  # (B, A, nk)
+
+    def kpts_decode(self, kpts, shapes):
+        from edgeyolo_tpu.ops.boxes import make_anchors
+
+        b, a, _ = kpts.shape
+        K, D = self.kpt_shape
+        anchors, strides = make_anchors(shapes, self.stride, 0.5)
+        y = kpts.reshape(b, a, K, D)
+        xy = (y[..., :2] * 2.0 + (anchors[None, :, None, :] - 0.5)) * strides[None, :, None, :]
+        if D == 3:
+            vis = jax.nn.sigmoid(y[..., 2:3])
+            return jnp.concatenate([xy, vis], axis=-1).reshape(b, a, self.nk)
+        return xy.reshape(b, a, self.nk)
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        kpts = self._kpts(xs, train)
+        boxes, clss = self._towers(xs, train)
+        feats = [jnp.concatenate([b, c], axis=-1) for b, c in zip(boxes, clss)]
+        out = {"feats": feats, "kpts_raw": kpts}
+        if not train:
+            shapes = [(f.shape[1], f.shape[2]) for f in feats]
+            out["pred"] = jnp.concatenate([self.decode(feats), self.kpts_decode(kpts, shapes)], axis=-1)
+        return out

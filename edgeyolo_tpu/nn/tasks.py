@@ -74,6 +74,9 @@ _REG: dict[str, tuple[type, list[str]]] = {
     "E2EDetect": (M.E2EDetect, ["nc"]),
     "GFLHeadv2_uniH": (M.GFLHeadv2_uniH, ["nc"]),
     "GFLHeadv2_E2E": (M.GFLHeadv2_E2E, ["nc"]),
+    "Segment": (M.Segment, ["nc", "nm", "npr"]),
+    "OBB": (M.OBB, ["nc", "ne"]),
+    "Pose": (M.Pose, ["nc", "kpt_shape"]),
     "Classify": (M.Classify, ["c2", "k", "s", "p", "g"]),
 }
 
@@ -89,7 +92,8 @@ _REPEAT_INSERT = {
     "C2fPSA", "C2PSA", "C2PSA_LinearAttention", "DSC3K2", "DSC3K2_Wavelet",
 }
 _C3K2_FAMILY = {"C3k2", "DSC3K2", "C3k2_Wavelet", "C3k2_TWavelet", "DSC3K2_Wavelet"}
-_HEADS = {"Detect", "GF2Detect", "E2EDetect", "GFLHeadv2_uniH", "GFLHeadv2_E2E"}
+_HEADS = {"Detect", "GF2Detect", "E2EDetect", "GFLHeadv2_uniH", "GFLHeadv2_E2E",
+          "Segment", "OBB", "Pose"}
 # spatial stride factor per module (for static stride derivation)
 _STRIDE_ARG = {"Conv", "ConvBN", "DWConv", "DSConv", "GhostConv", "Focus", "SCDown"}
 
@@ -175,6 +179,10 @@ def parse_spec(d: dict, ch: int = 3, verbose: bool = False):
         elif name in _HEADS:
             kwargs["ch"] = tuple(ch_list[x] for x in f_list)
             kwargs["legacy"] = legacy
+            if name == "Segment" and len(args) > 2:
+                args[2] = make_divisible(min(args[2], max_channels) * width, 8)  # npr
+            if name == "Pose" and len(args) > 1 and isinstance(args[1], (list, tuple)):
+                args[1] = tuple(args[1])  # kpt_shape hashable
             c2 = sum(kwargs["ch"])
         elif name in {"nn.Upsample", "Upsample"}:
             c2 = ch_list[f_list[0]]

@@ -163,3 +163,69 @@ def bbox2dist(anchor_points, bbox, reg_max: float):
     return jnp.clip(
         jnp.concatenate([anchor_points - x1y1, x2y2 - anchor_points], axis=-1), 0, reg_max - 0.01
     )
+
+
+def dist2rbox(distance, angle, anchor_points):
+    """Rotated decode: ltrb distances + angle -> (cx, cy, w, h) with the
+    center offset rotated by the angle (reference tal.py:367-385)."""
+    lt, rb = jnp.split(distance, 2, axis=-1)
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    xf, yf = jnp.split((rb - lt) / 2, 2, axis=-1)
+    x = xf * cos - yf * sin
+    y = xf * sin + yf * cos
+    xy = jnp.concatenate([x, y], axis=-1) + anchor_points
+    return jnp.concatenate([xy, lt + rb], axis=-1)
+
+
+def _covariance(boxes):
+    """Gaussian covariance terms (a, b, c) of xywhr boxes (metrics.py:178)."""
+    a = boxes[..., 2:3] ** 2 / 12.0
+    b = boxes[..., 3:4] ** 2 / 12.0
+    r = boxes[..., 4:5]
+    cos, sin = jnp.cos(r), jnp.sin(r)
+    cos2, sin2 = cos**2, sin**2
+    return a * cos2 + b * sin2, a * sin2 + b * cos2, (a - b) * cos * sin
+
+
+def probiou(obb1, obb2, CIoU: bool = False, eps: float = 1e-7):
+    """Probabilistic IoU between xywhr rotated boxes (Hellinger-distance
+    formulation; reference metrics.py:198-235). Elementwise/broadcastable."""
+    x1, y1 = obb1[..., 0:1], obb1[..., 1:2]
+    x2, y2 = obb2[..., 0:1], obb2[..., 1:2]
+    a1, b1, c1 = _covariance(obb1)
+    a2, b2, c2 = _covariance(obb2)
+    denom = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / denom * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / denom * 0.5
+    det1 = jnp.clip(a1 * b1 - c1**2, 0, None)
+    det2 = jnp.clip(a2 * b2 - c2**2, 0, None)
+    t3 = jnp.log(((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2) / (4 * jnp.sqrt(det1 * det2) + eps) + eps) * 0.5
+    bd = jnp.clip(t1 + t2 + t3, eps, 100.0)
+    hd = jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+    iou = 1.0 - hd
+    if CIoU:
+        w1, h1 = obb1[..., 2:3], obb1[..., 3:4]
+        w2, h2 = obb2[..., 2:3], obb2[..., 3:4]
+        v = (4 / math.pi**2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
+        alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
+        return iou - v * alpha
+    return iou
+
+
+def kpt_iou(kpt1, kpt2, area, sigma, eps: float = 1e-7):
+    """OKS between keypoint sets: kpt1 (N,K,3) gt, kpt2 (M,K,2+) preds,
+    area (N,) gt box areas (reference metrics.py:156)."""
+    d = (kpt1[:, None, :, 0] - kpt2[None, :, :, 0]) ** 2 + (kpt1[:, None, :, 1] - kpt2[None, :, :, 1]) ** 2
+    sigma = jnp.asarray(sigma)
+    kpt_mask = kpt1[..., 2] != 0  # (N,K)
+    e = d / ((2 * sigma) ** 2) / (area[:, None, None] + eps) / 2
+    return (jnp.exp(-e) * kpt_mask[:, None]).sum(-1) / (kpt_mask.sum(-1)[:, None] + eps)
+
+
+def crop_mask(masks, boxes):
+    """Zero mask pixels outside xyxy boxes. masks (N,H,W), boxes (N,4)."""
+    n, h, w = masks.shape
+    x1, y1, x2, y2 = jnp.split(boxes[:, :, None], 4, axis=1)  # each (N,1,1)
+    c = jnp.arange(w, dtype=boxes.dtype)[None, None, :]
+    r = jnp.arange(h, dtype=boxes.dtype)[None, :, None]
+    return masks * ((c >= x1) & (c < x2) & (r >= y1) & (r < y2))

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from edgeyolo_tpu.nn.modules.block import dfl_decode
-from edgeyolo_tpu.ops.boxes import bbox2dist, bbox_iou, dist2bbox, make_anchors, xywh2xyxy
+from edgeyolo_tpu.ops.boxes import bbox2dist, bbox_iou, crop_mask, dist2bbox, make_anchors, xywh2xyxy
 from edgeyolo_tpu.train.tal import task_aligned_assign
 
 
@@ -160,3 +160,231 @@ class E2EDetectLoss:
         l2, i2 = self.one2one(out["one2one_feats"], batch, out.get("one2one_quality"))
         items = {k: i1[k] + i2[k] for k in i1}
         return l1 + l2, items
+
+
+class SegmentationLoss(DetectionLoss):
+    """Detection loss + per-positive-anchor mask BCE.
+
+    Behavioral spec: ultralytics/utils/loss.py:423-569 — pred mask =
+    proto . coefs, cropped to the target box, BCE against the downsampled gt
+    instance mask, normalized by box area; fixed-shape variant works on padded
+    (B, M, h, w) instance masks and the dense (B, A) assignment.
+    """
+
+    def __call__(self, out: dict | Sequence, batch: dict, quality=None):
+        if not isinstance(out, dict):
+            return super().__call__(out, batch, quality)
+        feats, mc, proto = out["feats"], out["mask_coefs"], out["proto"]
+        total, items = super().__call__(feats, batch, out.get("quality"))
+        masks = batch.get("masks")  # (B, M, mh, mw) float 0/1
+        if masks is None:
+            return total, items
+
+        nc, reg_max = self.nc, self.reg_max
+        no = nc + 4 * reg_max
+        B = feats[0].shape[0]
+        flat = jnp.concatenate([f.reshape(B, -1, no) for f in feats], axis=1)
+        pred_dist, pred_scores = flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchor_points, stride_tensor = make_anchors(shapes, self.stride, 0.5)
+        img_h = feats[0].shape[1] * self.stride[0]
+        img_w = feats[0].shape[2] * self.stride[0]
+        scale = jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32)
+        gt_bboxes = xywh2xyxy(batch["bboxes"] * scale)
+        mask_gt = batch.get("mask_gt", (jnp.sum(batch["bboxes"], -1) > 0).astype(jnp.float32))
+
+        from edgeyolo_tpu.nn.modules.block import dfl_decode
+        dist = dfl_decode(pred_dist, reg_max)
+        pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False)
+        _, target_bboxes, target_scores, fg_mask, target_gt_idx = task_aligned_assign(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
+            anchor_points * stride_tensor,
+            batch["cls"].astype(jnp.int32), gt_bboxes, mask_gt,
+            topk=self.tal_topk, num_classes=nc, alpha=0.5, beta=6.0,
+        )
+        target_scores_sum = jnp.maximum(jnp.sum(target_scores), 1.0)
+
+        mh, mw = masks.shape[2], masks.shape[3]
+        # per-anchor target mask and box (normalized to proto grid)
+        tgt_masks = jnp.take_along_axis(masks, target_gt_idx[:, :, None, None], axis=1)  # (B,A,mh,mw)
+        # pred masks: proto (B,ph,pw,nm) @ coefs (B,A,nm) -> (B,A,ph,pw)
+        pm_logits = jnp.einsum("bhwn,ban->bahw", proto, mc)
+        # resize target masks to proto resolution if needed (expects equal here)
+        xyxyn = target_bboxes / jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32)
+        box_p = xyxyn * jnp.asarray([pm_logits.shape[3], pm_logits.shape[2]] * 2, jnp.float32)
+        area = jnp.clip((xyxyn[..., 2] - xyxyn[..., 0]) * (xyxyn[..., 3] - xyxyn[..., 1]), 1e-3, None)
+
+        bce = bce_logits(pm_logits, tgt_masks)  # (B,A,ph,pw)
+        Bsz, A = fg_mask.shape
+        cropped = crop_mask(bce.reshape(Bsz * A, *bce.shape[2:]), box_p.reshape(Bsz * A, 4))
+        per_anchor = cropped.reshape(Bsz, A, -1).mean(-1) / area  # (B,A)
+        w = fg_mask.astype(jnp.float32)
+        loss_seg = jnp.sum(per_anchor * w) / target_scores_sum * self.box_gain
+        items = dict(items)
+        items["seg"] = jax.lax.stop_gradient(loss_seg)
+        return total + loss_seg * B, items
+
+
+class PoseLoss(DetectionLoss):
+    """Detection loss + OKS keypoint location + visibility BCE.
+
+    Behavioral spec: ultralytics/utils/loss.py:572-706 — kpt decoded as
+    raw*2 + (anchor - 0.5), Euclidean OKS-weighted location loss on visible
+    keypoints, BCE on the visibility channel.
+    """
+
+    # COCO 17-kpt sigmas
+    SIGMAS = jnp.asarray([
+        0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072,
+        0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089,
+    ])
+
+    def __init__(self, *a, kpt_shape=(17, 3), pose_gain=12.0, kobj_gain=1.0, **kw):
+        super().__init__(*a, **kw)
+        self.kpt_shape = tuple(kpt_shape)
+        self.pose_gain = pose_gain
+        self.kobj_gain = kobj_gain
+
+    def __call__(self, out: dict | Sequence, batch: dict, quality=None):
+        if not isinstance(out, dict):
+            return super().__call__(out, batch, quality)
+        feats, kpts_raw = out["feats"], out["kpts_raw"]
+        total, items = super().__call__(feats, batch, out.get("quality"))
+        gt_kpts = batch.get("keypoints")  # (B, M, K, 3) pixel coords + vis
+        if gt_kpts is None:
+            return total, items
+
+        nc, reg_max = self.nc, self.reg_max
+        no = nc + 4 * reg_max
+        B = feats[0].shape[0]
+        K, D = self.kpt_shape
+        flat = jnp.concatenate([f.reshape(B, -1, no) for f in feats], axis=1)
+        pred_dist, pred_scores = flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchor_points, stride_tensor = make_anchors(shapes, self.stride, 0.5)
+        img_h = feats[0].shape[1] * self.stride[0]
+        img_w = feats[0].shape[2] * self.stride[0]
+        scale = jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32)
+        gt_bboxes = xywh2xyxy(batch["bboxes"] * scale)
+        mask_gt = batch.get("mask_gt", (jnp.sum(batch["bboxes"], -1) > 0).astype(jnp.float32))
+
+        from edgeyolo_tpu.nn.modules.block import dfl_decode
+        dist = dfl_decode(pred_dist, reg_max)
+        pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False)
+        _, target_bboxes, target_scores, fg_mask, target_gt_idx = task_aligned_assign(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
+            anchor_points * stride_tensor,
+            batch["cls"].astype(jnp.int32), gt_bboxes, mask_gt,
+            topk=self.tal_topk, num_classes=nc, alpha=0.5, beta=6.0,
+        )
+        target_scores_sum = jnp.maximum(jnp.sum(target_scores), 1.0)
+
+        A = kpts_raw.shape[1]
+        y = kpts_raw.reshape(B, A, K, D)
+        # decode to pixels: (raw*2 + anchor - 0.5) * stride
+        pk_xy = (y[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)) * stride_tensor[None, :, None, :]
+        tgt_k = jnp.take_along_axis(gt_kpts, target_gt_idx[:, :, None, None], axis=1)  # (B,A,K,3)
+        vis = (tgt_k[..., 2] > 0).astype(jnp.float32)  # (B,A,K)
+        area = jnp.clip(
+            (target_bboxes[..., 2] - target_bboxes[..., 0]) * (target_bboxes[..., 3] - target_bboxes[..., 1]),
+            1e-3, None,
+        )[..., None]
+        d2 = jnp.sum((pk_xy - tgt_k[..., :2]) ** 2, axis=-1)  # (B,A,K)
+        sigmas = self.SIGMAS[: K] if K == 17 else jnp.full((K,), 1.0 / K)
+        e = d2 / ((2 * sigmas[None, None]) ** 2) / (area + 1e-9) / 2
+        kpt_loss = (1 - jnp.exp(-e)) * vis  # OKS-style
+        w = fg_mask.astype(jnp.float32)[..., None]
+        loss_kpt = jnp.sum(kpt_loss * w) / jnp.maximum(jnp.sum(vis * w), 1.0) * self.pose_gain
+        loss_kobj = 0.0
+        if D == 3:
+            kobj = bce_logits(y[..., 2], vis)
+            loss_kobj = jnp.sum(kobj * w.squeeze(-1)[..., None]) / jnp.maximum(jnp.sum(w) * K, 1.0) * self.kobj_gain
+        items = dict(items)
+        items["kpt"] = jax.lax.stop_gradient(loss_kpt)
+        total = total + (loss_kpt + loss_kobj) * B
+        return total, items
+
+
+class OBBLoss(DetectionLoss):
+    """Rotated-box criterion: probiou box loss + rotated TAL assignment.
+
+    Behavioral spec: ultralytics/utils/loss.py:720-832 (v8OBBLoss) —
+    rotated assigner, 1 - probiou box term, DFL on ltrb of the rotated decode.
+    Targets: batch["bboxes"] (B,M,5) normalized xywh + angle rad.
+    """
+
+    def __call__(self, out: dict | Sequence, batch: dict, quality=None):
+        from edgeyolo_tpu.ops.boxes import dist2rbox, probiou
+        from edgeyolo_tpu.train.tal import rotated_task_aligned_assign
+
+        feats, angle = out["feats"], out["angle"]  # angle (B,A,1) radians
+        nc, reg_max = self.nc, self.reg_max
+        no = nc + 4 * reg_max
+        B = feats[0].shape[0]
+        flat = jnp.concatenate([f.reshape(B, -1, no) for f in feats], axis=1)
+        pred_dist, pred_scores = flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
+        A = flat.shape[1]
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchor_points, stride_tensor = make_anchors(shapes, self.stride, 0.5)
+        img_h = feats[0].shape[1] * self.stride[0]
+        img_w = feats[0].shape[2] * self.stride[0]
+
+        gt_cls = batch["cls"].astype(jnp.int32)
+        gtb = batch["bboxes"]  # (B,M,5) normalized xywh + r
+        scale = jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32)
+        gt_rboxes = jnp.concatenate([gtb[..., :4] * scale, gtb[..., 4:5]], axis=-1)
+        mask_gt = batch.get("mask_gt", (jnp.sum(gtb[..., :4], -1) > 0).astype(jnp.float32))
+
+        dist = dfl_decode(pred_dist, reg_max)
+        pred_rboxes_g = jnp.concatenate(
+            [dist2rbox(dist, angle, anchor_points[None]), angle], axis=-1
+        )  # grid units + angle
+        pred_rboxes = jnp.concatenate(
+            [pred_rboxes_g[..., :4] * stride_tensor[None], angle], axis=-1
+        )
+
+        _, target_rboxes, target_scores, fg_mask, _ = rotated_task_aligned_assign(
+            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
+            jax.lax.stop_gradient(pred_rboxes),
+            anchor_points * stride_tensor,
+            gt_cls, gt_rboxes, mask_gt,
+            topk=self.tal_topk, num_classes=nc,
+        )
+        target_scores_sum = jnp.maximum(jnp.sum(target_scores), 1.0)
+        loss_cls = jnp.sum(bce_logits(pred_scores, target_scores)) / target_scores_sum
+
+        fg = fg_mask.astype(jnp.float32)
+        weight = jnp.sum(target_scores, axis=-1) * fg
+        tb_grid = jnp.concatenate(
+            [target_rboxes[..., :4] / stride_tensor[None], target_rboxes[..., 4:5]], axis=-1
+        )
+        iou = probiou(pred_rboxes_g, tb_grid)[..., 0]
+        loss_iou = jnp.sum((1.0 - iou) * weight) / target_scores_sum
+
+        # DFL on the axis-aligned ltrb of the rotated target (reference
+        # converts xywhr->xyxy of the unrotated extent for dist targets)
+        txy, twh = tb_grid[..., :2], tb_grid[..., 2:4]
+        tb_xyxy = jnp.concatenate([txy - twh / 2, txy + twh / 2], axis=-1)
+        target_ltrb = bbox2dist(anchor_points[None], tb_xyxy, reg_max - 1)
+        dl = df_loss(pred_dist.reshape(B, A, 4, reg_max), target_ltrb, reg_max)
+        loss_dfl = jnp.sum(dl * weight) / target_scores_sum
+
+        loss_box = loss_iou * self.box_gain
+        loss_cls = loss_cls * self.cls_gain
+        loss_dfl = loss_dfl * self.dfl_gain
+        total = (loss_box + loss_cls + loss_dfl) * B
+        return total, {"box": jax.lax.stop_gradient(loss_box),
+                       "cls": jax.lax.stop_gradient(loss_cls),
+                       "dfl": jax.lax.stop_gradient(loss_dfl)}
+
+
+class ClassificationLoss:
+    """Plain softmax cross-entropy (reference loss.py:709-717)."""
+
+    def __call__(self, logits, batch):
+        labels = batch["cls"].astype(jnp.int32).reshape(-1)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+        return nll, {"cls": jax.lax.stop_gradient(nll)}

@@ -90,3 +90,61 @@ def task_aligned_assign(
     target_scores = target_scores * norm[..., None]
 
     return target_labels, target_bboxes, target_scores, fg_mask, target_gt_idx
+
+
+@partial(jax.jit, static_argnames=("topk", "num_classes", "alpha", "beta", "eps"))
+def rotated_task_aligned_assign(
+    pd_scores, pd_rboxes, anc_points, gt_labels, gt_rboxes, mask_gt,
+    topk: int = 10, num_classes: int = 80, alpha: float = 0.5, beta: float = 6.0, eps: float = 1e-9,
+):
+    """Rotated variant (reference tal.py:298-330): probiou overlap + anchor
+    center inside the rotated gt rect. Boxes are xywhr (radians).
+    Returns the same 5-tuple as task_aligned_assign."""
+    from edgeyolo_tpu.ops.boxes import probiou
+
+    B, A, nc = pd_scores.shape
+    M = gt_rboxes.shape[1]
+    mask_gt_f = mask_gt.astype(jnp.float32)[..., None]
+
+    # --- anchor center in rotated rect -------------------------------------
+    cx, cy = gt_rboxes[..., 0:1], gt_rboxes[..., 1:2]  # (B,M,1)
+    w, h, r = gt_rboxes[..., 2:3], gt_rboxes[..., 3:4], gt_rboxes[..., 4:5]
+    dx = anc_points[None, None, :, 0] - cx  # (B,M,A)
+    dy = anc_points[None, None, :, 1] - cy
+    cos, sin = jnp.cos(r), jnp.sin(r)
+    lx = dx * cos + dy * sin  # rotate into box frame
+    ly = -dx * sin + dy * cos
+    mask_in = ((jnp.abs(lx) < w / 2) & (jnp.abs(ly) < h / 2)).astype(jnp.float32)
+    gate = mask_in * mask_gt_f
+
+    labels = jnp.clip(gt_labels, 0, nc - 1).astype(jnp.int32)
+    bbox_scores = jnp.take_along_axis(pd_scores.transpose(0, 2, 1), labels[:, :, None], axis=1) * gate
+    overlaps = jnp.clip(
+        probiou(gt_rboxes[:, :, None, :], pd_rboxes[:, None, :, :])[..., 0], 0.0, None
+    ) * gate
+    align = jnp.power(bbox_scores, alpha) * jnp.power(overlaps, beta)
+
+    k = min(topk, A)
+    _, topk_idx = jax.lax.top_k(align, k)
+    onehot = jax.nn.one_hot(topk_idx, A, dtype=jnp.float32)
+    mask_topk = jnp.sum(onehot * mask_gt_f[..., None], axis=2)
+    mask_topk = jnp.where(mask_topk > 1, 0.0, mask_topk)
+    mask_pos = mask_topk * mask_in * mask_gt_f
+
+    fg_counts = jnp.sum(mask_pos, axis=1)
+    multi = fg_counts[:, None, :] > 1.0
+    is_max = jax.nn.one_hot(jnp.argmax(overlaps, axis=1), M, dtype=jnp.float32).transpose(0, 2, 1)
+    mask_pos = jnp.where(multi, is_max, mask_pos)
+    fg_mask = jnp.sum(mask_pos, axis=1) > 0
+    target_gt_idx = jnp.argmax(mask_pos, axis=1)
+
+    target_labels = jnp.take_along_axis(labels, target_gt_idx, axis=1)
+    target_rboxes = jnp.take_along_axis(gt_rboxes, target_gt_idx[..., None], axis=1)
+    target_scores = jax.nn.one_hot(target_labels, nc, dtype=jnp.float32) * fg_mask[..., None]
+
+    align_pos = align * mask_pos
+    pos_align = jnp.max(align_pos, axis=-1, keepdims=True)
+    pos_overlap = jnp.max(overlaps * mask_pos, axis=-1, keepdims=True)
+    norm = jnp.max(align_pos * pos_overlap / (pos_align + eps), axis=1)
+    target_scores = target_scores * norm[..., None]
+    return target_labels, target_rboxes, target_scores, fg_mask, target_gt_idx

@@ -125,9 +125,12 @@ class DetectionTrainer:
         self.save_dir.mkdir(parents=True, exist_ok=True)
         yaml_save(self.save_dir / "args.yaml", vars(args))
 
+        task = getattr(self.model, "task", "detect")
+        kpt_shape = tuple(self.model.yaml.get("kpt_shape", (17, 3)))
         train_set = YOLODataset(
             data_cfg["train"], imgsz=imgsz, augment=True,
             single_cls=bool(args.single_cls), fraction=float(args.fraction), names=names,
+            task=task, kpt_shape=kpt_shape, mask_ratio=int(args.mask_ratio),
         )
         loader = build_dataloader(train_set, bs, shuffle=True, seed=int(args.seed), drop_last=False)
         nb = len(loader)
@@ -141,7 +144,9 @@ class DetectionTrainer:
             else auto_optimizer(nc, float(args.lr0), float(args.momentum), iterations)
         )
         lrf = float(args.lrf)
-        warmup_steps = max(round(float(args.warmup_epochs) * nb), 100) if epochs > 1 else 0
+        we = float(args.warmup_epochs)
+        # reference floors warmup at 100 iters (trainer.py:344); warmup_epochs=0 disables
+        warmup_steps = 0 if (we <= 0 or epochs <= 1) else max(round(we * nb), 100)
 
         def lr_at(step):
             # per-update schedule: warmup then linear/cos per-epoch decay
@@ -169,8 +174,12 @@ class DetectionTrainer:
             f"decay={decay:.5g} accumulate={accumulate} warmup_steps={warmup_steps}"
         )
 
-        criterion = DetectionLoss(self.model, hyp=args)
+        criterion = self._build_criterion(task, args, kpt_shape)
         has_quality = "GF" in self.model.head_name or "E2E" in self.model.head_name
+        head_is_dict_loss = task in ("segment", "pose", "obb")
+        # geometric augmentation does not yet transform masks/kpts/rboxes:
+        # those tasks train with photometric-only aug (flip handled off)
+        geo_aug_ok = task == "detect"
         hyp_dict = {k: v for k, v in vars(args).items() if isinstance(v, (int, float))}
         use_bf16 = bool(args.amp)
         # data-parallel mesh over the largest device count that divides the batch
@@ -183,23 +192,37 @@ class DetectionTrainer:
         self.mesh = get_mesh(n_dev)
 
         @partial(jax.jit, static_argnames=("mosaic",), donate_argnums=(0,))
-        def train_step(state, images, cls, bboxes, mask, key, mosaic):
+        def train_step(state, batch_dev, key, mosaic):
             params, batch_stats, opt_state, ema, step = state
-            img01, acls, aboxes, amask = augment_batch(
-                images, cls, bboxes, mask, key, imgsz, hyp_dict, mosaic=mosaic
+            images, cls, bboxes, mask = (
+                batch_dev["img"], batch_dev["cls"], batch_dev["bboxes"], batch_dev["mask_gt"]
             )
+            if geo_aug_ok:
+                img01, acls, aboxes, amask = augment_batch(
+                    images, cls, bboxes, mask, key, imgsz, hyp_dict, mosaic=mosaic
+                )
+                tgt = {"cls": acls, "bboxes": aboxes, "mask_gt": amask}
+            else:
+                img01 = images.astype(jnp.float32) / 255.0
+                tgt = {"cls": cls, "bboxes": batch_dev.get("rboxes", bboxes), "mask_gt": mask}
+                for extra in ("masks", "keypoints"):
+                    if extra in batch_dev:
+                        tgt[extra] = batch_dev[extra]
             x = img01.astype(jnp.bfloat16) if use_bf16 else img01
-            tgt = {"cls": acls, "bboxes": aboxes, "mask_gt": amask}
 
             def loss_fn(p):
                 out, mut = self.model.net.apply(
                     {"params": p, "batch_stats": batch_stats}, x, train=True,
                     mutable=["batch_stats"],
                 )
-                q = out.get("quality") if has_quality else None
-                feats = [f.astype(jnp.float32) for f in out["feats"]]
-                qq = [qi.astype(jnp.float32) for qi in q] if q is not None else None
-                loss, items = criterion(feats, tgt, qq)
+                out = {k: ([f.astype(jnp.float32) for f in v] if isinstance(v, list)
+                           else v.astype(jnp.float32) if hasattr(v, "astype") else v)
+                       for k, v in out.items()}
+                if head_is_dict_loss:
+                    loss, items = criterion(out, tgt)
+                else:
+                    q = out.get("quality") if has_quality else None
+                    loss, items = criterion(out["feats"], tgt, q)
                 return loss, (items, mut["batch_stats"])
 
             (loss, (items, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -229,18 +252,9 @@ class DetectionTrainer:
             losses = []
             for bi, batch in enumerate(loader):
                 key, sub = jax.random.split(key)
-                sb = shard_batch(
-                    {
-                        "img": batch["img"],
-                        "cls": batch["cls"],
-                        "bboxes": batch["bboxes"],
-                        "mask_gt": batch["mask_gt"],
-                    },
-                    self.mesh,
-                )
-                state, loss, items = train_step(
-                    state, sb["img"], sb["cls"], sb["bboxes"], sb["mask_gt"], sub, mosaic_on
-                )
+                keep = {k: v for k, v in batch.items() if k not in ("meta", "n_real")}
+                sb = shard_batch(keep, self.mesh)
+                state, loss, items = train_step(state, sb, sub, mosaic_on)
                 losses.append([float(items["box"]), float(items["cls"]), float(items["dfl"])])
             mloss = np.mean(losses, axis=0) if losses else np.zeros(3)
 
@@ -297,6 +311,25 @@ class DetectionTrainer:
         return self.best_fitness
 
     # -- helpers ---------------------------------------------------------------
+    def _build_criterion(self, task: str, args, kpt_shape):
+        from edgeyolo_tpu.train.loss import (
+            E2EDetectLoss,
+            OBBLoss,
+            PoseLoss,
+            SegmentationLoss,
+        )
+
+        if task == "segment":
+            return SegmentationLoss(self.model, hyp=args)
+        if task == "pose":
+            return PoseLoss(self.model, hyp=args, kpt_shape=kpt_shape,
+                            pose_gain=float(args.pose), kobj_gain=float(args.kobj))
+        if task == "obb":
+            return OBBLoss(self.model, hyp=args)
+        if "E2E" in self.model.head_name:
+            return E2EDetectLoss(self.model, hyp=args)
+        return DetectionLoss(self.model, hyp=args)
+
     def _validate(self, state, data_cfg) -> dict:
         from edgeyolo_tpu.cfg import get_cfg
         from edgeyolo_tpu.engine.validator import DetectionValidator
