@@ -304,7 +304,8 @@ class Proto(nn.Module):
         from edgeyolo_tpu.nn.modules.conv import ConvTranspose
 
         x = ConvBN(self.c_, 3, name="cv1")(x, train)
-        x = ConvTranspose(self.c_, 2, 2, 0, bn=True, act=True, name="upsample")(x, train)
+        # reference Proto upsample is a raw ConvTranspose2d(bias=True), no BN/act
+        x = ConvTranspose(self.c_, 2, 2, 0, bn=False, act=False, name="upsample")(x, train)
         x = ConvBN(self.c_, 3, name="cv2")(x, train)
         return ConvBN(self.c2, 1, name="cv3")(x, train)
 

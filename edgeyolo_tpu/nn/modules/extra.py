@@ -1,0 +1,748 @@
+"""Extended model-family blocks: v12 area attention, v13 hypergraph (HyperACE),
+v10 (CIB/RepVGGDW), v9 (ELAN/ADown/SPPELAN/Rep), misc (DySample, WTConv2d).
+
+Behavioral spec (reference ultralytics/nn/modules/block.py):
+- AAttn:1272 / ABlock:1361 / A2C2f:1411   area-attention R-ELAN stack
+- AdaHyperedgeGen:1641 / AdaHGConv:1718 / AdaHGComputation:1769 / C3AH:1813 /
+  FuseModule:1856 / HyperACE:1896          YOLOv13 hypergraph correlation
+- DownsampleConv:1950 / FullPAD_Tunnel:1983 gated aggregation-distribution
+- CIB:941 / C2fCIB:982 / RepVGGDW:879      v10 conditional identity blocks
+- RepNCSPELAN4:715 / ELAN1 / AConv / ADown / SPPELAN / CBLinear / CBFuse (v9)
+- RepConv (conv.py:196), GhostBottleneck:1399(block), DySample (dysample.py:20)
+- WTConv2d (conv.py:408): multi-level wavelet-domain depthwise conv
+
+NHWC / flax; attention einsums target the MXU, fixed-shape everywhere.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from edgeyolo_tpu.nn.modules.block import C3, C3k, SPP, Bottleneck, max_pool_same
+from edgeyolo_tpu.nn.modules.conv import KERNEL_INIT, ConvBN, DSConv, DWConv, GhostConv
+from edgeyolo_tpu.nn.modules.edgeline import DSC3k, DSBottleneck, DWT2D, _bilinear_resize
+
+
+def avg_pool_2x(x):
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+# ---------------------------------------------------------------------------
+# v12: area attention (R-ELAN)
+# ---------------------------------------------------------------------------
+class AAttn(nn.Module):
+    """Area attention: full attention computed within `area` horizontal bands.
+
+    Equivalent to splitting the N=H*W tokens into `area` chunks and attending
+    within each chunk; positional encoding via a 5x5 depthwise conv on v.
+    """
+
+    dim: int
+    num_heads: int
+    area: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        n = h * w
+        hd = self.dim // self.num_heads
+        qk = ConvBN(self.dim * 2, 1, act=False, name="qk")(x, train)
+        v = ConvBN(self.dim, 1, act=False, name="v")(x, train)
+        pp = ConvBN(self.dim, 5, 1, 2, g=self.dim, act=False, name="pe")(v, train)
+
+        a = self.area if (self.area > 1 and n % self.area == 0) else 1
+        qk_t = qk.reshape(b * a, n // a, 2, self.num_heads, hd)
+        q, k = qk_t[:, :, 0], qk_t[:, :, 1]  # (b*a, n/a, heads, hd)
+        v_t = v.reshape(b * a, n // a, self.num_heads, hd)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (hd**-0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v_t)
+        out = out.reshape(b, h, w, c)
+        return ConvBN(self.dim, 1, act=False, name="proj")(out + pp, train)
+
+
+class ABlock(nn.Module):
+    """x = x + AAttn(x); x = x + MLP(x) (conv MLP, ratio 1.2 default)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 1.2
+    area: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x + AAttn(self.dim, self.num_heads, self.area, name="attn")(x, train)
+        hidden = int(self.dim * self.mlp_ratio)
+        y = ConvBN(hidden, 1, name="mlp_0")(x, train)
+        y = ConvBN(self.dim, 1, act=False, name="mlp_1")(y, train)
+        return x + y
+
+
+class A2C2f(nn.Module):
+    """R-ELAN: cv1 -> n stages of (2x ABlock | C3k) appended -> cv2, with an
+    optional layer-scaled residual (gamma init 0.01)."""
+
+    c2: int
+    n: int = 1
+    a2: bool = True
+    area: int = 1
+    residual: bool = False
+    mlp_ratio: float = 2.0
+    e: float = 0.5
+    g: int = 1
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        num_heads = max(1, c_ // 32)
+        y = [ConvBN(c_, 1, name="cv1")(x, train)]
+        for i in range(self.n):
+            if self.a2:
+                z = ABlock(c_, num_heads, self.mlp_ratio, self.area, name=f"m_{i}_0")(y[-1], train)
+                z = ABlock(c_, num_heads, self.mlp_ratio, self.area, name=f"m_{i}_1")(z, train)
+            else:
+                z = C3k(c_, 2, self.shortcut, self.g, name=f"m_{i}")(y[-1], train)
+            y.append(z)
+        out = ConvBN(self.c2, 1, name="cv2")(jnp.concatenate(y, axis=-1), train)
+        if self.a2 and self.residual:
+            gamma = self.param("gamma", lambda k: jnp.full((self.c2,), 0.01, jnp.float32))
+            return x + gamma * out
+        return out
+
+
+# ---------------------------------------------------------------------------
+# v13: adaptive hypergraph correlation
+# ---------------------------------------------------------------------------
+class AdaHyperedgeGen(nn.Module):
+    """Participation matrix A (B, N, E): multi-head similarity between nodes
+    and context-conditioned hyperedge prototypes, softmax over nodes."""
+
+    node_dim: int
+    num_hyperedges: int
+    num_heads: int = 4
+    dropout: float = 0.1
+    context: str = "both"
+
+    @nn.compact
+    def __call__(self, X, train: bool = False):
+        B, N, D = X.shape
+        E, H = self.num_hyperedges, self.num_heads
+        hd = D // H
+        proto_base = self.param("prototype_base", nn.initializers.xavier_uniform(), (E, D))
+        if self.context == "mean":
+            ctx = jnp.mean(X, axis=1)
+        elif self.context == "max":
+            ctx = jnp.max(X, axis=1)
+        else:
+            ctx = jnp.concatenate([jnp.mean(X, axis=1), jnp.max(X, axis=1)], axis=-1)
+        offsets = nn.Dense(E * D, kernel_init=KERNEL_INIT, name="context_net")(ctx).reshape(B, E, D)
+        protos = proto_base[None] + offsets
+        Xp = nn.Dense(D, kernel_init=KERNEL_INIT, name="pre_head_proj")(X)
+        Xh = Xp.reshape(B, N, H, hd)
+        Ph = protos.reshape(B, E, H, hd)
+        logits = jnp.einsum("bnhd,behd->bne", Xh, Ph) / (math.sqrt(hd) * H) * H  # mean over heads
+        logits = jnp.einsum("bnhd,behd->bhne", Xh, Ph) / math.sqrt(hd)
+        logits = jnp.mean(logits, axis=1)  # (B,N,E)
+        if train and self.dropout > 0:
+            logits = nn.Dropout(self.dropout, deterministic=True)(logits)  # inference-style (no rng plumbed)
+        return jax.nn.softmax(logits, axis=1)  # softmax over NODES
+
+
+class AdaHGConv(nn.Module):
+    """Two-stage hypergraph message passing with residual."""
+
+    embed_dim: int
+    num_hyperedges: int = 16
+    num_heads: int = 4
+    dropout: float = 0.1
+    context: str = "both"
+
+    @nn.compact
+    def __call__(self, X, train: bool = False):
+        A = AdaHyperedgeGen(self.embed_dim, self.num_hyperedges, self.num_heads,
+                            self.dropout, self.context, name="edge_generator")(X, train)
+        He = jnp.einsum("bne,bnd->bed", A, X)
+        He = jax.nn.gelu(nn.Dense(self.embed_dim, kernel_init=KERNEL_INIT, name="edge_proj")(He))
+        Xn = jnp.einsum("bne,bed->bnd", A, He)
+        Xn = jax.nn.gelu(nn.Dense(self.embed_dim, kernel_init=KERNEL_INIT, name="node_proj")(Xn))
+        return Xn + X
+
+
+class AdaHGComputation(nn.Module):
+    """4D wrapper: NHWC -> tokens -> AdaHGConv -> NHWC."""
+
+    embed_dim: int
+    num_hyperedges: int = 16
+    num_heads: int = 8
+    dropout: float = 0.1
+    context: str = "both"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        tokens = AdaHGConv(self.embed_dim, self.num_hyperedges, self.num_heads,
+                           self.dropout, self.context, name="hgnn")(tokens, train)
+        return tokens.reshape(b, h, w, c)
+
+
+class C3AH(nn.Module):
+    """CSP split around AdaHGComputation."""
+
+    c2: int
+    e: float = 1.0
+    num_hyperedges: int = 8
+    context: str = "both"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        num_heads = max(1, c_ // 16)
+        a = ConvBN(c_, 1, name="cv1")(x, train)
+        b = ConvBN(c_, 1, name="cv2")(x, train)
+        a = AdaHGComputation(c_, self.num_hyperedges, num_heads, 0.1, self.context, name="m")(a, train)
+        return ConvBN(self.c2, 1, name="cv3")(jnp.concatenate([a, b], axis=-1), train)
+
+
+class FuseModule(nn.Module):
+    """Align 3 scales to the middle resolution (avgpool / nearest-up) + 1x1 fuse."""
+
+    c_in: int
+    channel_adjust: bool = False
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        x1 = avg_pool_2x(xs[0])
+        x3 = jnp.repeat(jnp.repeat(xs[2], 2, axis=1), 2, axis=2)
+        cat = jnp.concatenate([x1, xs[1], x3], axis=-1)
+        return ConvBN(self.c_in, 1, name="conv_out")(cat, train)
+
+
+class HyperACE(nn.Module):
+    """YOLOv13 hypergraph correlation enhancement over 3 fused scales."""
+
+    c2: int
+    n: int = 1
+    num_hyperedges: int = 8
+    dsc3k: bool = True
+    shortcut: bool = False
+    e1: float = 0.5
+    e2: float = 1.0
+    context: str = "both"
+    channel_adjust: bool = True
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        c1 = xs[1].shape[-1]
+        c = int(self.c2 * self.e1)
+        x = FuseModule(c1, self.channel_adjust, name="fuse")(xs, train)
+        y = ConvBN(3 * c, 1, name="cv1")(x, train)
+        y = list(jnp.split(y, 3, axis=-1))
+        out1 = C3AH(c, self.e2, self.num_hyperedges, self.context, name="branch1")(y[1], train)
+        out2 = C3AH(c, self.e2, self.num_hyperedges, self.context, name="branch2")(y[1], train)
+        for i in range(self.n):
+            blk = (DSC3k(c, 2, self.shortcut, 1, 0.5, 3, 7, name=f"m_{i}") if self.dsc3k
+                   else DSBottleneck(c, self.shortcut, name=f"m_{i}"))
+            y.append(blk(y[-1], train))
+        y[1] = out1
+        y.append(out2)
+        return ConvBN(self.c2, 1, name="cv2")(jnp.concatenate(y, axis=-1), train)
+
+
+class DownsampleConv(nn.Module):
+    """2x avg-pool downsample + optional 1x1 channel doubling."""
+
+    c1: int
+    channel_adjust: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = avg_pool_2x(x)
+        if self.channel_adjust:
+            x = ConvBN(self.c1 * 2, 1, name="channel_adjust")(x, train)
+        return x
+
+
+class FullPAD_Tunnel(nn.Module):
+    """Gated fusion: out = x[0] + gate * x[1], gate init 0."""
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        gate = self.param("gate", nn.initializers.zeros, ())
+        return xs[0] + gate * xs[1]
+
+
+# ---------------------------------------------------------------------------
+# v10 family
+# ---------------------------------------------------------------------------
+class RepVGGDW(nn.Module):
+    """Parallel 7x7 + 3x3 depthwise convs, summed, SiLU (re-param at export)."""
+
+    ed: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        a = ConvBN(self.ed, 7, 1, 3, g=self.ed, act=False, name="conv")(x, train)
+        b = ConvBN(self.ed, 3, 1, 1, g=self.ed, act=False, name="conv1")(x, train)
+        return jax.nn.silu(a + b)
+
+
+class CIB(nn.Module):
+    """Conditional identity block: dw3 -> pw -> (RepVGGDW|dw3) -> pw -> dw3."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 0.5
+    lk: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = ConvBN(c1, 3, g=c1, name="cv1_0")(x, train)
+        y = ConvBN(2 * c_, 1, name="cv1_1")(y, train)
+        if self.lk:
+            y = RepVGGDW(2 * c_, name="cv1_2")(y, train)
+        else:
+            y = ConvBN(2 * c_, 3, g=2 * c_, name="cv1_2")(y, train)
+        y = ConvBN(self.c2, 1, name="cv1_3")(y, train)
+        y = ConvBN(self.c2, 3, g=self.c2, name="cv1_4")(y, train)
+        return x + y if (self.shortcut and c1 == self.c2) else y
+
+
+class C2fCIB(nn.Module):
+    """C2f with CIB inner blocks."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    lk: bool = False
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, name="cv1")(x, train)
+        a, b = jnp.split(y, 2, axis=-1)
+        ys = [a, b]
+        for i in range(self.n):
+            ys.append(CIB(c, self.shortcut, 1.0, self.lk, name=f"m_{i}")(ys[-1], train))
+        return ConvBN(self.c2, 1, name="cv2")(jnp.concatenate(ys, axis=-1), train)
+
+
+# ---------------------------------------------------------------------------
+# v9 family
+# ---------------------------------------------------------------------------
+class RepConv(nn.Module):
+    """Training-time 3x3 + 1x1 parallel convs (+identity BN when c1==c2 and
+    bn=True), summed then activated; re-parameterizable at export."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    act: bool | str = True
+    bn: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from edgeyolo_tpu.nn.modules.conv import _apply_act
+
+        a = ConvBN(self.c2, self.k, self.s, None, self.g, act=False, name="conv1")(x, train)
+        b = ConvBN(self.c2, 1, self.s, None, self.g, act=False, name="conv2")(x, train)
+        out = a + b
+        if self.bn and x.shape[-1] == self.c2 and self.s == 1:
+            idn = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                               epsilon=1e-3, dtype=jnp.float32, name="bn")(x)
+            out = out + idn
+        return _apply_act(out, self.act)
+
+
+class RepNCSP(C3):
+    """C3 with RepConv-style bottlenecks (RepNBottleneck, e=1.0 inside)."""
+
+    def make_block(self, c_: int, i: int):
+        return RepNBottleneck(c_, self.shortcut, self.g, 1.0, name=f"m_{i}")
+
+
+class RepNBottleneck(nn.Module):
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = RepConv(c_, 3, 1, name="cv1")(x, train)
+        y = ConvBN(self.c2, 3, 1, g=self.g, name="cv2")(y, train)
+        return x + y if (self.shortcut and c1 == self.c2) else y
+
+
+class RepNCSPELAN4(nn.Module):
+    """v9 GELAN block: split, two RepNCSP+conv chains appended, fuse."""
+
+    c2: int
+    c3: int = 0
+    c4: int = 0
+    n: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c3, c4 = self.c3, self.c4
+        c = c3 // 2
+        y = list(jnp.split(ConvBN(c3, 1, name="cv1")(x, train), 2, axis=-1))
+        z = RepNCSP(c4, self.n, name="cv2_0")(y[-1], train)
+        y.append(ConvBN(c4, 3, 1, name="cv2_1")(z, train))
+        z = RepNCSP(c4, self.n, name="cv3_0")(y[-1], train)
+        y.append(ConvBN(c4, 3, 1, name="cv3_1")(z, train))
+        return ConvBN(self.c2, 1, name="cv4")(jnp.concatenate(y, axis=-1), train)
+
+
+class ELAN1(nn.Module):
+    """Light ELAN: split + two 3x3 convs appended."""
+
+    c2: int
+    c3: int = 0
+    c4: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = list(jnp.split(ConvBN(self.c3, 1, name="cv1")(x, train), 2, axis=-1))
+        y.append(ConvBN(self.c4, 3, 1, name="cv2")(y[-1], train))
+        y.append(ConvBN(self.c4, 3, 1, name="cv3")(y[-1], train))
+        return ConvBN(self.c2, 1, name="cv4")(jnp.concatenate(y, axis=-1), train)
+
+
+class AConv(nn.Module):
+    """avgpool2 (stride1 k2) + conv3 s2 downsample."""
+
+    c2: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.avg_pool(x, (2, 2), strides=(1, 1), padding=[(0, 1), (0, 1)])
+        return ConvBN(self.c2, 3, 2, 1, name="cv1")(x, train)
+
+
+class ADown(nn.Module):
+    """Dual-path downsample: conv on avgpooled half + maxpool+1x1 on other."""
+
+    c2: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.c2 // 2
+        x = nn.avg_pool(x, (2, 2), strides=(1, 1), padding=[(0, 1), (0, 1)])
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x1 = ConvBN(c, 3, 2, 1, name="cv1")(x1, train)
+        x2 = nn.max_pool(x2, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x2 = ConvBN(c, 1, 1, 0, name="cv2")(x2, train)
+        return jnp.concatenate([x1, x2], axis=-1)
+
+
+class SPPELAN(nn.Module):
+    """SPP-ELAN: 1x1 + three chained maxpools, all appended, fused."""
+
+    c2: int
+    c3: int = 0
+    k: int = 5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = [ConvBN(self.c3, 1, name="cv1")(x, train)]
+        for _ in range(3):
+            y.append(max_pool_same(y[-1], self.k))
+        return ConvBN(self.c2, 1, name="cv5")(jnp.concatenate(y, axis=-1), train)
+
+
+class CBLinear(nn.Module):
+    """1x1 conv emitting a tuple of per-branch channel groups."""
+
+    c2s: Sequence[int]
+    k: int = 1
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = nn.Conv(sum(self.c2s), (self.k, self.k), strides=(self.s, self.s),
+                      padding="SAME", use_bias=True, kernel_init=KERNEL_INIT,
+                      dtype=x.dtype, name="conv")(x)
+        sizes = list(self.c2s)[:-1]
+        idx = []
+        acc = 0
+        for s_ in sizes:
+            acc += s_
+            idx.append(acc)
+        return tuple(jnp.split(out, idx, axis=-1))
+
+
+class CBFuse(nn.Module):
+    """Sum selected per-branch maps, nearest-resized to the last input's size."""
+
+    idx: Sequence[int]
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        target = xs[-1]
+        th, tw = target.shape[1:3]
+        acc = target
+        for i, x in enumerate(xs[:-1]):
+            sel = x[self.idx[i]] if isinstance(x, (tuple, list)) else x
+            b, h, w, c = sel.shape
+            if (h, w) != (th, tw):
+                sel = jax.image.resize(sel, (b, th, tw, c), method="nearest")
+            acc = acc + sel
+        return acc
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost conv sandwich with DW stride option."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, name="conv_0")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, self.k, self.s, act=False, name="conv_1")(y, train)
+        y = GhostConv(self.c2, 1, 1, act=False, name="conv_2")(y, train)
+        if self.s == 2:
+            sc = DWConv(x.shape[-1], self.k, self.s, act=False, name="short_dw")(x, train)
+            sc = ConvBN(self.c2, 1, 1, act=False, name="short_pw")(sc, train)
+        else:
+            sc = x if x.shape[-1] == self.c2 else ConvBN(self.c2, 1, act=False, name="short_pw")(x, train)
+        return y + sc
+
+
+class C3Ghost(C3):
+    def make_block(self, c_: int, i: int):
+        return GhostBottleneck(c_, name=f"m_{i}")
+
+
+class BottleneckCSP(nn.Module):
+    """Classic CSP bottleneck (v5-era)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBN(c_, 1, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0, name=f"m_{i}")(y1, train)
+        y1 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=KERNEL_INIT, dtype=x.dtype, name="cv3")(y1)
+        y2 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=KERNEL_INIT, dtype=x.dtype, name="cv2")(x)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=jnp.float32, name="bn")(y)
+        y = jax.nn.silu(y)
+        return ConvBN(self.c2, 1, name="cv4")(y, train)
+
+
+class HGStem(nn.Module):
+    """PPHGNet stem: stacked convs with a parallel maxpool concat."""
+
+    cm: int
+    c2: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(self.cm, 3, 2, act="relu", name="stem1")(x, train)
+        x2 = ConvBN(self.cm // 2, 2, 1, 0, act="relu", name="stem2a")(
+            jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0))), train)
+        x2 = ConvBN(self.cm, 2, 1, 0, act="relu", name="stem2b")(
+            jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0))), train)
+        x1 = nn.max_pool(x, (2, 2), strides=(1, 1), padding=[(0, 1), (0, 1)])
+        x = jnp.concatenate([x1, x2], axis=-1)
+        x = ConvBN(self.cm, 3, 2, act="relu", name="stem3")(x, train)
+        return ConvBN(self.c2, 1, act="relu", name="stem4")(x, train)
+
+
+class HGBlock(nn.Module):
+    """PPHGNet block: n LightConvs appended, squeeze+excite-style 1x1 fuse."""
+
+    cm: int
+    c2: int
+    k: int = 3
+    n: int = 6
+    lightconv: bool = False
+    shortcut: bool = False
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from edgeyolo_tpu.nn.modules.conv import LightConv
+
+        y = [x]
+        for i in range(self.n):
+            if self.lightconv:
+                y.append(LightConv(self.cm, self.k, name=f"m_{i}")(y[-1], train))
+            else:
+                y.append(ConvBN(self.cm, self.k, act=self.act, name=f"m_{i}")(y[-1], train))
+        z = jnp.concatenate(y, axis=-1)
+        z = ConvBN(self.c2 // 2, 1, act=self.act, name="sc")(z, train)
+        z = ConvBN(self.c2, 1, act=self.act, name="ec")(z, train)
+        return z + x if (self.shortcut and x.shape[-1] == self.c2) else z
+
+
+class ResNetBlock(nn.Module):
+    c2: int
+    s: int = 1
+    e: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c3 = self.e * self.c2
+        y = ConvBN(self.c2, 1, 1, name="cv1")(x, train)
+        y = ConvBN(self.c2, 3, self.s, 1, name="cv2")(y, train)
+        y = ConvBN(c3, 1, act=False, name="cv3")(y, train)
+        if self.s != 1 or x.shape[-1] != c3:
+            sc = ConvBN(c3, 1, self.s, act=False, name="shortcut")(x, train)
+        else:
+            sc = x
+        return jax.nn.relu(y + sc)
+
+
+class ResNetLayer(nn.Module):
+    """ResNet stage: stem (first) or n ResNetBlocks."""
+
+    c2: int
+    s: int = 1
+    is_first: bool = False
+    n: int = 1
+    e: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.is_first:
+            x = ConvBN(self.c2, 7, 2, 3, act="relu", name="stem")(x, train)
+            return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = ResNetBlock(self.c2, self.s, self.e, name="block_0")(x, train)
+        for i in range(1, self.n):
+            x = ResNetBlock(self.c2, 1, self.e, name=f"block_{i}")(x, train)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Misc custom layers
+# ---------------------------------------------------------------------------
+class DySample(nn.Module):
+    """Dynamic upsampler: learned sub-pixel offsets + bilinear gather
+    (reference dysample.py:20-93; grid_sample becomes an explicit gather)."""
+
+    c1: int
+    scale: int = 2
+    style: str = "lp"
+    groups: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        s = self.scale
+        g = self.groups
+        # offsets in pixel units, 0.25-scaled, init ~0 (bias towards identity)
+        off = nn.Conv(2 * g * s * s, (1, 1), use_bias=True,
+                      kernel_init=nn.initializers.zeros, dtype=x.dtype, name="offset")(x)
+        off = off.reshape(b, h, w, g, s * s, 2) * 0.25
+        # base grid: output pixel (i,j) samples input at ((i+0.5)/s - 0.5, ...)
+        oy = (jnp.arange(h * s) + 0.5) / s - 0.5
+        ox = (jnp.arange(w * s) + 0.5) / s - 0.5
+        gy, gx = jnp.meshgrid(oy, ox, indexing="ij")  # (H', W')
+        # per-output-pixel offset: index into off by (i//? ...) pattern
+        off_full = off.transpose(0, 1, 2, 4, 3, 5).reshape(b, h, w, s, s, g, 2)
+        off_full = off_full.transpose(0, 1, 3, 2, 4, 5, 6).reshape(b, h * s, w * s, g, 2)
+        sy = gy[None, :, :, None] + off_full[..., 1]
+        sx = gx[None, :, :, None] + off_full[..., 0]
+        # bilinear gather per group
+        cg = c // g
+        xg = x.reshape(b, h, w, g, cg)
+        y0 = jnp.floor(sy).astype(jnp.int32)
+        x0 = jnp.floor(sx).astype(jnp.int32)
+        fy = (sy - y0)[..., None]
+        fx = (sx - x0)[..., None]
+
+        def tap(yi, xi):
+            yi = jnp.clip(yi, 0, h - 1)
+            xi = jnp.clip(xi, 0, w - 1)
+            bidx = jnp.arange(b)[:, None, None, None]
+            gidx = jnp.arange(g)[None, None, None, :]
+            return xg[bidx, yi, xi, gidx]  # (b, H', W', g, cg)
+
+        out = (tap(y0, x0) * (1 - fy) * (1 - fx) + tap(y0, x0 + 1) * (1 - fy) * fx
+               + tap(y0 + 1, x0) * fy * (1 - fx) + tap(y0 + 1, x0 + 1) * fy * fx)
+        return out.reshape(b, h * s, w * s, c)
+
+
+class WTConv2d(nn.Module):
+    """Wavelet-domain depthwise conv: J-level DWT, per-level depthwise 5x5 on
+    the stacked sub-bands, inverse DWT accumulation + base scaled conv
+    (reference conv.py:408-465+)."""
+
+    c2: int
+    k: int = 5
+    levels: int = 1
+    wave: str = "db1"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from edgeyolo_tpu.ops.wavelets import idwt2d_kernel
+
+        c = x.shape[-1]
+        base = nn.Conv(c, (self.k, self.k), padding="SAME", feature_group_count=c,
+                       use_bias=True, kernel_init=KERNEL_INIT, dtype=x.dtype, name="base")(x)
+        scale = self.param("base_scale", nn.initializers.ones, (c,))
+        out = base * scale
+        cur = x
+        recon = []
+        for lv in range(self.levels):
+            ll, lh, hl, hh = DWT2D(self.wave, name=f"dwt_{lv}")(cur, train)
+            sub = jnp.concatenate([ll, lh, hl, hh], axis=-1)
+            sub = nn.Conv(4 * c, (self.k, self.k), padding="SAME", feature_group_count=4 * c,
+                          use_bias=True, kernel_init=KERNEL_INIT, dtype=x.dtype,
+                          name=f"wconv_{lv}")(sub)
+            lvl_scale = self.param(f"wt_scale_{lv}", nn.initializers.ones, (4 * c,))
+            sub = sub * lvl_scale
+            recon.append(sub)
+            cur = ll
+        # inverse: accumulate levels coarsest->finest
+        kern = jnp.asarray(idwt2d_kernel(self.wave), x.dtype)  # (k,k,4)
+        up = None
+        for lv in reversed(range(self.levels)):
+            sub = recon[lv]
+            ll, lh, hl, hh = jnp.split(sub, 4, axis=-1)
+            if up is not None:
+                ll = ll + up
+            stack = jnp.stack([ll, lh, hl, hh], axis=-1)  # (b,h,w,c,4)
+            b_, hh_, ww_, c_, _ = stack.shape
+            # synthesis: transposed depthwise conv per sub-band, summed
+            parts = []
+            for si in range(4):
+                kk = jnp.tile(kern[:, :, si][:, :, None, None], (1, 1, 1, c_))
+                parts.append(jax.lax.conv_general_dilated(
+                    stack[..., si], kk, window_strides=(1, 1),
+                    padding=[(kern.shape[0] - 1, kern.shape[0] - 1)] * 2 if False else "SAME",
+                    lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=c_,
+                ))
+            up = sum(parts)
+        if up is not None:
+            # crop/pad to input size
+            up = up[:, : x.shape[1], : x.shape[2], :]
+            out = out + up
+        return out

@@ -346,3 +346,10 @@ class Pose(Detect):
             shapes = [(f.shape[1], f.shape[2]) for f in feats]
             out["pred"] = jnp.concatenate([self.decode(feats), self.kpts_decode(kpts, shapes)], axis=-1)
         return out
+
+
+class v10Detect(Detect):
+    """v10 NMS-free head: the lightweight DW cls tower IS the non-legacy
+    Detect tower (reference head.py:764-797), plus the one2one branch."""
+
+    end2end: bool = True

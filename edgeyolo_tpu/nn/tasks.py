@@ -39,6 +39,7 @@ _REG: dict[str, tuple[type, list[str]]] = {
     "GhostConv": (M.GhostConv, ["c2", "k", "s", "g", "act"]),
     "Focus": (M.Focus, ["c2", "k", "s", "p", "g", "act"]),
     "ConvTranspose": (M.ConvTranspose, ["c2", "k", "s", "p", "bn", "act"]),
+    "nn.ConvTranspose2d": (M.ConvTranspose, ["c2", "k", "s", "p"]),
     "Index": (M.Index, ["c2", "index"]),
     "Bottleneck": (M.Bottleneck, ["c2", "shortcut", "g", "k", "e"]),
     "C1": (M.C1, ["c2", "n"]),
@@ -64,6 +65,30 @@ _REG: dict[str, tuple[type, list[str]]] = {
     "SPPF_Wavelet": (M.SPPF_Wavelet, ["c2", "k"]),
     "MulGate": (M.MulGate, ["c2", "e"]),
     "RHJM": (M.RHJM, ["c2", "local_size", "local_weight"]),
+    # v12/v13/v10/v9 families
+    "A2C2f": (M.A2C2f, ["c2", "n", "a2", "area", "residual", "mlp_ratio", "e", "g", "shortcut"]),
+    "HyperACE": (M.HyperACE, ["c2", "n", "num_hyperedges", "dsc3k", "shortcut", "e1", "e2", "context", "channel_adjust"]),
+    "DownsampleConv": (M.DownsampleConv, ["c1", "channel_adjust"]),
+    "FullPAD_Tunnel": (M.FullPAD_Tunnel, []),
+    "CIB": (M.CIB, ["c2", "shortcut", "e", "lk"]),
+    "C2fCIB": (M.C2fCIB, ["c2", "n", "shortcut", "lk", "g", "e"]),
+    "RepVGGDW": (M.RepVGGDW, ["ed"]),
+    "RepConv": (M.RepConv, ["c2", "k", "s"]),
+    "RepNCSPELAN4": (M.RepNCSPELAN4, ["c2", "c3", "c4", "n"]),
+    "ELAN1": (M.ELAN1, ["c2", "c3", "c4"]),
+    "AConv": (M.AConv, ["c2"]),
+    "ADown": (M.ADown, ["c2"]),
+    "SPPELAN": (M.SPPELAN, ["c2", "c3", "k"]),
+    "CBLinear": (M.CBLinear, ["c2s", "k", "s"]),
+    "CBFuse": (M.CBFuse, ["idx"]),
+    "GhostBottleneck": (M.GhostBottleneck, ["c2", "k", "s"]),
+    "C3Ghost": (M.C3Ghost, ["c2", "n", "shortcut", "g", "e"]),
+    "BottleneckCSP": (M.BottleneckCSP, ["c2", "n", "shortcut", "g", "e"]),
+    "HGStem": (M.HGStem, ["cm", "c2"]),
+    "HGBlock": (M.HGBlock, ["cm", "c2", "k", "n", "lightconv", "shortcut", "act"]),
+    "ResNetLayer": (M.ResNetLayer, ["c2", "s", "is_first", "n", "e"]),
+    "DySample": (M.DySample, ["c1", "scale", "style", "groups"]),
+    "WTConv2d": (M.WTConv2d, ["c2", "k", "levels", "wave"]),
     # glue
     "Concat": (M.Concat, ["dim"]),
     "nn.Upsample": (M.Upsample, ["size", "scale_factor", "mode"]),
@@ -75,6 +100,7 @@ _REG: dict[str, tuple[type, list[str]]] = {
     "GFLHeadv2_uniH": (M.GFLHeadv2_uniH, ["nc"]),
     "GFLHeadv2_E2E": (M.GFLHeadv2_E2E, ["nc"]),
     "Segment": (M.Segment, ["nc", "nm", "npr"]),
+    "v10Detect": (M.v10Detect, ["nc"]),
     "OBB": (M.OBB, ["nc", "ne"]),
     "Pose": (M.Pose, ["nc", "kpt_shape"]),
     "Classify": (M.Classify, ["c2", "k", "s", "p", "g"]),
@@ -86,16 +112,20 @@ _CONV_LIKE = {
     "C2fPSA", "C2PSA", "C2PSA_LinearAttention", "DWConv", "Focus", "C1", "C2", "C2f",
     "C3", "C3x", "C3k", "C3k2", "C3k2_Wavelet", "C3k2_TWavelet", "DSC3K2", "DSC3K2_Wavelet",
     "PSA", "SCDown", "DSConv", "LightConv", "Classify", "MulGate", "RHJM",
+    "A2C2f", "C2fCIB", "CIB", "RepConv", "RepNCSPELAN4", "ELAN1", "AConv", "ADown",
+    "SPPELAN", "GhostBottleneck", "C3Ghost", "BottleneckCSP", "nn.ConvTranspose2d",
 }
 _REPEAT_INSERT = {
     "C1", "C2", "C2f", "C3", "C3x", "C3k", "C3k2", "C3k2_Wavelet", "C3k2_TWavelet",
     "C2fPSA", "C2PSA", "C2PSA_LinearAttention", "DSC3K2", "DSC3K2_Wavelet",
+    "A2C2f", "C2fCIB", "BottleneckCSP", "C3Ghost",
 }
 _C3K2_FAMILY = {"C3k2", "DSC3K2", "C3k2_Wavelet", "C3k2_TWavelet", "DSC3K2_Wavelet"}
 _HEADS = {"Detect", "GF2Detect", "E2EDetect", "GFLHeadv2_uniH", "GFLHeadv2_E2E",
-          "Segment", "OBB", "Pose"}
+          "Segment", "OBB", "Pose", "v10Detect"}
 # spatial stride factor per module (for static stride derivation)
-_STRIDE_ARG = {"Conv", "ConvBN", "DWConv", "DSConv", "GhostConv", "Focus", "SCDown"}
+_STRIDE_ARG = {"Conv", "ConvBN", "DWConv", "DSConv", "GhostConv", "Focus", "SCDown", "RepConv"}
+_STRIDE_FIXED = {"AConv": 2.0, "ADown": 2.0, "DownsampleConv": 2.0, "HGStem": 4.0}
 
 
 @dataclass(frozen=True)
@@ -143,6 +173,13 @@ def parse_spec(d: dict, ch: int = 3, verbose: bool = False):
     nc = d.get("nc", 80)
     scales = d.get("scales")
     scale = d.get("scale") or (tuple(scales.keys())[0] if scales else "")
+    act_override = None
+    if d.get("activation"):  # e.g. "nn.ReLU()" in yolov6
+        a = str(d["activation"]).lower()
+        for cand in ("relu6", "relu", "silu", "sigmoid", "tanh"):
+            if cand in a:
+                act_override = cand
+                break
     depth, width, max_channels = (scales[scale] if scales and scale in scales else (
         d.get("depth_multiple", 1.0), d.get("width_multiple", 1.0), float("inf")))
     legacy = True
@@ -163,6 +200,8 @@ def parse_spec(d: dict, ch: int = 3, verbose: bool = False):
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
             args = [c2, *args[1:]]
+            if act_override and name in {"Conv", "ConvBN", "DWConv"} and len(args) < 7:
+                kwargs["act"] = act_override
             if name in _REPEAT_INSERT:
                 args.insert(1, n_scaled)  # post-c1-drop index (=ref index 2)
                 n_scaled = 1
@@ -174,11 +213,61 @@ def parse_spec(d: dict, ch: int = 3, verbose: bool = False):
                         args[2] = True
                     else:
                         args.append(True)
+            if name == "A2C2f":
+                legacy = False
+                if scale in "lx":
+                    # append residual=True, mlp_ratio=1.5 (ref tasks.py:1073-1076)
+                    while len(args) < 6:
+                        args.append({2: True, 3: 1, 4: False, 5: 2.0}.get(len(args)))
+                    args[4] = True
+                    args[5] = 1.5
+        elif name in {"HyperACE", "HyperACE_Wavelet", "Wavelet_SS2D"}:
+            # ref tasks.py:1106-1121: c1 from the SECOND input, he scaled by size
+            legacy = False
+            c1 = ch_list[f_list[1]]
+            c2 = make_divisible(min(args[0], max_channels) * width, 8)
+            he = args[1]
+            if scale == "n":
+                he = int(he * 0.5)
+            elif scale == "x":
+                he = int(he * 1.5)
+            args = [c2, n_scaled, he, *args[2:]]
+            n_scaled = 1
+            if scale in "lx":
+                args.append(False)  # channel_adjust
+        elif name == "DownsampleConv":
+            c1 = ch_list[f_list[0]]
+            c2 = c1 * 2
+            args = [c1]
+            if scale in "lx":
+                args.append(False)
+                c2 = c1
+        elif name == "DySample":
+            c1 = ch_list[f_list[0]]
+            c2 = c1
+            args = [c1, *args]
+        elif name == "CBLinear":
+            c2 = tuple(args[0])
+            args = [tuple(args[0]), *args[1:]]
+        elif name == "CBFuse":
+            c2 = ch_list[f_list[-1]]
+            args = [tuple(args[0])] if args else [()]
+        elif name in {"HGStem", "HGBlock"}:
+            c2 = args[1]
+            if name == "HGBlock":
+                args = [args[0], args[1], *args[2:]]
+                args.insert(3, n_scaled)
+                n_scaled = 1
+        elif name == "ResNetLayer":
+            # c2 = base channels when is_first (stem), else expansion x4
+            c2 = args[0] if (len(args) > 2 and args[2]) else args[0] * 4
         elif name == "Concat":
             c2 = sum(ch_list[x] for x in f_list)
         elif name in _HEADS:
             kwargs["ch"] = tuple(ch_list[x] for x in f_list)
-            kwargs["legacy"] = legacy
+            # v10Detect always uses the lightweight DW cls tower (reference
+            # head.py:764 overwrites cv3 after super().__init__)
+            kwargs["legacy"] = False if name == "v10Detect" else legacy
             if name == "Segment" and len(args) > 2:
                 args[2] = make_divisible(min(args[2], max_channels) * width, 8)  # npr
             if name == "Pose" and len(args) > 1 and isinstance(args[1], (list, tuple)):
@@ -191,7 +280,8 @@ def parse_spec(d: dict, ch: int = 3, verbose: bool = False):
         else:
             c2 = ch_list[f_list[0]]
 
-        f_norm = tuple(x if x < 0 else x for x in f_list)
+        # normalize negative refs other than -1 (e.g. -2 in yolov3) to absolute
+        f_norm = tuple(x if x == -1 else (x % i) for x in f_list)
         layers.append(LayerSpec(i=i, f=f_norm, n=n_scaled, name=name,
                                 args=tuple(_freeze(a) for a in args),
                                 kwargs=tuple(sorted(kwargs.items())), c2=c2))
@@ -223,10 +313,20 @@ def derive_strides(layers: Sequence[LayerSpec]) -> list[float]:
                     factor = float(sp.args[idx])
             if sp.name == "Focus":
                 factor *= 2.0
+        elif sp.name in _STRIDE_FIXED:
+            factor = _STRIDE_FIXED[sp.name]
+        elif sp.name == "DySample":
+            sc = sp.args[1] if len(sp.args) > 1 else 2
+            factor = 1.0 / float(sc)
+        elif sp.name == "ResNetLayer":
+            if len(sp.args) > 2 and sp.args[2]:
+                factor = 4.0
+            elif len(sp.args) > 1:
+                factor = float(sp.args[1])
         elif sp.name in {"nn.Upsample", "Upsample"}:
             sf = sp.args[1] if len(sp.args) > 1 else 2
             factor = 1.0 / float(sf or 2)
-        elif sp.name == "ConvTranspose":
+        elif sp.name in {"ConvTranspose", "nn.ConvTranspose2d"}:
             fields = _REG[sp.name][1]
             idx = fields.index("s")
             sv = float(sp.args[idx]) if idx < len(sp.args) else 2.0
@@ -245,6 +345,9 @@ def build_module(sp: LayerSpec, extra_kwargs: dict | None = None) -> nn.Module:
         if val is not None or fname in {"p", "size", "num_heads"}:
             kw[fname] = val
     kw.update(dict(sp.kwargs))
+    if sp.name == "nn.ConvTranspose2d":  # raw torch transpose: bias, no BN/act
+        kw.setdefault("bn", False)
+        kw.setdefault("act", False)
     if extra_kwargs:
         kw.update(extra_kwargs)
     kw["name"] = f"l{sp.i}_{sp.name.replace('.', '_')}"
@@ -336,8 +439,15 @@ class BaseModel:
     # -- introspection ----------------------------------------------------------
     def num_params(self, variables=None) -> int:
         v = variables or self.variables
-        assert v is not None
+        if v is None:
+            return self.count_params()
         return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+
+    def count_params(self, imgsz: int = 64) -> int:
+        """Parameter count via abstract evaluation — no FLOPs, no device."""
+        x = jax.ShapeDtypeStruct((1, imgsz, imgsz, 3), jnp.float32)
+        shapes = jax.eval_shape(lambda xx: self.net.init(jax.random.PRNGKey(0), xx, train=False), x)
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(shapes["params"]))
 
     def info(self, verbose: bool = True):
         n = self.num_params() if self.variables else None

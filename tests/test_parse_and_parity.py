@@ -26,16 +26,33 @@ PARITY = {
     ("yolo11-t", "n"): 2664107,
     ("edgeline-yolo", "n"): 2678699,
     ("edgeline-yolo", "s"): 9617483,
+    # other model families (reference-as-built counts)
+    ("yolov8", "n"): 3157200,
+    ("yolov8", "s"): 11166560,
+    ("yolov8-seg", "n"): 3409968,
+    ("yolov8-pose", "n"): 3295470,
+    ("yolov8-obb", "n"): 3228867,
+    ("yolov10", "n"): 2775520,
+    ("yolov12", "n"): 2553904,
+    ("yolov13", "n"): 2494151,
+    ("yolov9t", ""): 2128720,
+    ("yolov5", "n"): 2654816,
+    ("yolov3", ""): 103754144,
+    ("yolov6", "n"): 4500080,
+    ("yolo11-seg", "n"): 2876848,
+    ("yolo11-pose", "n"): 2908507,
+    ("yolo11-obb", "n"): 2695747,
 }
 
 
 @pytest.mark.parametrize("cfg,scale", list(PARITY))
 def test_param_parity(cfg, scale):
     d = yaml_model_load(f"{cfg}.yaml")
-    d["scale"] = scale
+    if scale:
+        d["scale"] = scale
     m = DetectionModel(d)
-    m.init(0, imgsz=64)
-    assert m.num_params() == PARITY[(cfg, scale)] - DFL
+    # abstract count: no device compute, fast enough for the full table
+    assert m.count_params() == PARITY[(cfg, scale)] - DFL
 
 
 def test_strides_static():
