@@ -159,3 +159,23 @@ class YOLO:
         from edgeyolo_tpu.utils.benchmarks import benchmark as bench_fn
 
         return bench_fn(self, **kwargs)
+
+    def tune(self, iterations: int = 10, **kwargs):
+        """Evolutionary hyperparameter search (reference Model.tune:817)."""
+        from edgeyolo_tpu.engine.tuner import Tuner
+
+        model_name, task = self.model_name, self.task
+        nc = self.model.nc
+
+        def factory():
+            from edgeyolo_tpu.nn.tasks import yaml_model_load
+
+            m = YOLO(model_name, task=task)
+            d = yaml_model_load(model_name)
+            d["nc"] = nc
+            m.model = type(self.model)(d)
+            return m
+
+        tuner = Tuner(vars(get_cfg(overrides={})), save_dir=get_save_dir(
+            get_cfg(overrides={"mode": "train", "task": self.task}), name="tune"))
+        return tuner(factory, iterations=iterations, **kwargs)

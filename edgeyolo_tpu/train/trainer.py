@@ -99,15 +99,22 @@ class EarlyStopping:
         return stop
 
 
-class DetectionTrainer:
-    """End-to-end detection training."""
+from edgeyolo_tpu.utils.callbacks import CallbackMixin
 
-    def __init__(self, model, args, save_dir: str | Path = "runs/train"):
+
+class DetectionTrainer(CallbackMixin):
+    """End-to-end detection training (callback events fire at the same
+    points as the reference loop, utils/callbacks/base.py)."""
+
+    def __init__(self, model, args, save_dir: str | Path = "runs/train", callbacks=None):
         self.model = model  # nn.tasks.DetectionModel handle
         self.args = args
         self.save_dir = Path(save_dir)
         self.best_fitness = 0.0
         self.mesh = None
+        self.epoch = 0
+        self.last_metrics = {}
+        self.init_callbacks(callbacks)
 
     # -- public entry -----------------------------------------------------------
     def train(self):
@@ -243,8 +250,11 @@ class DetectionTrainer:
         csv_path = self.save_dir / "results.csv"
         t_start = time.time()
         stop = False
+        self.run_callbacks("on_train_start")
 
         for epoch in range(epochs):
+            self.epoch = epoch
+            self.run_callbacks("on_train_epoch_start")
             mosaic_on = (
                 float(getattr(args, "mosaic", 1.0)) > 0
                 and epoch < epochs - int(args.close_mosaic)
@@ -259,11 +269,14 @@ class DetectionTrainer:
             mloss = np.mean(losses, axis=0) if losses else np.zeros(3)
 
             # validation with EMA params
+            self.run_callbacks("on_train_epoch_end")
             fitness_val = None
             metrics_row = {}
             if args.val:
                 metrics_row = self._validate(state, data_cfg)
                 fitness_val = metrics_row.get("fitness", 0.0)
+            self.last_metrics = dict(metrics_row)
+            self.run_callbacks("on_fit_epoch_end")
             lr_now = float(lr_at(np.asarray(int(state[4]))))
             row = {
                 "epoch": epoch,
@@ -289,6 +302,7 @@ class DetectionTrainer:
                 self.best_fitness = fitness_val
                 self._save_ckpt(state, epoch, "best")
             self._save_ckpt(state, epoch, "last")
+            self.run_callbacks("on_model_save")
             sp = int(args.save_period)
             if sp > 0 and (epoch + 1) % sp == 0:
                 self._save_ckpt(state, epoch, f"epoch{epoch}")
@@ -304,6 +318,8 @@ class DetectionTrainer:
         params_f, batch_stats_f, _, ema_f, _ = jax.device_get(state)
         self.model.variables = {"params": ema_f, "batch_stats": batch_stats_f}
         self.raw_variables = {"params": params_f, "batch_stats": batch_stats_f}
+        self.run_callbacks("on_train_end")
+        self.run_callbacks("teardown")
         LOGGER.info(
             f"training done in {(time.time() - t_start) / 3600:.3f}h, "
             f"best fitness {self.best_fitness:.4f}, results in {self.save_dir}"

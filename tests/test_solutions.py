@@ -1,0 +1,95 @@
+"""Solutions smoke tests on synthetic tracked streams."""
+
+import numpy as np
+
+from edgeyolo_tpu.engine.results import Results
+from edgeyolo_tpu.solutions import (
+    AIGym,
+    Analytics,
+    Heatmap,
+    ObjectCounter,
+    QueueManager,
+    RegionCounter,
+    SecurityAlarm,
+    SpeedEstimator,
+    TrackZone,
+)
+
+IMG = np.zeros((200, 200, 3), np.uint8)
+
+
+def _stream(n=12):
+    """One object moving left->right across x=100, another static."""
+    for t in range(n):
+        boxes = np.array([
+            [40 + 10 * t, 90, 60 + 10 * t, 110, 0.9, 0],
+            [150, 150, 170, 170, 0.8, 1],
+        ], np.float32)
+        r = Results(IMG, f"f{t}", {0: "a", 1: "b"}, boxes=boxes)
+        r.track_ids = np.array([1, 2], np.int64)
+        yield r
+
+
+def test_object_counter_line_crossing():
+    oc = ObjectCounter(region=[(100, 0), (100, 200)])
+    list(oc(_stream()))
+    assert oc.in_count + oc.out_count == 1  # one track crossed once
+
+
+def test_region_counter():
+    rc = RegionCounter({"zoneA": [(140, 140), (180, 140), (180, 180), (140, 180)]})
+    list(rc(_stream()))
+    assert rc.region_counts["zoneA"] == 1
+
+
+def test_queue_and_trackzone():
+    poly = [(140, 140), (180, 140), (180, 180), (140, 180)]
+    q = QueueManager(poly)
+    tz = TrackZone(poly)
+    list(q(_stream()))
+    list(tz(_stream()))
+    assert q.queue_count == 1
+    assert tz.zone_ids == {2}
+
+
+def test_heatmap_accumulates():
+    hm = Heatmap(shape=(200, 200))
+    list(hm(_stream()))
+    assert hm.heat.max() > 0
+    assert hm.normalized().max() == 1.0
+
+
+def test_speed_estimator():
+    se = SpeedEstimator(fps=30, meters_per_pixel=0.1)
+    list(se(_stream()))
+    # 10 px/frame * 0.1 m/px * 30 fps * 3.6 = 108 km/h
+    assert abs(se.speeds[1] - 108.0) < 1.0
+    assert se.speeds[2] < 1.0
+
+
+def test_security_alarm_triggers_once():
+    fired = []
+    sa = SecurityAlarm(threshold=2, on_alarm=lambda n: fired.append(n))
+    list(sa(_stream()))
+    assert fired == [2]
+
+
+def test_analytics_series_and_plot(tmp_path):
+    an = Analytics(names={0: "a", 1: "b"})
+    list(an(_stream()))
+    assert len(an.series) == 12
+    out = an.plot(tmp_path / "analytics.png")
+    assert (tmp_path / "analytics.png").exists()
+
+
+def test_aigym_counts_reps():
+    gym = AIGym(joints=(0, 1, 2))
+    k = np.zeros((3, 2), np.float32)
+    count = 0
+    for ang in [160, 80, 160, 80, 160]:  # two full reps
+        rad = np.radians(ang)
+        k[0] = [1, 0]
+        k[1] = [0, 0]
+        k[2] = [np.cos(rad), np.sin(rad)]
+        count = gym.update(k)
+    assert count == 2
