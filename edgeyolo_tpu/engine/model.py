@@ -43,7 +43,12 @@ class YOLO:
     @property
     def task_map(self):
         from edgeyolo_tpu.engine.predictor import DetectionPredictor
-        from edgeyolo_tpu.engine.validator import DetectionValidator
+        from edgeyolo_tpu.engine.validator import (
+            DetectionValidator,
+            OBBValidator,
+            PoseValidator,
+            SegmentationValidator,
+        )
         from edgeyolo_tpu.train.trainer import DetectionTrainer
 
         return {
@@ -54,11 +59,11 @@ class YOLO:
                 "predictor": DetectionPredictor,
             },
             "segment": {"model": SegmentationModel, "trainer": DetectionTrainer,
-                        "validator": DetectionValidator, "predictor": DetectionPredictor},
+                        "validator": SegmentationValidator, "predictor": DetectionPredictor},
             "pose": {"model": PoseModel, "trainer": DetectionTrainer,
-                     "validator": DetectionValidator, "predictor": DetectionPredictor},
+                     "validator": PoseValidator, "predictor": DetectionPredictor},
             "obb": {"model": OBBModel, "trainer": DetectionTrainer,
-                    "validator": DetectionValidator, "predictor": DetectionPredictor},
+                    "validator": OBBValidator, "predictor": DetectionPredictor},
             "classify": {"model": ClassificationModel, "trainer": DetectionTrainer,
                          "validator": DetectionValidator, "predictor": DetectionPredictor},
         }

@@ -146,3 +146,261 @@ class DetectionValidator:
                 "bbox": [round(x, 3) for x in b],
                 "score": round(d[4], 5),
             })
+
+
+class SegmentationValidator(DetectionValidator):
+    """Adds mask-IoU TP matching (reference models/yolo/segment/val.py:71-291).
+
+    Reports box metrics from the shared path plus a mask mAP table computed
+    from per-detection prototype masks at proto resolution.
+    """
+
+    def __call__(self, model, data=None, variables=None, batch_size=None, max_nms=30000):
+        args = self.args
+        conf = args.conf if args.conf is not None else 0.001
+        data_cfg = check_det_dataset(data or args.data)
+        names = data_cfg["names"]
+        imgsz = int(args.imgsz)
+        bs = int(batch_size or args.batch or 16)
+        split = data_cfg.get(args.split or "val") or data_cfg["val"]
+        if self._loader is None:
+            ds = YOLODataset(split, imgsz=imgsz, augment=False, names=names, task="segment",
+                             mask_ratio=4)
+            self._loader = build_dataloader(ds, bs, shuffle=False)
+        loader = self._loader
+        variables = variables if variables is not None else model.variables
+        nc = model.nc
+
+        if self._infer is None:
+            @jax.jit
+            def infer(v, img):
+                out = model.net.apply(v, img, train=False)
+                pred = out["pred"]  # (B, A, 4+nc+nm)
+                det, n, aidx = non_max_suppression(
+                    pred[..., : 4 + nc], conf_thres=conf, iou_thres=float(args.iou),
+                    max_det=int(args.max_det), max_nms=max_nms, multi_label=True, nc=nc,
+                    return_idx=True,
+                )
+                coefs = jnp.take_along_axis(pred[..., 4 + nc :], aidx[..., None], axis=1)
+                # (B, max_det, ph, pw) sigmoid proto masks
+                masks = jax.nn.sigmoid(jnp.einsum("bhwn,bdn->bdhw", out["proto"], coefs))
+                return det, n, masks
+
+            self._infer = infer
+
+        box_m = DetMetrics(names)
+        mask_m = DetMetrics(names)
+        seen = 0
+        for batch in loader:
+            img = jnp.asarray(batch["img"], jnp.float32) / 255.0
+            det_b, n_b, masks_b = self._infer(variables, img)
+            det_b = np.asarray(det_b)
+            n_b = np.asarray(n_b)
+            masks_b = np.asarray(masks_b) > 0.5
+            for i in range(batch["n_real"]):
+                meta = batch["meta"][i]
+                seen += 1
+                n = int(n_b[i])
+                det = det_b[i, :n].copy()
+                h0, w0 = meta["ori_shape"]
+                r, (pw, ph) = meta["ratio_pad"]
+                if n:
+                    det[:, [0, 2]] = (det[:, [0, 2]] - pw) / r
+                    det[:, [1, 3]] = (det[:, [1, 3]] - ph) / r
+                gt_cls = meta["ori_cls"]
+                gtb = meta["ori_bboxes"].copy()
+                if len(gtb):
+                    gtb = gtb * np.array([w0, h0, w0, h0], np.float32)
+                    gtb = np.concatenate([gtb[:, :2] - gtb[:, 2:] / 2, gtb[:, :2] + gtb[:, 2:] / 2], 1)
+                iou_box = _box_iou_np(gtb, det[:, :4]) if (n and len(gtb)) else np.zeros((len(gtb), n))
+                box_m.update_batch(match_predictions(det[:, 5], gt_cls, iou_box), det[:, 4], det[:, 5], gt_cls)
+                # mask IoU at proto resolution (both in letterbox frame)
+                ngt = int(meta["mask_gt"].sum())
+                gm = meta.get("masks")
+                if gm is not None:
+                    gm = gm[:ngt] > 0.5
+                    pm = masks_b[i, :n]
+                    inter = (gm[:, None] & pm[None]).sum((2, 3)).astype(np.float32)
+                    union = (gm[:, None] | pm[None]).sum((2, 3)).astype(np.float32)
+                    iou_mask = inter / (union + 1e-7)
+                    mask_m.update_batch(match_predictions(det[:, 5], gt_cls[:ngt], iou_mask),
+                                        det[:, 4], det[:, 5], gt_cls[:ngt])
+        box_m.process()
+        mask_m.process()
+        self.metrics = box_m
+        res = box_m.results_dict
+        res.update({
+            "metrics/mAP50(M)": mask_m.box.map50,
+            "metrics/mAP50-95(M)": mask_m.box.map,
+        })
+        LOGGER.info(f"seg val: box mAP50-95 {box_m.box.map:.4f}  mask mAP50-95 {mask_m.box.map:.4f}")
+        return res
+
+
+class PoseValidator(DetectionValidator):
+    """Adds OKS-based keypoint TP matching (reference models/yolo/pose/val.py:159)."""
+
+    def __call__(self, model, data=None, variables=None, batch_size=None, max_nms=30000):
+        from edgeyolo_tpu.ops.boxes import kpt_iou as kpt_iou_dev
+
+        args = self.args
+        conf = args.conf if args.conf is not None else 0.001
+        data_cfg = check_det_dataset(data or args.data)
+        names = data_cfg["names"]
+        imgsz = int(args.imgsz)
+        bs = int(batch_size or args.batch or 16)
+        split = data_cfg.get(args.split or "val") or data_cfg["val"]
+        K, D = tuple(model.yaml.get("kpt_shape", (17, 3)))
+        if self._loader is None:
+            ds = YOLODataset(split, imgsz=imgsz, augment=False, names=names, task="pose",
+                             kpt_shape=(K, D))
+            self._loader = build_dataloader(ds, bs, shuffle=False)
+        loader = self._loader
+        variables = variables if variables is not None else model.variables
+        nc = model.nc
+
+        if self._infer is None:
+            @jax.jit
+            def infer(v, img):
+                out = model.net.apply(v, img, train=False)
+                pred = out["pred"]  # (B, A, 4+nc+K*D) decoded kpts appended
+                det, n, aidx = non_max_suppression(
+                    pred[..., : 4 + nc], conf_thres=conf, iou_thres=float(args.iou),
+                    max_det=int(args.max_det), max_nms=max_nms, multi_label=True, nc=nc,
+                    return_idx=True,
+                )
+                kpts = jnp.take_along_axis(pred[..., 4 + nc :], aidx[..., None], axis=1)
+                return det, n, kpts
+
+            self._infer = infer
+
+        box_m = DetMetrics(names)
+        pose_m = DetMetrics(names)
+        sigmas = (np.array([.26,.25,.25,.35,.35,.79,.79,.72,.72,.62,.62,1.07,1.07,.87,.87,.89,.89]) / 10.0
+                  if K == 17 else np.full(K, 1.0 / K))
+        seen = 0
+        for batch in loader:
+            img = jnp.asarray(batch["img"], jnp.float32) / 255.0
+            det_b, n_b, kpts_b = self._infer(variables, img)
+            det_b, n_b, kpts_b = np.asarray(det_b), np.asarray(n_b), np.asarray(kpts_b)
+            for i in range(batch["n_real"]):
+                meta = batch["meta"][i]
+                seen += 1
+                n = int(n_b[i])
+                det = det_b[i, :n].copy()
+                h0, w0 = meta["ori_shape"]
+                r, (pw, ph) = meta["ratio_pad"]
+                pk = kpts_b[i, :n].reshape(n, K, D).copy()
+                if n:
+                    det[:, [0, 2]] = (det[:, [0, 2]] - pw) / r
+                    det[:, [1, 3]] = (det[:, [1, 3]] - ph) / r
+                    pk[..., 0] = (pk[..., 0] - pw) / r
+                    pk[..., 1] = (pk[..., 1] - ph) / r
+                gt_cls = meta["ori_cls"]
+                gtb = meta["ori_bboxes"].copy()
+                if len(gtb):
+                    gtb = gtb * np.array([w0, h0, w0, h0], np.float32)
+                    gtb = np.concatenate([gtb[:, :2] - gtb[:, 2:] / 2, gtb[:, :2] + gtb[:, 2:] / 2], 1)
+                iou_box = _box_iou_np(gtb, det[:, :4]) if (n and len(gtb)) else np.zeros((len(gtb), n))
+                box_m.update_batch(match_predictions(det[:, 5], gt_cls, iou_box), det[:, 4], det[:, 5], gt_cls)
+                # OKS vs gt keypoints (letterbox -> original space)
+                ngt = int(meta["mask_gt"].sum())
+                gk = meta.get("keypoints")
+                if gk is not None and ngt and n:
+                    gk = gk[:ngt].copy()
+                    gk[..., 0] = (gk[..., 0] - pw) / r
+                    gk[..., 1] = (gk[..., 1] - ph) / r
+                    area = (gtb[:ngt, 2] - gtb[:ngt, 0]) * (gtb[:ngt, 3] - gtb[:ngt, 1]) * 0.53
+                    d2 = ((gk[:, None, :, 0] - pk[None, :, :, 0]) ** 2
+                          + (gk[:, None, :, 1] - pk[None, :, :, 1]) ** 2)
+                    vis = gk[..., 2] > 0
+                    e = d2 / (2 * sigmas[None, None]) ** 2 / (area[:, None, None] + 1e-7) / 2
+                    oks = (np.exp(-e) * vis[:, None]).sum(-1) / (vis.sum(-1)[:, None] + 1e-7)
+                    pose_m.update_batch(match_predictions(det[:, 5], gt_cls[:ngt], oks),
+                                        det[:, 4], det[:, 5], gt_cls[:ngt])
+        box_m.process()
+        pose_m.process()
+        self.metrics = box_m
+        res = box_m.results_dict
+        res.update({"metrics/mAP50(P)": pose_m.box.map50, "metrics/mAP50-95(P)": pose_m.box.map})
+        LOGGER.info(f"pose val: box mAP50-95 {box_m.box.map:.4f}  pose mAP50-95 {pose_m.box.map:.4f}")
+        return res
+
+
+class OBBValidator(DetectionValidator):
+    """Rotated-box TP matching via probiou (reference models/yolo/obb/val.py:39-147)."""
+
+    def __call__(self, model, data=None, variables=None, batch_size=None, max_nms=30000):
+        from edgeyolo_tpu.ops.boxes import probiou
+
+        args = self.args
+        conf = args.conf if args.conf is not None else 0.001
+        data_cfg = check_det_dataset(data or args.data)
+        names = data_cfg["names"]
+        imgsz = int(args.imgsz)
+        bs = int(batch_size or args.batch or 16)
+        split = data_cfg.get(args.split or "val") or data_cfg["val"]
+        if self._loader is None:
+            ds = YOLODataset(split, imgsz=imgsz, augment=False, names=names, task="obb")
+            self._loader = build_dataloader(ds, bs, shuffle=False)
+        loader = self._loader
+        variables = variables if variables is not None else model.variables
+        nc = model.nc
+
+        if self._infer is None:
+            @jax.jit
+            def infer(v, img):
+                out = model.net.apply(v, img, train=False)
+                pred = out["pred"]  # (B, A, 4+nc+1) xywh(r-center) + cls + angle
+                det, n, aidx = non_max_suppression(
+                    pred[..., : 4 + nc], conf_thres=conf, iou_thres=float(args.iou),
+                    max_det=int(args.max_det), max_nms=max_nms, multi_label=True, nc=nc,
+                    return_idx=True,
+                )
+                angle = jnp.take_along_axis(pred[..., -1:], aidx[..., None], axis=1)
+                return det, n, angle
+
+            self._infer = infer
+
+        obb_m = DetMetrics(names)
+        seen = 0
+        for batch in loader:
+            img = jnp.asarray(batch["img"], jnp.float32) / 255.0
+            det_b, n_b, ang_b = self._infer(variables, img)
+            det_b, n_b, ang_b = np.asarray(det_b), np.asarray(n_b), np.asarray(ang_b)
+            for i in range(batch["n_real"]):
+                meta = batch["meta"][i]
+                seen += 1
+                n = int(n_b[i])
+                det = det_b[i, :n].copy()
+                ang = ang_b[i, :n, 0]
+                h0, w0 = meta["ori_shape"]
+                r, (pw, ph) = meta["ratio_pad"]
+                # det boxes are xyxy of the rotated extent; recover xywh center form
+                cx = (det[:, 0] + det[:, 2]) / 2
+                cy = (det[:, 1] + det[:, 3]) / 2
+                w = det[:, 2] - det[:, 0]
+                h = det[:, 3] - det[:, 1]
+                cx, cy = (cx - pw) / r, (cy - ph) / r
+                w, h = w / r, h / r
+                pred_r = np.stack([cx, cy, w, h, ang], 1) if n else np.zeros((0, 5), np.float32)
+                gt_cls = meta["ori_cls"]
+                ngt = int(meta["mask_gt"].sum())
+                gr = meta.get("rboxes")
+                if gr is not None:
+                    gr = gr[:ngt].copy()
+                    gr[:, [0, 2]] *= w0
+                    gr[:, [1, 3]] *= h0
+                    if n and ngt:
+                        import jax.numpy as _jnp
+
+                        iou = np.asarray(probiou(_jnp.asarray(gr)[:, None], _jnp.asarray(pred_r)[None]))[..., 0]
+                    else:
+                        iou = np.zeros((ngt, n))
+                    obb_m.update_batch(match_predictions(det[:, 5], gt_cls[:ngt], iou),
+                                       det[:, 4], det[:, 5], gt_cls[:ngt])
+        obb_m.process()
+        self.metrics = obb_m
+        res = obb_m.results_dict
+        LOGGER.info(f"obb val: probiou mAP50-95 {obb_m.box.map:.4f}")
+        return res

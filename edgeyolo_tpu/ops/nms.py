@@ -101,7 +101,7 @@ def _greedy_nms_matrix(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float
 @partial(
     jax.jit,
     static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "max_wh",
-                     "multi_label", "agnostic", "nc", "method"),
+                     "multi_label", "agnostic", "nc", "method", "return_idx"),
 )
 def non_max_suppression(
     pred: jnp.ndarray,
@@ -114,11 +114,14 @@ def non_max_suppression(
     agnostic: bool = False,
     nc: int | None = None,
     method: str = "matrix",  # "matrix" (parallel fixed point) | "scan" (sequential)
+    return_idx: bool = False,
 ):
     """Batched class-aware NMS.
 
     pred: (B, A, 4+nc) with xywh boxes in pixels and per-class scores.
-    Returns (dets (B, max_det, 6) xyxy/conf/cls, n_valid (B,)).
+    Returns (dets (B, max_det, 6) xyxy/conf/cls, n_valid (B,)), plus the kept
+    anchor indices (B, max_det) when return_idx (for gathering per-anchor
+    extras like mask coefficients or keypoints downstream).
     """
     b, a, no = pred.shape
     nc = nc or (no - 4)
@@ -138,9 +141,9 @@ def non_max_suppression(
             best = jnp.max(sc, axis=-1)
             cls_ix_all = jnp.argmax(sc, axis=-1).astype(jnp.float32)
             n_cand = min(max_nms, a)
-            top_sc, top_ix = jax.lax.top_k(best, n_cand)
-            cand_boxes = bx[top_ix]
-            cls_ix = cls_ix_all[top_ix]
+            top_sc, anchor_ix = jax.lax.top_k(best, n_cand)
+            cand_boxes = bx[anchor_ix]
+            cls_ix = cls_ix_all[anchor_ix]
             cand_sc = jnp.where(top_sc > conf_thres, top_sc, 0.0)
 
         offset = jnp.zeros_like(cls_ix) if agnostic else cls_ix * max_wh
@@ -154,6 +157,10 @@ def non_max_suppression(
             [out_boxes, out_conf[:, None], out_cls[:, None]], axis=-1
         )
         det = jnp.where(keep_valid[:, None], det, 0.0)
-        return det, keep_valid.sum().astype(jnp.int32)
+        out_anchor = jnp.where(keep_valid, anchor_ix[keep_idx], 0).astype(jnp.int32)
+        return det, keep_valid.sum().astype(jnp.int32), out_anchor
 
-    return jax.vmap(per_image)(boxes, cls_scores)
+    det, n, aidx = jax.vmap(per_image)(boxes, cls_scores)
+    if return_idx:
+        return det, n, aidx
+    return det, n

@@ -348,7 +348,12 @@ class DetectionTrainer(CallbackMixin):
 
     def _validate(self, state, data_cfg) -> dict:
         from edgeyolo_tpu.cfg import get_cfg
-        from edgeyolo_tpu.engine.validator import DetectionValidator
+        from edgeyolo_tpu.engine.validator import (
+            DetectionValidator,
+            OBBValidator,
+            PoseValidator,
+            SegmentationValidator,
+        )
 
         params, batch_stats, _, ema, _ = state
         if not hasattr(self, "_validator"):
@@ -357,7 +362,9 @@ class DetectionTrainer(CallbackMixin):
                 "batch": self.args.batch, "conf": 0.001, "iou": 0.7,
                 "max_det": 300, "plots": False, "task": self.args.task,
             })
-            self._validator = DetectionValidator(vargs, save_dir=self.save_dir / "val")
+            vcls = {"segment": SegmentationValidator, "pose": PoseValidator,
+                    "obb": OBBValidator}.get(getattr(self.model, "task", "detect"), DetectionValidator)
+            self._validator = vcls(vargs, save_dir=self.save_dir / "val")
         variables = {"params": ema, "batch_stats": batch_stats}
         return self._validator(self.model, data=data_cfg, variables=variables,
                                batch_size=int(self.args.batch), max_nms=4096)
