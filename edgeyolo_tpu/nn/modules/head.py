@@ -353,3 +353,107 @@ class v10Detect(Detect):
     Detect tower (reference head.py:764-797), plus the one2one branch."""
 
     end2end: bool = True
+
+
+class RTDETRDecoder(nn.Module):
+    """RT-DETR query decoder head.
+
+    Behavioral spec: reference head.py:533-761 — per-level 1x1+BN input
+    projection, anchor-logit generation over the flattened multi-scale grid,
+    top-300 query selection from the encoder score head, 6 deformable decoder
+    layers with iterative refinement. Inference returns (B, nq, 4+nc) with
+    normalized cxcywh boxes; training additionally exposes encoder/decoder
+    aux outputs. Contrastive denoising groups (models/utils/ops.py:259) are
+    deferred to the training criterion.
+    """
+
+    nc: int = 80
+    ch: Sequence[int] = ()
+    stride: Sequence[int] = (8, 16, 32)
+    hd: int = 256
+    nq: int = 300
+    ndp: int = 4
+    nh: int = 8
+    ndl: int = 6
+    d_ffn: int = 1024
+    learnt_init_query: bool = False
+
+    def _anchors(self, shapes, grid_size: float = 0.05, eps: float = 1e-2):
+        anchors = []
+        for i, (h, w) in enumerate(shapes):
+            sy = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+            sx = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+            gy, gx = jnp.meshgrid(sy, sx, indexing="ij")
+            xy = jnp.stack([gx, gy], -1).reshape(-1, 2)
+            wh = jnp.full_like(xy, grid_size * (2.0**i))
+            anchors.append(jnp.concatenate([xy, wh], -1))
+        a = jnp.concatenate(anchors, 0)[None]  # (1, A, 4)
+        valid = jnp.all((a > eps) & (a < 1 - eps), axis=-1, keepdims=True)
+        a = jnp.log(a / (1 - a))
+        a = jnp.where(valid, a, jnp.inf)
+        return a, valid
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        from edgeyolo_tpu.nn.modules.transformer import (
+            MLP,
+            DeformableTransformerDecoder,
+            inverse_sigmoid,
+        )
+
+        b = xs[0].shape[0]
+        feats_l, shapes = [], []
+        for i, x in enumerate(xs):
+            p = nn.Conv(self.hd, (1, 1), use_bias=False, kernel_init=KERNEL_INIT,
+                        dtype=x.dtype, name=f"input_proj_{i}_conv")(x)
+            p = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                             dtype=jnp.float32, name=f"input_proj_{i}_bn")(p)
+            h, w = p.shape[1:3]
+            feats_l.append(p.reshape(b, h * w, self.hd))
+            shapes.append((h, w))
+        feats = jnp.concatenate(feats_l, axis=1)  # (B, A, hd)
+
+        anchors, valid = self._anchors(shapes)
+        features = nn.Dense(self.hd, kernel_init=KERNEL_INIT, name="enc_output_0")(
+            jnp.where(valid, feats, 0.0))
+        features = nn.LayerNorm(name="enc_output_1")(features)
+        enc_scores_all = nn.Dense(self.nc, kernel_init=KERNEL_INIT,
+                                  bias_init=nn.initializers.constant(
+                                      float(-math.log((1 - 0.01) / 0.01)) / 80 * self.nc),
+                                  name="enc_score_head")(features)
+
+        nq = min(self.nq, feats.shape[1])  # tiny-image safety
+        top_val, top_ix = jax.lax.top_k(jnp.max(enc_scores_all, -1), nq)  # (B, nq)
+        top_feats = jnp.take_along_axis(features, top_ix[..., None], axis=1)
+        top_anchors = jnp.take_along_axis(jnp.broadcast_to(anchors, (b, anchors.shape[1], 4)),
+                                          top_ix[..., None], axis=1)
+        refer_logit = MLP(self.hd, 4, 3, name="enc_bbox_head")(top_feats) + top_anchors
+        enc_bboxes = jax.nn.sigmoid(refer_logit)
+        enc_scores = jnp.take_along_axis(enc_scores_all, top_ix[..., None], axis=1)
+
+        # contrastive-denoising class embedding (training-time CDN groups,
+        # reference models/utils/ops.py:259; the criterion lands next round —
+        # the parameter exists now for checkpoint-shape parity)
+        self.param("denoising_class_embed", nn.initializers.normal(1.0), (self.nc, self.hd))
+        if self.learnt_init_query:
+            tgt = self.param("tgt_embed", nn.initializers.xavier_uniform(), (self.nq, self.hd))
+            embed = jnp.broadcast_to(tgt[None], (b, self.nq, self.hd))
+        else:
+            embed = jax.lax.stop_gradient(top_feats) if train else top_feats
+        refer = jax.lax.stop_gradient(refer_logit) if train else refer_logit
+
+        query_pos_head = MLP(2 * self.hd, self.hd, 2, name="query_pos_head")
+        dec_bbox, dec_score, aux_b, aux_s = DeformableTransformerDecoder(
+            self.hd, self.ndl, self.nh, self.d_ffn, len(xs), self.ndp, self.nc,
+            name="decoder")(embed, refer, feats, shapes, query_pos_head, train)
+
+        out = {
+            "feats": [dec_bbox, dec_score],  # placeholder slots for loss plumbing
+            "enc_bboxes": enc_bboxes,
+            "enc_scores": enc_scores,
+            "aux": (aux_b, aux_s),
+        }
+        if not train:
+            # (B, nq, 4+nc): cxcywh normalized + class probs
+            out["pred"] = jnp.concatenate([dec_bbox, jax.nn.sigmoid(dec_score)], axis=-1)
+        return out

@@ -104,6 +104,9 @@ _REG: dict[str, tuple[type, list[str]]] = {
     "OBB": (M.OBB, ["nc", "ne"]),
     "Pose": (M.Pose, ["nc", "kpt_shape"]),
     "Classify": (M.Classify, ["c2", "k", "s", "p", "g"]),
+    "AIFI": (M.AIFI, ["c1", "cm", "num_heads"]),
+    "RepC3": (M.RepC3, ["c2", "n", "e"]),
+    "RTDETRDecoder": (M.RTDETRDecoder, ["nc"]),
 }
 
 # parse-time sets (membership by *name*, keeping the parser table-driven)
@@ -113,16 +116,16 @@ _CONV_LIKE = {
     "C3", "C3x", "C3k", "C3k2", "C3k2_Wavelet", "C3k2_TWavelet", "DSC3K2", "DSC3K2_Wavelet",
     "PSA", "SCDown", "DSConv", "LightConv", "Classify", "MulGate", "RHJM",
     "A2C2f", "C2fCIB", "CIB", "RepConv", "RepNCSPELAN4", "ELAN1", "AConv", "ADown",
-    "SPPELAN", "GhostBottleneck", "C3Ghost", "BottleneckCSP", "nn.ConvTranspose2d",
+    "SPPELAN", "GhostBottleneck", "C3Ghost", "BottleneckCSP", "nn.ConvTranspose2d", "RepC3",
 }
 _REPEAT_INSERT = {
     "C1", "C2", "C2f", "C3", "C3x", "C3k", "C3k2", "C3k2_Wavelet", "C3k2_TWavelet",
     "C2fPSA", "C2PSA", "C2PSA_LinearAttention", "DSC3K2", "DSC3K2_Wavelet",
-    "A2C2f", "C2fCIB", "BottleneckCSP", "C3Ghost",
+    "A2C2f", "C2fCIB", "BottleneckCSP", "C3Ghost", "RepC3",
 }
 _C3K2_FAMILY = {"C3k2", "DSC3K2", "C3k2_Wavelet", "C3k2_TWavelet", "DSC3K2_Wavelet"}
 _HEADS = {"Detect", "GF2Detect", "E2EDetect", "GFLHeadv2_uniH", "GFLHeadv2_E2E",
-          "Segment", "OBB", "Pose", "v10Detect"}
+          "Segment", "OBB", "Pose", "v10Detect", "RTDETRDecoder"}
 # spatial stride factor per module (for static stride derivation)
 _STRIDE_ARG = {"Conv", "ConvBN", "DWConv", "DSConv", "GhostConv", "Focus", "SCDown", "RepConv"}
 _STRIDE_FIXED = {"AConv": 2.0, "ADown": 2.0, "DownsampleConv": 2.0, "HGStem": 4.0}
@@ -261,6 +264,13 @@ def parse_spec(d: dict, ch: int = 3, verbose: bool = False):
         elif name == "ResNetLayer":
             # c2 = base channels when is_first (stem), else expansion x4
             c2 = args[0] if (len(args) > 2 and args[2]) else args[0] * 4
+        elif name == "AIFI":
+            c1 = ch_list[f_list[0]]
+            args = [c1, *args]
+            c2 = c1
+        elif name == "RTDETRDecoder":
+            kwargs["ch"] = tuple(ch_list[x] for x in f_list)
+            c2 = sum(kwargs["ch"])
         elif name == "Concat":
             c2 = sum(ch_list[x] for x in f_list)
         elif name in _HEADS:
@@ -480,6 +490,13 @@ class OBBModel(DetectionModel):
 
 class ClassificationModel(BaseModel):
     task = "classify"
+
+
+class RTDETRDetectionModel(DetectionModel):
+    """RT-DETR query-based detector (predict/val; CDN training criterion is a
+    known gap, reference models/utils/loss.py RTDETRDetectionLoss)."""
+
+    task = "detect"
 
 
 def guess_model_task(cfg: dict | str | Path) -> str:

@@ -42,6 +42,7 @@ PARITY = {
     ("yolo11-seg", "n"): 2876848,
     ("yolo11-pose", "n"): 2908507,
     ("yolo11-obb", "n"): 2695747,
+    ("rtdetr-l", ""): 32970476 + 16,  # no DFL in RT-DETR; +16 cancels the shared DFL adjust
 }
 
 
