@@ -128,7 +128,18 @@ class DWT2D(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
-        kern = jnp.asarray(dwt2d_kernel(self.wave), dtype=x.dtype)  # (k,k,1,4)
+        kern_np = dwt2d_kernel(self.wave)  # (k,k,1,4)
+        k = kern_np.shape[0]
+        if k == 2:
+            # Haar fast path: depthwise stride-2 convs are VPU-bound on TPU;
+            # a 2x2 space-to-depth + (4,4) matmul hits the MXU instead.
+            b, h, w, _ = x.shape
+            xr = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 5, 2, 4)
+            xr = xr.reshape(b, h // 2, w // 2, c, 4)  # taps [(0,0),(0,1),(1,0),(1,1)]
+            mix = jnp.asarray(kern_np.reshape(4, 4), x.dtype)  # (tap, subband)
+            y = jnp.einsum("bhwct,ts->bhwcs", xr, mix)
+            return y[..., 0], y[..., 1], y[..., 2], y[..., 3]
+        kern = jnp.asarray(kern_np, dtype=x.dtype)
         pad = dwt_pad_each_side(self.wave)
         if pad > 0:
             x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
@@ -151,14 +162,22 @@ def _bilinear_resize(x, size):
     border differs from edge-clamped resize."""
     b, h, w, c = x.shape
     if size == (2 * h, 2 * w):
-        k1d = jnp.asarray([0.25, 0.75, 0.75, 0.25], x.dtype)
-        kern = jnp.tile((k1d[:, None] * k1d[None, :])[:, :, None, None], (1, 1, 1, c))
-        # transposed conv as input-dilated conv (lhs_dilation=2, pad k-1-1=2)
-        return jax.lax.conv_general_dilated(
-            x, kern, window_strides=(1, 1), padding=[(2, 2), (2, 2)],
-            lhs_dilation=(2, 2),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-        )
+        # separable half-pixel 2x bilinear as shift-adds + phase interleave:
+        #   even[i] = 0.75 x[i] + 0.25 x[i-1];  odd[i] = 0.75 x[i] + 0.25 x[i+1]
+        # (equals the k=[.25,.75,.75,.25] stride-2 transposed conv, zero edges)
+        def up1d(z, axis):
+            prev = jnp.pad(z, [(1, 0) if a == axis else (0, 0) for a in range(z.ndim)])[
+                tuple(slice(0, -1) if a == axis else slice(None) for a in range(z.ndim))]
+            nxt = jnp.pad(z, [(0, 1) if a == axis else (0, 0) for a in range(z.ndim)])[
+                tuple(slice(1, None) if a == axis else slice(None) for a in range(z.ndim))]
+            even = 0.75 * z + 0.25 * prev
+            odd = 0.75 * z + 0.25 * nxt
+            stacked = jnp.stack([even, odd], axis=axis + 1)
+            shp = list(z.shape)
+            shp[axis] *= 2
+            return stacked.reshape(shp)
+
+        return up1d(up1d(x, 1), 2)
     return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")
 
 
