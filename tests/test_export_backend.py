@@ -1,0 +1,64 @@
+"""Export round-trip + AutoBackend dispatch tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from edgeyolo_tpu.nn.autobackend import AutoBackend
+from edgeyolo_tpu.nn.tasks import DetectionModel
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    m = DetectionModel("yolo11n.yaml", nc=3)
+    m.init(0, imgsz=64)
+    m.names = {0: "a", 1: "b", 2: "c"}
+    return m
+
+
+def test_autobackend_module(small_model):
+    ab = AutoBackend(small_model)
+    out = ab(jnp.zeros((1, 64, 64, 3)))
+    assert out.shape[-1] == 4 + 3
+
+
+def test_jax_export_roundtrip(small_model, tmp_path):
+    from edgeyolo_tpu.cfg import get_cfg
+    from edgeyolo_tpu.export.exporter import Exporter
+
+    args = get_cfg(overrides={"mode": "export", "format": "jax_export", "imgsz": 64})
+    exp = Exporter(args)
+    path = exp(small_model, out_dir=tmp_path)
+    ab = AutoBackend(path)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    y_exported = np.asarray(ab(x))
+    y_live = np.asarray(small_model(x, train=False)["pred"])
+    np.testing.assert_allclose(y_exported, y_live, atol=1e-4)
+
+
+def test_npz_roundtrip(small_model, tmp_path):
+    from edgeyolo_tpu.cfg import get_cfg
+    from edgeyolo_tpu.export.exporter import Exporter
+    import json
+
+    args = get_cfg(overrides={"mode": "export", "format": "npz", "imgsz": 64})
+    path = Exporter(args)(small_model, out_dir=tmp_path)
+    # enrich metadata so AutoBackend can rebuild the module
+    meta_p = tmp_path / "yolo11.json"
+    meta = json.loads(meta_p.read_text())
+    meta["model_yaml"] = "yolo11n.yaml"
+    meta_p.write_text(json.dumps(meta))
+    ab = AutoBackend(path)
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3), jnp.float32)
+    np.testing.assert_allclose(np.asarray(ab(x)), np.asarray(small_model(x, train=False)["pred"]), atol=1e-5)
+
+
+def test_stablehlo_text_emitted(small_model, tmp_path):
+    from edgeyolo_tpu.cfg import get_cfg
+    from edgeyolo_tpu.export.exporter import Exporter
+
+    args = get_cfg(overrides={"mode": "export", "format": "stablehlo", "imgsz": 64})
+    path = Exporter(args)(small_model, out_dir=tmp_path)
+    text = open(path).read(2000)
+    assert "stablehlo" in text or "module" in text
