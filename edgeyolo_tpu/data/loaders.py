@@ -1,0 +1,158 @@
+"""Streaming inference sources.
+
+Behavioral spec: ultralytics/data/loaders.py — SourceTypes:25, LoadStreams
+(daemon thread + ring buffer per stream):51-212, LoadScreenshots:213,
+LoadImagesAndVideos:284, LoadPilAndNumpy:451, LoadTensor:516 and the
+dispatcher build.py:182-215.
+
+This environment has no cv2/ffmpeg: video decode and RTSP/webcam capture are
+gated with clear errors; images, dirs, globs, PIL/numpy arrays, tensors and
+pre-decoded frame iterables stream through the same interface.
+"""
+
+from __future__ import annotations
+
+import glob
+import threading
+import queue as queue_mod
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from edgeyolo_tpu.data.letterbox import load_image_rgb
+from edgeyolo_tpu.utils import LOGGER
+
+IMG_EXTS = {".bmp", ".jpeg", ".jpg", ".png", ".tif", ".tiff", ".webp"}
+VID_EXTS = {".mp4", ".avi", ".mov", ".mkv", ".m4v", ".webm", ".gif"}
+
+
+@dataclass
+class SourceTypes:
+    stream: bool = False
+    screenshot: bool = False
+    from_img: bool = False
+    tensor: bool = False
+
+
+class LoadImages:
+    """Batched walker over image files/dirs/globs."""
+
+    def __init__(self, source, batch: int = 1):
+        p = Path(str(source))
+        if p.is_dir():
+            files = sorted(x for x in p.rglob("*.*") if x.suffix.lower() in IMG_EXTS)
+        elif "*" in str(source):
+            files = [Path(f) for f in sorted(glob.glob(str(source))) if Path(f).suffix.lower() in IMG_EXTS]
+        elif p.is_file():
+            if p.suffix.lower() in VID_EXTS:
+                raise NotImplementedError(
+                    "video decode requires cv2/ffmpeg which are not in this image; "
+                    "extract frames to a directory and pass that instead"
+                )
+            files = [p]
+        else:
+            raise FileNotFoundError(f"source not found: {source}")
+        self.files = files
+        self.batch = batch
+
+    def __len__(self):
+        return len(self.files)
+
+    def __iter__(self):
+        for f in self.files:
+            yield str(f), load_image_rgb(str(f))
+
+
+class LoadPilAndNumpy:
+    """Wrap in-memory PIL images / numpy arrays."""
+
+    def __init__(self, imgs):
+        self.items = imgs if isinstance(imgs, (list, tuple)) else [imgs]
+
+    def __iter__(self):
+        for i, im in enumerate(self.items):
+            if hasattr(im, "convert"):  # PIL
+                im = np.asarray(im.convert("RGB"))
+            yield f"image{i}", np.asarray(im)
+
+
+class LoadTensor:
+    """Wrap pre-batched device/host tensors (B, H, W, 3)."""
+
+    def __init__(self, t):
+        self.t = np.asarray(t)
+        assert self.t.ndim == 4, "LoadTensor expects (B, H, W, 3)"
+
+    def __iter__(self):
+        for i in range(self.t.shape[0]):
+            yield f"tensor{i}", self.t[i]
+
+
+class FrameStream:
+    """Threaded ring-buffer wrapper over any frame-producing iterable — the
+    LoadStreams analog for sources that already yield numpy frames (e.g. a
+    camera SDK callback, a decoded frame generator)."""
+
+    def __init__(self, frame_iter, buffer: int = 8, name: str = "stream0"):
+        self.q: queue_mod.Queue = queue_mod.Queue(maxsize=buffer)
+        self.name = name
+        self.done = False
+
+        def pump():
+            for fr in frame_iter:
+                if self.done:
+                    break
+                try:
+                    self.q.put(fr, timeout=1.0)
+                except queue_mod.Full:  # drop-oldest ring behavior
+                    try:
+                        self.q.get_nowait()
+                    except queue_mod.Empty:
+                        pass
+                    self.q.put(fr)
+            self.done = True
+
+        self.thread = threading.Thread(target=pump, daemon=True)
+        self.thread.start()
+
+    def __iter__(self):
+        i = 0
+        while not (self.done and self.q.empty()):
+            try:
+                fr = self.q.get(timeout=0.5)
+            except queue_mod.Empty:
+                continue
+            yield f"{self.name}:{i}", np.asarray(fr)
+            i += 1
+
+    def close(self):
+        self.done = True
+
+
+def load_inference_source(source, batch: int = 1):
+    """Dispatch any source to a (path, frame) iterator + SourceTypes flags."""
+    st = SourceTypes()
+    if isinstance(source, np.ndarray) and source.ndim == 4:
+        st.tensor = True
+        return LoadTensor(source), st
+    if isinstance(source, np.ndarray) or hasattr(source, "convert"):
+        st.from_img = True
+        return LoadPilAndNumpy(source), st
+    if isinstance(source, (list, tuple)) and source and (
+        isinstance(source[0], np.ndarray) or hasattr(source[0], "convert")
+    ):
+        st.from_img = True
+        return LoadPilAndNumpy(source), st
+    if hasattr(source, "__iter__") and not isinstance(source, (str, Path)):
+        st.stream = True
+        return FrameStream(source), st
+    s = str(source)
+    if s.startswith(("rtsp://", "rtmp://", "http://", "https://")) or s.isnumeric():
+        raise NotImplementedError(
+            "webcam/RTSP capture requires cv2, not present in this image; wrap your "
+            "frame source in an iterable and pass it directly (FrameStream handles buffering)"
+        )
+    if s == "screen":
+        raise NotImplementedError("screenshot capture requires mss/cv2 (not in this image)")
+    return LoadImages(source, batch), st

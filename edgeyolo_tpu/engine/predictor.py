@@ -25,27 +25,12 @@ IMG_EXTS = {".bmp", ".jpeg", ".jpg", ".png", ".tif", ".tiff", ".webp"}
 
 
 def _iter_source(source):
-    """Yield (path, HWC RGB uint8) frames from any supported source."""
-    if isinstance(source, np.ndarray):
-        yield "array", source
-        return
-    if isinstance(source, (list, tuple)):
-        for s in source:
-            yield from _iter_source(s)
-        return
-    p = Path(str(source))
-    if p.is_dir():
-        for f in sorted(p.iterdir()):
-            if f.suffix.lower() in IMG_EXTS:
-                yield str(f), load_image_rgb(str(f))
-    elif p.is_file() and p.suffix.lower() in IMG_EXTS:
-        yield str(p), load_image_rgb(str(p))
-    elif "*" in str(source):
-        for f in sorted(glob.glob(str(source))):
-            if Path(f).suffix.lower() in IMG_EXTS:
-                yield f, load_image_rgb(f)
-    else:
-        raise FileNotFoundError(f"unsupported or missing source: {source}")
+    """Yield (path, HWC RGB uint8) frames via the loaders dispatcher
+    (images/dirs/globs/arrays/PIL/tensors/frame-iterables; data/loaders.py)."""
+    from edgeyolo_tpu.data.loaders import load_inference_source
+
+    loader, _types = load_inference_source(source)
+    yield from loader
 
 
 class DetectionPredictor:

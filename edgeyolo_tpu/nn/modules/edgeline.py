@@ -130,7 +130,7 @@ class DWT2D(nn.Module):
         c = x.shape[-1]
         kern_np = dwt2d_kernel(self.wave)  # (k,k,1,4)
         k = kern_np.shape[0]
-        if k == 2:
+        if k == 2 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             # Haar fast path: depthwise stride-2 convs are VPU-bound on TPU;
             # a 2x2 space-to-depth + (4,4) matmul hits the MXU instead.
             b, h, w, _ = x.shape
