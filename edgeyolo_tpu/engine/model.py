@@ -35,6 +35,10 @@ class YOLO:
         else:
             self.task = task or guess_model_task(model)
             cls = self.task_map[self.task]["model"]
+            from edgeyolo_tpu.nn.tasks import WorldModel, yaml_model_load as _yml
+
+            if "World" in str(_yml(model).get("head", [[None, None, ""]])[-1][2]):
+                cls = WorldModel
             self.model = cls(model, verbose=verbose)
             self.model_name = model
         self.model.names = getattr(self.model, "names", {})

@@ -107,6 +107,9 @@ _REG: dict[str, tuple[type, list[str]]] = {
     "AIFI": (M.AIFI, ["c1", "cm", "num_heads"]),
     "RepC3": (M.RepC3, ["c2", "n", "e"]),
     "RTDETRDecoder": (M.RTDETRDecoder, ["nc"]),
+    "C2fAttn": (M.C2fAttn, ["c2", "n", "ec", "nh", "gc", "shortcut", "g", "e"]),
+    "ImagePoolingAttn": (M.ImagePoolingAttn, ["ec"]),
+    "WorldDetect": (M.WorldDetect, ["nc", "embed", "with_bn"]),
 }
 
 # parse-time sets (membership by *name*, keeping the parser table-driven)
@@ -116,16 +119,16 @@ _CONV_LIKE = {
     "C3", "C3x", "C3k", "C3k2", "C3k2_Wavelet", "C3k2_TWavelet", "DSC3K2", "DSC3K2_Wavelet",
     "PSA", "SCDown", "DSConv", "LightConv", "Classify", "MulGate", "RHJM",
     "A2C2f", "C2fCIB", "CIB", "RepConv", "RepNCSPELAN4", "ELAN1", "AConv", "ADown",
-    "SPPELAN", "GhostBottleneck", "C3Ghost", "BottleneckCSP", "nn.ConvTranspose2d", "RepC3",
+    "SPPELAN", "GhostBottleneck", "C3Ghost", "BottleneckCSP", "nn.ConvTranspose2d", "RepC3", "C2fAttn",
 }
 _REPEAT_INSERT = {
     "C1", "C2", "C2f", "C3", "C3x", "C3k", "C3k2", "C3k2_Wavelet", "C3k2_TWavelet",
     "C2fPSA", "C2PSA", "C2PSA_LinearAttention", "DSC3K2", "DSC3K2_Wavelet",
-    "A2C2f", "C2fCIB", "BottleneckCSP", "C3Ghost", "RepC3",
+    "A2C2f", "C2fCIB", "BottleneckCSP", "C3Ghost", "RepC3", "C2fAttn",
 }
 _C3K2_FAMILY = {"C3k2", "DSC3K2", "C3k2_Wavelet", "C3k2_TWavelet", "DSC3K2_Wavelet"}
 _HEADS = {"Detect", "GF2Detect", "E2EDetect", "GFLHeadv2_uniH", "GFLHeadv2_E2E",
-          "Segment", "OBB", "Pose", "v10Detect", "RTDETRDecoder"}
+          "Segment", "OBB", "Pose", "v10Detect", "RTDETRDecoder", "WorldDetect"}
 # spatial stride factor per module (for static stride derivation)
 _STRIDE_ARG = {"Conv", "ConvBN", "DWConv", "DSConv", "GhostConv", "Focus", "SCDown", "RepConv"}
 _STRIDE_FIXED = {"AConv": 2.0, "ADown": 2.0, "DownsampleConv": 2.0, "HGStem": 4.0}
@@ -205,6 +208,10 @@ def parse_spec(d: dict, ch: int = 3, verbose: bool = False):
             args = [c2, *args[1:]]
             if act_override and name in {"Conv", "ConvBN", "DWConv"} and len(args) < 7:
                 kwargs["act"] = act_override
+            if name == "C2fAttn":
+                args[1] = make_divisible(min(args[1], max_channels // 2) * width, 8)  # embed
+                args[2] = int(max(round(min(args[2], max_channels // 2 // 32) * width), 1)
+                              if args[2] > 1 else args[2])  # heads
             if name in _REPEAT_INSERT:
                 args.insert(1, n_scaled)  # post-c1-drop index (=ref index 2)
                 n_scaled = 1
@@ -392,7 +399,9 @@ class GraphNet(nn.Module):
             mods.append(build_module(sp, extra))
         self.blocks = mods
 
-    def __call__(self, x, train: bool = False):
+    TEXT_MODULES = frozenset({"C2fAttn", "ImagePoolingAttn", "WorldDetect"})
+
+    def __call__(self, x, train: bool = False, text=None):
         y: dict[int, Any] = {}
         out = x
         for sp, blk in zip(self.spec, self.blocks):
@@ -400,7 +409,13 @@ class GraphNet(nn.Module):
                 inp = out if sp.f[0] == -1 else y[sp.f[0]]
             else:
                 inp = [out if j == -1 else y[j] for j in sp.f]
-            out = blk(inp, train=train)
+            if sp.name in self.TEXT_MODULES:
+                if sp.name == "WorldDetect":
+                    out = blk(inp, train=train, text=text)
+                else:
+                    out = blk(inp, text, train=train)
+            else:
+                out = blk(inp, train=train)
             if sp.i in self.save:
                 y[sp.i] = out
         return out
@@ -490,6 +505,49 @@ class OBBModel(DetectionModel):
 
 class ClassificationModel(BaseModel):
     task = "classify"
+
+
+class WorldModel(DetectionModel):
+    """Open-vocabulary detector: classification via text-embedding similarity.
+
+    set_classes() takes precomputed embeddings (K, gc) — CLIP text encoding is
+    gated in this offline image (reference WorldModel.set_classes
+    nn/tasks.py:633-652 calls clip; any embedding source of matching width
+    plugs in here)."""
+
+    def set_classes(self, embeddings, names=None):
+        import numpy as _np
+
+        self.text = jnp.asarray(_np.asarray(embeddings), jnp.float32)[None]
+        if names:
+            self.names = dict(enumerate(names))
+        self.nc = self.text.shape[1]
+
+    def count_params(self, imgsz: int = 64) -> int:
+        x = jax.ShapeDtypeStruct((1, imgsz, imgsz, 3), jnp.float32)
+        t = jax.ShapeDtypeStruct((1, self.nc, 512), jnp.float32)
+        shapes = jax.eval_shape(
+            lambda xx, tt: self.net.init(jax.random.PRNGKey(0), xx, train=False, text=tt), x, t)
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(shapes["params"]))
+
+    def apply(self, variables, x, train: bool = False, mutable=None):
+        assert getattr(self, "text", None) is not None, "call set_classes() first"
+        if mutable is None:
+            mutable = ["batch_stats"] if train else False
+        b = x.shape[0]
+        text = jnp.broadcast_to(self.text, (b, *self.text.shape[1:]))
+        return self.net.apply(variables, x, train=train, text=text, mutable=mutable)
+
+    def init(self, rng=0, imgsz: int = 640, batch: int = 1):
+        rng = jax.random.PRNGKey(rng) if isinstance(rng, int) else rng
+        x = jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32)
+        text = getattr(self, "text", None)
+        if text is None:
+            text = jnp.zeros((1, self.nc, 512), jnp.float32)
+            self.text = text
+        t = jnp.broadcast_to(text, (batch, *text.shape[1:]))
+        self.variables = jax.jit(self.net.init, static_argnames=("train",))(rng, x, train=False, text=t)
+        return self.variables
 
 
 class RTDETRDetectionModel(DetectionModel):

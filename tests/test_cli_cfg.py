@@ -1,0 +1,57 @@
+"""CLI grammar + config system tests (reference tests/test_cli.py style,
+in-process instead of subprocess for the 1-core CI)."""
+
+import pytest
+
+from edgeyolo_tpu.cfg import check_dict_alignment, get_cfg
+from edgeyolo_tpu.cfg.cli import entrypoint, parse_key_value
+
+
+def test_cfg_defaults_loaded():
+    cfg = get_cfg()
+    assert cfg.epochs == 100
+    assert cfg.imgsz == 640
+    assert cfg.warmup_bias_lr == 0.0  # fork default (upstream was 0.1)
+    assert cfg.nbs == 64
+
+
+def test_cfg_override_precedence():
+    cfg = get_cfg(overrides={"epochs": 5, "lr0": 0.5})
+    assert cfg.epochs == 5 and cfg.lr0 == 0.5
+
+
+def test_cfg_typo_suggestion():
+    with pytest.raises(SyntaxError) as e:
+        get_cfg(overrides={"epochz": 3})
+    assert "epochs" in str(e.value)  # did-you-mean
+
+
+def test_cfg_type_checking():
+    with pytest.raises(ValueError):
+        get_cfg(overrides={"lr0": 1.5})  # fraction key out of [0,1]
+    with pytest.raises(TypeError):
+        get_cfg(overrides={"epochs": "ten"})
+
+
+def test_parse_key_value_literals():
+    assert parse_key_value("epochs=3") == ("epochs", 3)
+    assert parse_key_value("lr0=0.01") == ("lr0", 0.01)
+    assert parse_key_value("save=False") == ("save", False)
+    assert parse_key_value("device=none") == ("device", None)
+    assert parse_key_value("name=run1") == ("name", "run1")
+
+
+def test_cli_help_and_version(capsys=None):
+    assert entrypoint(["help"]) == 0
+    assert entrypoint(["version"]) == 0
+
+
+def test_cli_rejects_garbage():
+    with pytest.raises(SyntaxError):
+        entrypoint(["detect", "flytome", "x=1"])
+    with pytest.raises(SyntaxError):
+        entrypoint(["detect"])  # no MODE
+
+
+def test_cli_checks_runs():
+    assert entrypoint(["checks"]) == 0
