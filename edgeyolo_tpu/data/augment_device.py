@@ -71,7 +71,7 @@ def _bilinear_gather(quads: jnp.ndarray, img_idx, yy, xx):
     return (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx + v10 * fy * (1 - fx) + v11 * fy * fx)
 
 
-def _warp_one(quads, boxes4, valid4, key, S: int, hyp: dict, mosaic: bool):
+def _warp_one(quads, boxes4, valid4, kpts4, key, S: int, hyp: dict, mosaic: bool):
     """One output image from its 4 source quads.
 
     quads: (4,S,S,3) float; boxes4: (4,M,4) normalized xywh; valid4: (4,M).
@@ -145,7 +145,10 @@ def _warp_one(quads, boxes4, valid4, key, S: int, hyp: dict, mosaic: bool):
     boxes_out = jnp.stack(
         [(nx1 + nx2) / 2 / S, (ny1 + ny2) / 2 / S, w_new / S, h_new / S], axis=-1
     ).reshape(M4, 4)
-    return img, boxes_out, valid.reshape(M4)
+    kpts_out = None
+    if kpts4 is not None:
+        kpts_out = _warp_kpts(kpts4, oy, ox, A, offs, S, valid)
+    return img, boxes_out, valid.reshape(M4), kpts_out
 
 
 def _rgb_to_hsv(rgb):
@@ -188,9 +191,28 @@ def _hsv_aug(img01, key, hyp):
     return jnp.clip(_hsv_to_rgb(jnp.stack([h, s, v], -1)), 0, 1)
 
 
+def _warp_kpts(kpts4, oy, ox, A, offs, S, valid):
+    """Forward-transform keypoints through the mosaic+affine map.
+
+    kpts4: (4, M, K, 3) letterbox-pixel coords + vis. Returns (4*M, K, 3)
+    with out-of-canvas keypoints marked invisible.
+    """
+    four, M, K, _ = kpts4.shape
+    px = kpts4[..., 0] + ox[:, None, None] - offs
+    py = kpts4[..., 1] + oy[:, None, None] - offs
+    ph = jnp.stack([px, py, jnp.ones_like(px)], -1)  # (4,M,K,3)
+    out = ph @ A.T
+    x = out[..., 0] / out[..., 2]
+    y = out[..., 1] / out[..., 2]
+    inb = (x >= 0) & (x < S) & (y >= 0) & (y < S)
+    vis = kpts4[..., 2] * inb.astype(kpts4.dtype) * valid[..., None].astype(kpts4.dtype)
+    return jnp.stack([x, y, vis], -1).reshape(four * M, K, 3)
+
+
 @partial(jax.jit, static_argnames=("imgsz", "mosaic", "hyp_key"))
-def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key):
+def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key, keypoints=None):
     hyp = dict(hyp_key)
+    hyp_extra = {"keypoints": keypoints}
     B, S = images.shape[0], imgsz
     M = cls.shape[1]
     imgs_f = images.astype(jnp.float32)
@@ -208,20 +230,28 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key):
     cls4 = cls[sel].reshape(B, 4 * M)
     valid4 = mask[sel] > 0  # (B,4,M)
 
-    warp = jax.vmap(lambda q, b, v, k: _warp_one(q, b, v, k, S, hyp, mosaic))
-    img, boxes_out, valid = warp(quads, boxes4, valid4, keys[:, 0])
+    kpts = hyp_extra.get("keypoints")
+    if kpts is not None:
+        kpts4 = kpts[sel]  # (B,4,M,K,3)
+        warp = jax.vmap(lambda q, b, v, kk, k: _warp_one(q, b, v, kk, k, S, hyp, mosaic))
+        img, boxes_out, valid, kpts_out = warp(quads, boxes4, valid4, kpts4, keys[:, 0])
+    else:
+        warp = jax.vmap(lambda q, b, v, k: _warp_one(q, b, v, None, k, S, hyp, mosaic))
+        img, boxes_out, valid, _ = warp(quads, boxes4, valid4, keys[:, 0])
+        kpts_out = None
 
     img01 = img / 255.0
     img01 = jax.vmap(lambda im, k: _hsv_aug(im, k, hyp))(img01, keys[:, 1])
 
-    # horizontal flip
-    pflip = float(hyp.get("fliplr", 0.5))
+    # horizontal flip (disabled when keypoints ride along: left/right kpt
+    # semantics need a flip_idx remap, applied upstream when provided)
+    pflip = 0.0 if kpts_out is not None else float(hyp.get("fliplr", 0.5))
     do_flip = jax.random.uniform(jax.random.fold_in(key, 29), (B,)) < pflip
     img01 = jnp.where(do_flip[:, None, None, None], img01[:, :, ::-1, :], img01)
     bx = jnp.where(do_flip[:, None], 1.0 - boxes_out[..., 0], boxes_out[..., 0])
     boxes_out = boxes_out.at[..., 0].set(bx)
     # vertical flip
-    pflipud = float(hyp.get("flipud", 0.0))
+    pflipud = 0.0 if kpts_out is not None else float(hyp.get("flipud", 0.0))
     if pflipud > 0:
         do_f = jax.random.uniform(jax.random.fold_in(key, 31), (B,)) < pflipud
         img01 = jnp.where(do_f[:, None, None, None], img01[:, ::-1, :, :], img01)
@@ -230,7 +260,7 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key):
 
     # mixup (static gate on hyp)
     pmix = float(hyp.get("mixup", 0.0))
-    if pmix > 0:
+    if pmix > 0 and kpts_out is None:
         kmix = jax.random.fold_in(key, 37)
         do_mix = jax.random.uniform(kmix, (B,)) < pmix
         lam = jax.random.beta(jax.random.fold_in(key, 41), 32.0, 32.0, (B,))
@@ -242,14 +272,19 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key):
         valid = jnp.concatenate([valid, valid[other] & do_mix[:, None]], axis=1)
 
     boxes_out = boxes_out * valid[..., None]
+    if kpts_out is not None:
+        return img01, cls4, boxes_out, valid.astype(jnp.float32), kpts_out
     return img01, cls4, boxes_out, valid.astype(jnp.float32)
 
 
-def augment_batch(images, cls, bboxes, mask, key, imgsz: int, hyp: dict, mosaic: bool = True):
+def augment_batch(images, cls, bboxes, mask, key, imgsz: int, hyp: dict, mosaic: bool = True,
+                  keypoints=None):
     """Apply the fused augmentation program.
 
     images (B,S,S,3) uint8; cls (B,M); bboxes (B,M,4) normalized xywh;
-    mask (B,M). Returns (images01 f32, cls (B,4M[*2]), bboxes, mask).
+    mask (B,M); keypoints optional (B,M,K,3) letterbox pixels (pose task —
+    flips should be disabled unless a flip_idx remap is applied upstream).
+    Returns (images01 f32, cls (B,4M[*2]), bboxes, mask[, keypoints]).
     """
     hyp_key = tuple(sorted((k, float(v)) for k, v in hyp.items() if isinstance(v, (int, float))))
-    return _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key)
+    return _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key, keypoints)

@@ -184,9 +184,9 @@ class DetectionTrainer(CallbackMixin):
         criterion = self._build_criterion(task, args, kpt_shape)
         has_quality = "GF" in self.model.head_name or "E2E" in self.model.head_name
         head_is_dict_loss = task in ("segment", "pose", "obb")
-        # geometric augmentation does not yet transform masks/kpts/rboxes:
-        # those tasks train with photometric-only aug (flip handled off)
-        geo_aug_ok = task == "detect"
+        # masks/rboxes don't ride the geometric warp yet: segment/obb train
+        # with letterbox-only; pose keypoints DO ride it (flips auto-disabled)
+        geo_aug_ok = task in ("detect", "pose")
         hyp_dict = {k: v for k, v in vars(args).items() if isinstance(v, (int, float))}
         use_bf16 = bool(args.amp)
         # data-parallel mesh over the largest device count that divides the batch
@@ -205,10 +205,15 @@ class DetectionTrainer(CallbackMixin):
                 batch_dev["img"], batch_dev["cls"], batch_dev["bboxes"], batch_dev["mask_gt"]
             )
             if geo_aug_ok:
-                img01, acls, aboxes, amask = augment_batch(
-                    images, cls, bboxes, mask, key, imgsz, hyp_dict, mosaic=mosaic
-                )
-                tgt = {"cls": acls, "bboxes": aboxes, "mask_gt": amask}
+                kp = batch_dev.get("keypoints")
+                aug = augment_batch(images, cls, bboxes, mask, key, imgsz, hyp_dict,
+                                    mosaic=mosaic, keypoints=kp)
+                if kp is not None:
+                    img01, acls, aboxes, amask, akpts = aug
+                    tgt = {"cls": acls, "bboxes": aboxes, "mask_gt": amask, "keypoints": akpts}
+                else:
+                    img01, acls, aboxes, amask = aug
+                    tgt = {"cls": acls, "bboxes": aboxes, "mask_gt": amask}
             else:
                 img01 = images.astype(jnp.float32) / 255.0
                 tgt = {"cls": cls, "bboxes": batch_dev.get("rboxes", bboxes), "mask_gt": mask}
