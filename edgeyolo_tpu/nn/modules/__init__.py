@@ -125,3 +125,21 @@ from edgeyolo_tpu.nn.modules.world import (  # noqa: E402
 )
 
 __all__ = [n for n in dir() if not n.startswith("_")]
+
+from edgeyolo_tpu.nn.modules.msla_lgl import (  # noqa: E402
+    C3AW_MLM,
+    DSC3K2_LGL,
+    DSC3K2_MSLA,
+    GlobalSparseAttn,
+    HyperACE_Wavelet,
+    IHaarDWT2D,
+    LGLBlock,
+    LocalAgg,
+    LocalSS2DContext,
+    MSLA,
+    SeqMixer1D,
+    Wavelet_SS2D,
+    WaveletMixerMultiLevel,
+)
+
+__all__ = [n for n in dir() if not n.startswith("_")]

@@ -110,6 +110,13 @@ _REG: dict[str, tuple[type, list[str]]] = {
     "C2fAttn": (M.C2fAttn, ["c2", "n", "ec", "nh", "gc", "shortcut", "g", "e"]),
     "ImagePoolingAttn": (M.ImagePoolingAttn, ["ec"]),
     "WorldDetect": (M.WorldDetect, ["nc", "embed", "with_bn"]),
+    # intended-behavior rebuilds of families broken in the reference snapshot
+    "DSC3K2_MSLA": (M.DSC3K2_MSLA, ["c2", "n", "dsc3k", "e", "g", "shortcut", "k1", "k2", "d2"]),
+    "DSC3K2_LGL": (M.DSC3K2_LGL, ["c2", "n", "dsc3k", "e", "g", "shortcut", "k1", "k2", "d2"]),
+    "C3AW_MLM": (M.C3AW_MLM, ["c2", "e", "levels"]),
+    "MSLA": (M.MSLA, ["dim", "num_heads"]),
+    "HyperACE_Wavelet": (M.HyperACE_Wavelet, ["c2", "n", "num_hyperedges", "dsc3k", "shortcut", "e1", "e2", "context", "channel_adjust"]),
+    "Wavelet_SS2D": (M.Wavelet_SS2D, ["c2", "n", "num_hyperedges", "dsc3k", "shortcut", "e1", "e2", "context", "channel_adjust"]),
 }
 
 # parse-time sets (membership by *name*, keeping the parser table-driven)
@@ -120,13 +127,15 @@ _CONV_LIKE = {
     "PSA", "SCDown", "DSConv", "LightConv", "Classify", "MulGate", "RHJM",
     "A2C2f", "C2fCIB", "CIB", "RepConv", "RepNCSPELAN4", "ELAN1", "AConv", "ADown",
     "SPPELAN", "GhostBottleneck", "C3Ghost", "BottleneckCSP", "nn.ConvTranspose2d", "RepC3", "C2fAttn",
+    "DSC3K2_MSLA", "DSC3K2_LGL", "C3AW_MLM",
 }
 _REPEAT_INSERT = {
     "C1", "C2", "C2f", "C3", "C3x", "C3k", "C3k2", "C3k2_Wavelet", "C3k2_TWavelet",
     "C2fPSA", "C2PSA", "C2PSA_LinearAttention", "DSC3K2", "DSC3K2_Wavelet",
-    "A2C2f", "C2fCIB", "BottleneckCSP", "C3Ghost", "RepC3", "C2fAttn",
+    "A2C2f", "C2fCIB", "BottleneckCSP", "C3Ghost", "RepC3", "C2fAttn", "DSC3K2_MSLA", "DSC3K2_LGL",
 }
-_C3K2_FAMILY = {"C3k2", "DSC3K2", "C3k2_Wavelet", "C3k2_TWavelet", "DSC3K2_Wavelet"}
+_C3K2_FAMILY = {"C3k2", "DSC3K2", "C3k2_Wavelet", "C3k2_TWavelet", "DSC3K2_Wavelet",
+                "DSC3K2_MSLA", "DSC3K2_LGL"}
 _HEADS = {"Detect", "GF2Detect", "E2EDetect", "GFLHeadv2_uniH", "GFLHeadv2_E2E",
           "Segment", "OBB", "Pose", "v10Detect", "RTDETRDecoder", "WorldDetect"}
 # spatial stride factor per module (for static stride derivation)

@@ -125,3 +125,37 @@ def test_gf2_head_quality_in_range():
     for q in out["quality"]:
         assert bool(jnp.all((q >= 0) & (q <= 1)))
     assert out["pred"].shape[-1] == 4 + 3
+
+
+def test_intent_modules_shapes():
+    """Intended-behavior rebuilds of the reference's broken families
+    (MSLA/LGL/wavelet-mixer — non-instantiable in the reference snapshot,
+    SURVEY.md §2.3)."""
+    import edgeyolo_tpu.nn.modules as M2
+
+    x = jnp.ones((1, 16, 16, 32))
+    for mod in (M2.MSLA(32, 2), M2.DSC3K2_MSLA(32, 1), M2.DSC3K2_LGL(32, 1),
+                M2.C3AW_MLM(32), M2.LocalSS2DContext(32)):
+        v = mod.init(RNG, x, train=True)
+        y = mod.apply(v, x, train=False)
+        assert y.shape == x.shape and bool(jnp.all(jnp.isfinite(y)))
+    xs = [jnp.ones((1, 16, 16, 32)), jnp.ones((1, 8, 8, 32)), jnp.ones((1, 4, 4, 32))]
+    hw = M2.HyperACE_Wavelet(64)
+    v = hw.init(RNG, xs, train=True)
+    assert hw.apply(v, xs, train=False).shape == (1, 8, 8, 64)
+
+
+def test_world_blocks_shapes():
+    import numpy as np
+    import edgeyolo_tpu.nn.modules as M2
+
+    x = jnp.ones((2, 8, 8, 32))
+    text = jnp.asarray(np.random.RandomState(0).randn(2, 5, 512), jnp.float32)
+    attn = M2.C2fAttn(32, 1, ec=64, nh=2)
+    v = attn.init(RNG, x, text, train=True)
+    assert attn.apply(v, x, text, train=False).shape == (2, 8, 8, 32)
+    head = M2.WorldDetect(nc=5, ch=(32, 64, 128), stride=(8, 16, 32))
+    feats = [jnp.ones((2, 8, 8, 32)), jnp.ones((2, 4, 4, 64)), jnp.ones((2, 2, 2, 128))]
+    v = head.init(RNG, feats, train=True, text=text)
+    out = head.apply(v, feats, train=False, text=text)
+    assert out["pred"].shape == (2, 84, 9)
