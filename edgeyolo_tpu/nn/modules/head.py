@@ -124,13 +124,21 @@ class GF2Detect(Detect):
 
     @staticmethod
     def _topk_small(x, k: int):
-        """top-k values over the small last dim via k unrolled max+mask sweeps.
+        """top-k values over the small last dim via k unrolled argmax sweeps.
 
         jax.lax.top_k over a tiny trailing dim of a huge tensor sorts on TPU
-        and costs ~50 ms/batch at 640px; k masked maxes are pure VPU ops.
+        and costs ~50 ms/batch at 640px; k argmax+one-hot sweeps are pure VPU
+        ops. Masks exactly ONE occurrence per sweep so duplicate values (e.g.
+        a uniform softmax) keep their multiplicity like a real top-k.
         """
+        n = x.shape[-1]
+        # deterministic tie-break: +iota*1e-7 makes values unique, so the
+        # masked-max sweep removes exactly one element per round (duplicates
+        # keep their multiplicity up to a <2e-6 perturbation — far below the
+        # quality head's resolution) while staying pure VPU ops.
+        eps = jnp.arange(n, dtype=x.dtype) * jnp.asarray(1e-7, x.dtype)
+        cur = x + eps
         vals = []
-        cur = x
         for _ in range(k):
             m = jnp.max(cur, axis=-1, keepdims=True)
             vals.append(m)
