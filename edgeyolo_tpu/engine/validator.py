@@ -131,7 +131,15 @@ class DetectionValidator:
             import json
 
             self.save_dir.mkdir(parents=True, exist_ok=True)
-            (self.save_dir / "predictions.json").write_text(json.dumps(self.jdict))
+            pred_path = self.save_dir / "predictions.json"
+            pred_path.write_text(json.dumps(self.jdict))
+            gt_json = data_cfg.get("annotations") or data_cfg.get("gt_json")
+            if gt_json and Path(gt_json).exists():
+                from edgeyolo_tpu.metrics.coco_eval import evaluate_coco
+
+                coco = evaluate_coco(gt_json, pred_path)
+                for k, v in coco.items():
+                    metrics.speed[f"coco/{k}"] = v  # surfaced alongside results
         return metrics.results_dict
 
     def _to_json(self, det: np.ndarray, im_file: str):

@@ -198,9 +198,12 @@ class WaveletEnhancer(nn.Module):
         half = self.c // 2
         llp = ConvBN(half, 1, name="f_ll")(ll, train)
         f_h = DSConv(half, 3, name="f_h") if self.use_ds else ConvBN(half, 3, name="f_h")
-        lhp = f_h(lh, train)
-        hlp = f_h(hl, train)
-        hhp = f_h(hh, train)
+        # the 3 high bands share f_h: one conv over a stacked batch instead of
+        # three tiny-channel dispatches (shared weights AND shared BN stats,
+        # matching the reference's single module applied three times)
+        hb = jnp.concatenate([lh, hl, hh], axis=0)  # (3B, H/2, W/2, C)
+        hp = f_h(hb, train)
+        lhp, hlp, hhp = jnp.split(hp, 3, axis=0)
 
         alpha = self.param("alpha", lambda k: jnp.asarray(self.alpha0, jnp.float32))
         wgt = jax.nn.softplus(alpha)

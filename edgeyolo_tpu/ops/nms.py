@@ -164,3 +164,59 @@ def non_max_suppression(
     if return_idx:
         return det, n, aidx
     return det, n
+
+
+@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms"))
+def nms_rotated(pred: jnp.ndarray, conf_thres: float = 0.25, iou_thres: float = 0.45,
+                max_det: int = 300, max_nms: int = 2048):
+    """Batched rotated NMS via probiou suppression.
+
+    pred: (B, A, 4+nc+1) — xywh (rotated extents), class probs, angle (rad).
+    Mirrors the reference's probiou upper-triangle suppression
+    (ultralytics/utils/ops.py:146-165) with the same fixed-point greedy
+    semantics as the axis-aligned matrix path. Returns
+    (dets (B, max_det, 7) [cx, cy, w, h, angle, conf, cls], n_valid (B,)).
+    """
+    from edgeyolo_tpu.ops.boxes import probiou
+
+    b, a, no = pred.shape
+    nc = no - 5
+    boxes = pred[..., :4]
+    scores = pred[..., 4 : 4 + nc]
+    angle = pred[..., -1:]
+
+    def per_image(bx, sc, ang):
+        best = jnp.max(sc, axis=-1)
+        cls_ix_all = jnp.argmax(sc, axis=-1).astype(jnp.float32)
+        n_cand = min(max_nms, a)
+        top_sc, top_ix = jax.lax.top_k(best, n_cand)
+        cand = jnp.concatenate([bx[top_ix], ang[top_ix]], axis=-1)  # (n,5) xywhr
+        cand_sc = jnp.where(top_sc > conf_thres, top_sc, 0.0)
+        cls_ix = cls_ix_all[top_ix]
+
+        iou = probiou(cand[:, None, :], cand[None, :, :])[..., 0]  # (n,n)
+        same_cls = cls_ix[:, None] == cls_ix[None, :]
+        higher = jnp.arange(n_cand)[:, None] < jnp.arange(n_cand)[None, :]
+        sup_edge = higher & (iou > iou_thres) & same_cls
+        valid0 = cand_sc > 0.0
+
+        def cond(state):
+            alive, changed, it = state
+            return changed & (it < 64)
+
+        def body(state):
+            alive, _, it = state
+            suppressed = jnp.any(sup_edge & alive[:, None], axis=0)
+            new_alive = valid0 & ~suppressed
+            return new_alive, jnp.any(new_alive != alive), it + 1
+
+        alive, _, _ = jax.lax.while_loop(cond, body, (valid0, jnp.asarray(True), 0))
+        kept = jnp.where(alive, cand_sc, 0.0)
+        ksc, kidx = jax.lax.top_k(kept, min(max_det, n_cand))
+        det = jnp.concatenate(
+            [cand[kidx], ksc[:, None], cls_ix[kidx][:, None]], axis=-1
+        )
+        det = jnp.where((ksc > 0)[:, None], det, 0.0)
+        return det, (ksc > 0).sum().astype(jnp.int32)
+
+    return jax.vmap(per_image)(boxes, scores, angle)
