@@ -183,7 +183,7 @@ class DetectionTrainer(CallbackMixin):
 
         criterion = self._build_criterion(task, args, kpt_shape)
         has_quality = "GF" in self.model.head_name or "E2E" in self.model.head_name
-        head_is_dict_loss = task in ("segment", "pose", "obb")
+        head_is_dict_loss = task in ("segment", "pose", "obb") or self.model.head_name == "RTDETRDecoder"
         # masks/rboxes don't ride the geometric warp yet: segment/obb train
         # with letterbox-only; pose keypoints DO ride it (flips auto-disabled)
         geo_aug_ok = task in ("detect", "pose")
@@ -347,6 +347,10 @@ class DetectionTrainer(CallbackMixin):
                             pose_gain=float(args.pose), kobj_gain=float(args.kobj))
         if task == "obb":
             return OBBLoss(self.model, hyp=args)
+        if self.model.head_name == "RTDETRDecoder":
+            from edgeyolo_tpu.train.detr_loss import RTDETRDetectionLoss
+
+            return RTDETRDetectionLoss(self.model)
         if "E2E" in self.model.head_name:
             return E2EDetectLoss(self.model, hyp=args)
         return DetectionLoss(self.model, hyp=args)
