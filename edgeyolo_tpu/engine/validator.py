@@ -58,10 +58,31 @@ class DetectionValidator:
         nc = model.nc
 
         if self._infer is None:
+            is_detr = getattr(model, "head_name", "") == "RTDETRDecoder"
+
             @jax.jit
             def infer(v, img):
                 out = net.apply(v, img, train=False)
                 pred = out["pred"]
+                if is_detr:
+                    # query-based: no NMS; scale normalized cxcywh to pixels,
+                    # take per-query argmax class (reference RTDETRValidator)
+                    s = jnp.asarray([img.shape[2], img.shape[1]] * 2, jnp.float32)
+                    from edgeyolo_tpu.ops.boxes import xywh2xyxy as _x
+
+                    boxes = _x(pred[..., :4] * s)
+                    scores = pred[..., 4:]
+                    best = jnp.max(scores, axis=-1)
+                    cls_ix = jnp.argmax(scores, axis=-1).astype(jnp.float32)
+                    k = min(int(args.max_det), boxes.shape[1])
+                    top, ix = jax.lax.top_k(best, k)
+                    det = jnp.concatenate([
+                        jnp.take_along_axis(boxes, ix[..., None], axis=1),
+                        top[..., None],
+                        jnp.take_along_axis(cls_ix, ix, axis=1)[..., None],
+                    ], axis=-1)
+                    det = jnp.where((top > conf)[..., None], det, 0.0)
+                    return det, (top > conf).sum(axis=1).astype(jnp.int32)
                 return non_max_suppression(
                     pred, conf_thres=conf, iou_thres=float(args.iou), max_det=int(args.max_det),
                     max_nms=max_nms, multi_label=True, agnostic=bool(args.single_cls), nc=nc,

@@ -270,7 +270,9 @@ class DetectionTrainer(CallbackMixin):
                 keep = {k: v for k, v in batch.items() if k not in ("meta", "n_real")}
                 sb = shard_batch(keep, self.mesh)
                 state, loss, items = train_step(state, sb, sub, mosaic_on)
-                losses.append([float(items["box"]), float(items["cls"]), float(items["dfl"])])
+                losses.append([float(items.get("box", items.get("l1", 0.0))),
+                               float(items.get("cls", 0.0)),
+                               float(items.get("dfl", items.get("giou", 0.0)))])
             mloss = np.mean(losses, axis=0) if losses else np.zeros(3)
 
             # validation with EMA params
