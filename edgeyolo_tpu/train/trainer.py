@@ -247,7 +247,27 @@ class DetectionTrainer(CallbackMixin):
             return (new_params, new_bs, new_opt, new_ema, upd), loss, items
 
         ema = jax.tree.map(jnp.copy, params)
-        state = (params, batch_stats, opt_state, ema, jnp.zeros((), jnp.int32))
+        start_epoch = 0
+        if args.resume:
+            ck_path = Path(args.resume if isinstance(args.resume, str) else self.save_dir / "last.msgpack")
+            if ck_path.exists():
+                template = {"params": params, "batch_stats": batch_stats,
+                            "ema": ema, "updates": 0,
+                            "epoch": 0, "best_fitness": 0.0}
+                ck = serialization.from_bytes(template, ck_path.read_bytes())
+                params, batch_stats, ema = ck["params"], ck["batch_stats"], ck["ema"]
+                opt_path = ck_path.with_suffix("").with_suffix("")  # strip .msgpack
+                opt_path = ck_path.parent / (ck_path.stem + ".opt.msgpack")
+                if opt_path.exists():
+                    opt_state = serialization.from_bytes(opt_state, opt_path.read_bytes())
+                start_epoch = int(ck["epoch"]) + 1
+                self.best_fitness = float(ck["best_fitness"])
+                LOGGER.info(f"resumed from {ck_path} at epoch {start_epoch} "
+                            f"(best fitness {self.best_fitness:.4f})")
+            else:
+                LOGGER.warning(f"resume requested but {ck_path} not found; starting fresh")
+        state = (params, batch_stats, opt_state, ema,
+                 jnp.asarray(start_epoch * nb // max(accumulate, 1), jnp.int32))
         state = jax.device_put(state, replicated(self.mesh))
 
         key = jax.random.PRNGKey(int(args.seed))
@@ -257,7 +277,7 @@ class DetectionTrainer(CallbackMixin):
         stop = False
         self.run_callbacks("on_train_start")
 
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             self.epoch = epoch
             self.run_callbacks("on_train_epoch_start")
             mosaic_on = (
@@ -381,7 +401,7 @@ class DetectionTrainer(CallbackMixin):
                                batch_size=int(self.args.batch), max_nms=4096)
 
     def _save_ckpt(self, state, epoch: int, name: str):
-        params, batch_stats, _, ema, step = jax.device_get(state)
+        params, batch_stats, opt_state, ema, step = jax.device_get(state)
         ckpt = {
             "params": params,
             "batch_stats": batch_stats,
@@ -390,6 +410,8 @@ class DetectionTrainer(CallbackMixin):
             "epoch": epoch,
             "best_fitness": float(self.best_fitness),
         }
+        if name == "last":  # optimizer sidecar enables exact resume
+            (self.save_dir / "last.opt.msgpack").write_bytes(serialization.to_bytes(opt_state))
         self.save_dir.mkdir(parents=True, exist_ok=True)
         blob = serialization.to_bytes(ckpt)
         (self.save_dir / f"{name}.msgpack").write_bytes(blob)
