@@ -12,6 +12,7 @@ from edgeyolo_tpu.nn.modules.conv import (
     DWConv,
     Focus,
     GhostConv,
+    Identity,
     Index,
     LightConv,
     SpatialAttention,

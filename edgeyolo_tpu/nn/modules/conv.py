@@ -311,3 +311,11 @@ class CBAM(nn.Module):
     def __call__(self, x, train: bool = False):
         x = ChannelAttention(self.c1, name="channel_attention")(x, train)
         return SpatialAttention(self.k, name="spatial_attention")(x, train)
+
+
+class Identity(nn.Module):
+    """Pass-through node (graph anchor for multi-branch specs like yolov9e)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return x

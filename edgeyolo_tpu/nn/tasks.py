@@ -92,6 +92,7 @@ _REG: dict[str, tuple[type, list[str]]] = {
     # glue
     "Concat": (M.Concat, ["dim"]),
     "nn.Upsample": (M.Upsample, ["size", "scale_factor", "mode"]),
+    "nn.Identity": (M.Identity, []),
     "Upsample": (M.Upsample, ["size", "scale_factor", "mode"]),
     # heads
     "Detect": (M.Detect, ["nc"]),

@@ -36,6 +36,8 @@ PARITY = {
     ("yolov12", "n"): 2553904,
     ("yolov13", "n"): 2494151,
     ("yolov9t", ""): 2128720,
+    ("yolov9s", ""): 7318368,
+    ("yolov9e", ""): 58206592,
     ("yolov5", "n"): 2654816,
     ("yolov3", ""): 103754144,
     ("yolov6", "n"): 4500080,
