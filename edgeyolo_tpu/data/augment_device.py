@@ -71,11 +71,13 @@ def _bilinear_gather(quads: jnp.ndarray, img_idx, yy, xx):
     return (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx + v10 * fy * (1 - fx) + v11 * fy * fx)
 
 
-def _warp_one(quads, boxes4, valid4, kpts4, key, S: int, hyp: dict, mosaic: bool):
+def _warp_one(quads, boxes4, valid4, extras, key, S: int, hyp: dict, mosaic: bool):
     """One output image from its 4 source quads.
 
-    quads: (4,S,S,3) float; boxes4: (4,M,4) normalized xywh; valid4: (4,M).
-    Returns (img (S,S,3), boxes (4M,4) normalized xywh, valid (4M,)).
+    quads: (4,S,S,3) float; boxes4: (4,M,4) normalized xywh; valid4: (4,M);
+    extras: dict with optional "keypoints" (4,M,K,3), "masks" (4,M,Sm,Sm)
+    binary instance masks, "rboxes" (4,M,5) normalized cx,cy,w,h,angle.
+    Returns (img (S,S,3), boxes (4M,4) normalized xywh, valid (4M,), extras_out).
     """
     M4 = boxes4.shape[0] * boxes4.shape[1]
     kc, ka = jax.random.split(key)
@@ -112,6 +114,9 @@ def _warp_one(quads, boxes4, valid4, kpts4, key, S: int, hyp: dict, mosaic: bool
     img = _bilinear_gather(quads, img_idx, y_loc, x_loc)
 
     # ---- labels: forward transform ------------------------------------------
+    if not mosaic:
+        # only quad 0 contributes pixels; partner-quad labels are phantoms
+        valid4 = valid4 & (jnp.arange(4)[:, None] == 0)
     if mosaic:
         oy = jnp.stack([yc - S, yc - S, yc, yc])  # per-quadrant origin
         ox = jnp.stack([xc - S, xc, xc - S, xc])
@@ -145,10 +150,80 @@ def _warp_one(quads, boxes4, valid4, kpts4, key, S: int, hyp: dict, mosaic: bool
     boxes_out = jnp.stack(
         [(nx1 + nx2) / 2 / S, (ny1 + ny2) / 2 / S, w_new / S, h_new / S], axis=-1
     ).reshape(M4, 4)
-    kpts_out = None
-    if kpts4 is not None:
-        kpts_out = _warp_kpts(kpts4, oy, ox, A, offs, S, valid)
-    return img, boxes_out, valid.reshape(M4), kpts_out
+    extras_out = {}
+    if "keypoints" in extras:
+        extras_out["keypoints"] = _warp_kpts(extras["keypoints"], oy, ox, A, offs, S, valid)
+    if "masks" in extras:
+        extras_out["masks"] = _warp_masks(extras["masks"], img_idx, y_loc, x_loc, S)
+    if "rboxes" in extras:
+        rb, rkeep = _warp_rboxes(extras["rboxes"], oy, ox, A, offs, S)
+        extras_out["rboxes"] = rb
+        # rbox validity uses its own geometry filter on top of the source mask
+        valid_r = (valid4 & rkeep).reshape(M4)
+        extras_out["_rvalid"] = valid_r
+    return img, boxes_out, valid.reshape(M4), extras_out
+
+
+def _warp_masks(masks4, img_idx, y_loc, x_loc, S):
+    """Warp per-instance binary masks through the same inverse map (nearest).
+
+    masks4: (4, M, Sm, Sm). The image-resolution inverse map (img_idx, y_loc,
+    x_loc) is downsampled to mask resolution by strided slicing, keeping mask
+    and image geometry aligned (reference: instance masks ride cv2.warpAffine
+    with the same matrix, augment.py:1046-1058).
+    Returns (4M, Sm, Sm) float.
+    """
+    four, M, Sm, _ = masks4.shape
+    r = S // Sm
+    qi = img_idx[::r, ::r]                      # (Sm, Sm) source quadrant
+    ys = jnp.round(y_loc[::r, ::r] / r).astype(jnp.int32)
+    xs = jnp.round(x_loc[::r, ::r] / r).astype(jnp.int32)
+    inb = (ys >= 0) & (ys < Sm) & (xs >= 0) & (xs < Sm)
+    ysc, xsc = jnp.clip(ys, 0, Sm - 1), jnp.clip(xs, 0, Sm - 1)
+    # gather all M instances of the chosen quadrant at once: (Sm, Sm, M)
+    sampled = masks4[qi, :, ysc, xsc] * inb[..., None]
+    quad = jax.nn.one_hot(qi, four, dtype=sampled.dtype)  # (Sm, Sm, 4)
+    out = (quad[..., :, None] * sampled[..., None, :]).reshape(Sm, Sm, four * M)
+    return jnp.transpose(out, (2, 0, 1))
+
+
+def _warp_rboxes(rboxes4, oy, ox, A, offs, S):
+    """Forward-transform rotated boxes: corners -> affine -> rect refit.
+
+    rboxes4: (4, M, 5) normalized cx,cy,w,h,angle(rad). Exact under
+    translate/scale/rotate (the mosaic+affine defaults); under shear the
+    parallelogram is refit from its edge vectors. Returns ((4M,5), keep (4,M)).
+    """
+    cx = rboxes4[..., 0] * S + ox[:, None]
+    cy = rboxes4[..., 1] * S + oy[:, None]
+    w = rboxes4[..., 2] * S
+    h = rboxes4[..., 3] * S
+    ang = rboxes4[..., 4]
+    ca, sa = jnp.cos(ang), jnp.sin(ang)
+    # corners: c0 = center - w/2*e_w - h/2*e_h, going c0 -> c1 along width
+    ex = jnp.stack([ca, sa], -1) * w[..., None] * 0.5       # (4,M,2)
+    ey = jnp.stack([-sa, ca], -1) * h[..., None] * 0.5
+    ctr = jnp.stack([cx, cy], -1)
+    corners = jnp.stack([ctr - ex - ey, ctr + ex - ey, ctr + ex + ey, ctr - ex + ey], -2)
+    ph = jnp.concatenate([corners - offs, jnp.ones_like(corners[..., :1])], -1)  # (4,M,4,3)
+    out = ph @ A.T
+    p = out[..., :2] / out[..., 2:3]                        # (4,M,4,2)
+    e1 = p[..., 1, :] - p[..., 0, :]
+    e2 = p[..., 3, :] - p[..., 0, :]
+    w_new = jnp.linalg.norm(e1, axis=-1)
+    h_new = jnp.linalg.norm(e2, axis=-1)
+    ang_new = jnp.arctan2(e1[..., 1], e1[..., 0])
+    # canonicalize to [0, pi/2): swap sides when needed (le90-style)
+    ang_mod = ang_new % jnp.pi
+    swap = ang_mod >= jnp.pi / 2
+    w_c = jnp.where(swap, h_new, w_new)
+    h_c = jnp.where(swap, w_new, h_new)
+    ang_c = jnp.where(swap, ang_mod - jnp.pi / 2, ang_mod)
+    ctr_new = jnp.mean(p, axis=-2)
+    keep = (w_new > 2) & (h_new > 2) &            (ctr_new[..., 0] > 0) & (ctr_new[..., 0] < S) &            (ctr_new[..., 1] > 0) & (ctr_new[..., 1] < S)
+    four, M = w_new.shape
+    rb = jnp.stack([ctr_new[..., 0] / S, ctr_new[..., 1] / S, w_c / S, h_c / S, ang_c], -1)
+    return rb.reshape(four * M, 5), keep
 
 
 def _rgb_to_hsv(rgb):
@@ -210,9 +285,9 @@ def _warp_kpts(kpts4, oy, ox, A, offs, S, valid):
 
 
 @partial(jax.jit, static_argnames=("imgsz", "mosaic", "hyp_key"))
-def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key, keypoints=None):
+def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key,
+                  keypoints=None, masks=None, rboxes=None):
     hyp = dict(hyp_key)
-    hyp_extra = {"keypoints": keypoints}
     B, S = images.shape[0], imgsz
     M = cls.shape[1]
     imgs_f = images.astype(jnp.float32)
@@ -230,15 +305,20 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key, keypoi
     cls4 = cls[sel].reshape(B, 4 * M)
     valid4 = mask[sel] > 0  # (B,4,M)
 
-    kpts = hyp_extra.get("keypoints")
-    if kpts is not None:
-        kpts4 = kpts[sel]  # (B,4,M,K,3)
-        warp = jax.vmap(lambda q, b, v, kk, k: _warp_one(q, b, v, kk, k, S, hyp, mosaic))
-        img, boxes_out, valid, kpts_out = warp(quads, boxes4, valid4, kpts4, keys[:, 0])
-    else:
-        warp = jax.vmap(lambda q, b, v, k: _warp_one(q, b, v, None, k, S, hyp, mosaic))
-        img, boxes_out, valid, _ = warp(quads, boxes4, valid4, keys[:, 0])
-        kpts_out = None
+    extras = {}
+    if keypoints is not None:
+        extras["keypoints"] = keypoints[sel]  # (B,4,M,K,3)
+    if masks is not None:
+        extras["masks"] = masks[sel].astype(jnp.float32)  # (B,4,M,Sm,Sm)
+    if rboxes is not None:
+        extras["rboxes"] = rboxes[sel]  # (B,4,M,5)
+    warp = jax.vmap(lambda q, b, v, ex, k: _warp_one(q, b, v, ex, k, S, hyp, mosaic))
+    img, boxes_out, valid, ex_out = warp(quads, boxes4, valid4, extras, keys[:, 0])
+    kpts_out = ex_out.get("keypoints")
+    masks_out = ex_out.get("masks")
+    rboxes_out = ex_out.get("rboxes")
+    if rboxes_out is not None:
+        valid = ex_out["_rvalid"]  # geometry filter from the rbox warp
 
     img01 = img / 255.0
     img01 = jax.vmap(lambda im, k: _hsv_aug(im, k, hyp))(img01, keys[:, 1])
@@ -250,6 +330,12 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key, keypoi
     img01 = jnp.where(do_flip[:, None, None, None], img01[:, :, ::-1, :], img01)
     bx = jnp.where(do_flip[:, None], 1.0 - boxes_out[..., 0], boxes_out[..., 0])
     boxes_out = boxes_out.at[..., 0].set(bx)
+    if masks_out is not None:
+        masks_out = jnp.where(do_flip[:, None, None, None], masks_out[..., ::-1], masks_out)
+    if rboxes_out is not None:
+        rx = jnp.where(do_flip[:, None], 1.0 - rboxes_out[..., 0], rboxes_out[..., 0])
+        ra = jnp.where(do_flip[:, None], (-rboxes_out[..., 4]) % (jnp.pi / 2), rboxes_out[..., 4])
+        rboxes_out = rboxes_out.at[..., 0].set(rx).at[..., 4].set(ra)
     # vertical flip
     pflipud = 0.0 if kpts_out is not None else float(hyp.get("flipud", 0.0))
     if pflipud > 0:
@@ -257,10 +343,16 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key, keypoi
         img01 = jnp.where(do_f[:, None, None, None], img01[:, ::-1, :, :], img01)
         by = jnp.where(do_f[:, None], 1.0 - boxes_out[..., 1], boxes_out[..., 1])
         boxes_out = boxes_out.at[..., 1].set(by)
+        if masks_out is not None:
+            masks_out = jnp.where(do_f[:, None, None, None], masks_out[:, :, ::-1], masks_out)
+        if rboxes_out is not None:
+            ry = jnp.where(do_f[:, None], 1.0 - rboxes_out[..., 1], rboxes_out[..., 1])
+            ra2 = jnp.where(do_f[:, None], (-rboxes_out[..., 4]) % (jnp.pi / 2), rboxes_out[..., 4])
+            rboxes_out = rboxes_out.at[..., 1].set(ry).at[..., 4].set(ra2)
 
-    # mixup (static gate on hyp)
+    # mixup (static gate on hyp; boxes-only labels)
     pmix = float(hyp.get("mixup", 0.0))
-    if pmix > 0 and kpts_out is None:
+    if pmix > 0 and kpts_out is None and masks_out is None and rboxes_out is None:
         kmix = jax.random.fold_in(key, 37)
         do_mix = jax.random.uniform(kmix, (B,)) < pmix
         lam = jax.random.beta(jax.random.fold_in(key, 41), 32.0, 32.0, (B,))
@@ -272,19 +364,34 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key, keypoi
         valid = jnp.concatenate([valid, valid[other] & do_mix[:, None]], axis=1)
 
     boxes_out = boxes_out * valid[..., None]
+    extras_ret = {}
     if kpts_out is not None:
-        return img01, cls4, boxes_out, valid.astype(jnp.float32), kpts_out
+        extras_ret["keypoints"] = kpts_out
+    if masks_out is not None:
+        extras_ret["masks"] = masks_out * valid[:, :, None, None]
+    if rboxes_out is not None:
+        extras_ret["rboxes"] = rboxes_out * valid[..., None]
+    if extras_ret:
+        return img01, cls4, boxes_out, valid.astype(jnp.float32), extras_ret
     return img01, cls4, boxes_out, valid.astype(jnp.float32)
 
 
 def augment_batch(images, cls, bboxes, mask, key, imgsz: int, hyp: dict, mosaic: bool = True,
-                  keypoints=None):
+                  keypoints=None, masks=None, rboxes=None):
     """Apply the fused augmentation program.
 
     images (B,S,S,3) uint8; cls (B,M); bboxes (B,M,4) normalized xywh;
-    mask (B,M); keypoints optional (B,M,K,3) letterbox pixels (pose task —
-    flips should be disabled unless a flip_idx remap is applied upstream).
-    Returns (images01 f32, cls (B,4M[*2]), bboxes, mask[, keypoints]).
+    mask (B,M); optional extras all ride the same warp: keypoints (B,M,K,3)
+    letterbox pixels (pose — flips auto-disabled without a flip_idx remap),
+    masks (B,M,Sm,Sm) binary instance masks at S//Sm ratio, rboxes (B,M,5)
+    normalized cx,cy,w,h,angle.
+    Returns (images01 f32, cls (B,4M[*2]), bboxes, mask[, extras dict]); when
+    only keypoints were passed the extras slot is the keypoints array itself
+    (back-compat with the pose path).
     """
     hyp_key = tuple(sorted((k, float(v)) for k, v in hyp.items() if isinstance(v, (int, float))))
-    return _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key, keypoints)
+    out = _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key,
+                        keypoints, masks, rboxes)
+    if len(out) == 5 and keypoints is not None and masks is None and rboxes is None:
+        return (*out[:4], out[4]["keypoints"])
+    return out

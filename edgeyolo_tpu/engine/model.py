@@ -32,6 +32,8 @@ class YOLO:
         model = str(model)
         if model.endswith(".msgpack"):
             self._load_checkpoint(model, task)
+        elif model.endswith(".pt"):
+            self._load_torch_checkpoint(model, task)
         else:
             self.task = task or guess_model_task(model)
             cls = self.task_map[self.task]["model"]
@@ -97,6 +99,37 @@ class YOLO:
         self.model_name = model_yaml
         self.overrides.update({k: v for k, v in (meta.get("train_args") or {}).items()
                                if k in ("imgsz", "task", "single_cls")})
+
+    def _load_torch_checkpoint(self, path: str, task: str | None):
+        """Load a reference torch .pt checkpoint: rebuild from its embedded
+        yaml, then convert weights (utils/torch_convert.py). Reference:
+        nn/tasks.py:932 attempt_load_one_weight."""
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        tm = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+        d = dict(getattr(tm, "yaml", None) or {})
+        if not d:
+            raise ValueError(f"{path}: no model yaml embedded; pass the matching .yaml instead")
+        self.task = task or guess_model_task(d)
+        cls = self.task_map[self.task]["model"]
+        self.model = cls(d)
+        import jax
+        import jax.numpy as jnp
+
+        from edgeyolo_tpu.utils.torch_convert import convert_state_dict
+
+        self.model.init(0, imgsz=int(d.get("imgsz", 640)) if isinstance(d.get("imgsz"), int) else 640)
+        sd = {k: v.float().numpy() for k, v in tm.state_dict().items()}
+        nv, rep = convert_state_dict(sd, self.model.variables, strict=False)
+        dropped = [u for u in rep["unused"] if "dfl" not in u]
+        if rep["missing"] or dropped:
+            LOGGER.warning(f"torch import: {len(rep['missing'])} missing, {len(dropped)} unused keys")
+        self.model.variables = jax.tree.map(jnp.asarray, nv)
+        if hasattr(tm, "names"):
+            self.model.names = dict(tm.names) if not isinstance(tm.names, dict) else tm.names
+        self.ckpt_path = path
+        self.model_name = path
 
     # -- lifecycle helpers -------------------------------------------------------
     def _ensure_init(self, imgsz: int = 640):

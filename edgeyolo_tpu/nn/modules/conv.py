@@ -127,8 +127,16 @@ class DWConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # flat conv/bn naming (the reference's DWConv IS a Conv — conv.py:124)
         g = math.gcd(x.shape[-1], self.c2)
-        return ConvBN(self.c2, self.k, self.s, None, g, self.d, self.act, name="m")(x, train)
+        pad = autopad(self.k, None, self.d)
+        x = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                    padding=[(pad, pad), (pad, pad)], feature_group_count=g,
+                    kernel_dilation=(self.d, self.d), use_bias=False,
+                    kernel_init=KERNEL_INIT, dtype=x.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=jnp.float32, name="bn")(x)
+        return _apply_act(x, self.act)
 
 
 class DSConv(nn.Module):

@@ -398,11 +398,14 @@ class RTDETRDecoder(nn.Module):
         a = jnp.concatenate(anchors, 0)[None]  # (1, A, 4)
         valid = jnp.all((a > eps) & (a < 1 - eps), axis=-1, keepdims=True)
         a = jnp.log(a / (1 - a))
-        a = jnp.where(valid, a, jnp.inf)
+        # large-finite instead of inf: sigmoid(1e6)==1.0 exactly in fp32 but
+        # inf would poison gradients when a tie-broken top_k picks an
+        # invalid anchor (all-equal score maps, e.g. blank frames)
+        a = jnp.where(valid, a, 1e6)
         return a, valid
 
     @nn.compact
-    def __call__(self, xs, train: bool = False):
+    def __call__(self, xs, train: bool = False, dn=None):
         from edgeyolo_tpu.nn.modules.transformer import (
             MLP,
             DeformableTransformerDecoder,
@@ -439,10 +442,9 @@ class RTDETRDecoder(nn.Module):
         enc_bboxes = jax.nn.sigmoid(refer_logit)
         enc_scores = jnp.take_along_axis(enc_scores_all, top_ix[..., None], axis=1)
 
-        # contrastive-denoising class embedding (training-time CDN groups,
-        # reference models/utils/ops.py:259; the criterion lands next round —
-        # the parameter exists now for checkpoint-shape parity)
-        self.param("denoising_class_embed", nn.initializers.normal(1.0), (self.nc, self.hd))
+        # contrastive-denoising class embedding (reference models/utils/ops.py:259)
+        cdn_embed = self.param("denoising_class_embed", nn.initializers.normal(1.0),
+                               (self.nc, self.hd))
         if self.learnt_init_query:
             tgt = self.param("tgt_embed", nn.initializers.xavier_uniform(), (self.nq, self.hd))
             embed = jnp.broadcast_to(tgt[None], (b, self.nq, self.hd))
@@ -450,10 +452,44 @@ class RTDETRDecoder(nn.Module):
             embed = jax.lax.stop_gradient(top_feats) if train else top_feats
         refer = jax.lax.stop_gradient(refer_logit) if train else refer_logit
 
+        # -- contrastive denoising groups (training only) ------------------
+        # dn = {"cls": (B,D) int32, "bbox": (B,D,4) normalized cxcywh,
+        #       "group_size": python int, "num_groups": python int}; the
+        #       attention mask isolates each dn group and hides all dn
+        #       queries from the real ones (reference models/utils/ops.py:
+        #       316-330: True = blocked).
+        attn_mask = None
+        D = 0
+        if dn is not None:
+            import numpy as _np
+
+            dn_embed = cdn_embed[dn["cls"]]  # (B, D, hd)
+            dn_refer = inverse_sigmoid(dn["bbox"])
+            D = dn_embed.shape[1]
+            gs, ng = int(dn["group_size"]), int(dn["num_groups"])
+            T = D + nq
+            m = _np.zeros((T, T), bool)
+            m[D:, :D] = True  # real queries never see dn
+            for gi in range(ng):
+                a, bnd = gi * gs, (gi + 1) * gs
+                m[a:bnd, :a] = True       # dn group blind to earlier dn groups
+                m[a:bnd, bnd:D] = True    # ... and later dn groups
+            attn_mask = jnp.asarray(m)
+            embed = jnp.concatenate([dn_embed.astype(embed.dtype), embed], axis=1)
+            refer = jnp.concatenate([dn_refer.astype(refer.dtype), refer], axis=1)
+
         query_pos_head = MLP(2 * self.hd, self.hd, 2, name="query_pos_head")
         dec_bbox, dec_score, aux_b, aux_s = DeformableTransformerDecoder(
             self.hd, self.ndl, self.nh, self.d_ffn, len(xs), self.ndp, self.nc,
-            name="decoder")(embed, refer, feats, shapes, query_pos_head, train)
+            name="decoder")(embed, refer, feats, shapes, query_pos_head, train,
+                            attn_mask=attn_mask)
+
+        if D:
+            dn_aux = ([a[:, :D] for a in aux_b], [a[:, :D] for a in aux_s])
+            aux_b = [a[:, D:] for a in aux_b]
+            aux_s = [a[:, D:] for a in aux_s]
+            dn_bbox_out, dn_score_out = dec_bbox[:, :D], dec_score[:, :D]
+            dec_bbox, dec_score = dec_bbox[:, D:], dec_score[:, D:]
 
         out = {
             "feats": [dec_bbox, dec_score],  # placeholder slots for loss plumbing
@@ -461,6 +497,9 @@ class RTDETRDecoder(nn.Module):
             "enc_scores": enc_scores,
             "aux": (aux_b, aux_s),
         }
+        if D:
+            out["dn_feats"] = [dn_bbox_out, dn_score_out]
+            out["dn_aux"] = dn_aux
         if not train:
             # (B, nq, 4+nc): cxcywh normalized + class probs
             out["pred"] = jnp.concatenate([dec_bbox, jax.nn.sigmoid(dec_score)], axis=-1)

@@ -22,14 +22,20 @@ from flax import linen as nn
 from edgeyolo_tpu.nn.modules.conv import KERNEL_INIT, ConvBN
 
 
-def _mha(q, k, v, num_heads: int, dense, name: str):
-    """Standard multi-head attention using provided Dense factory."""
+def _mha(q, k, v, num_heads: int, dense, name: str, mask=None):
+    """Standard multi-head attention using provided Dense factory.
+
+    mask: optional (nq, nm) bool, True = attention blocked (the CDN
+    group-isolation mask, reference models/utils/ops.py:316-330).
+    """
     b, nq, c = q.shape
     hd = c // num_heads
     qp = dense(c, f"{name}_q")(q).reshape(b, nq, num_heads, hd)
     kp = dense(c, f"{name}_k")(k).reshape(b, k.shape[1], num_heads, hd)
     vp = dense(c, f"{name}_v")(v).reshape(b, v.shape[1], num_heads, hd)
     attn = jnp.einsum("bnhd,bmhd->bhnm", qp, kp) / math.sqrt(hd)
+    if mask is not None:
+        attn = jnp.where(mask[None, None], -1e9, attn)
     attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("bhnm,bmhd->bnhd", attn, vp).reshape(b, nq, c)
     return dense(c, f"{name}_o")(out)
@@ -221,10 +227,10 @@ class DeformableTransformerDecoderLayer(nn.Module):
     n_points: int = 4
 
     @nn.compact
-    def __call__(self, embed, refer_bbox, feats, shapes, query_pos=None):
+    def __call__(self, embed, refer_bbox, feats, shapes, query_pos=None, attn_mask=None):
         dense = lambda f, nm: nn.Dense(f, kernel_init=KERNEL_INIT, name=nm)
         q = embed if query_pos is None else embed + query_pos
-        sa = _mha(q, q, embed, self.n_heads, dense, "self_attn")
+        sa = _mha(q, q, embed, self.n_heads, dense, "self_attn", mask=attn_mask)
         embed = nn.LayerNorm(name="norm1")(embed + sa)
         ca = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
                           name="cross_attn")(
@@ -253,7 +259,8 @@ class DeformableTransformerDecoder(nn.Module):
     eval_idx: int = -1
 
     @nn.compact
-    def __call__(self, embed, refer_bbox, feats, shapes, query_pos_head, train: bool = False):
+    def __call__(self, embed, refer_bbox, feats, shapes, query_pos_head, train: bool = False,
+                 attn_mask=None):
         output = embed
         dec_bboxes = []
         dec_scores = []
@@ -264,7 +271,7 @@ class DeformableTransformerDecoder(nn.Module):
             pos = query_pos_head(refer)
             output = DeformableTransformerDecoderLayer(
                 self.hd, self.n_heads, self.d_ffn, self.n_levels, self.n_points,
-                name=f"layer_{i}")(output, refer, feats, shapes, pos)
+                name=f"layer_{i}")(output, refer, feats, shapes, pos, attn_mask)
             box_delta = MLP(self.hd, 4, 3, name=f"bbox_head_{i}")(output)
             score = nn.Dense(self.nc, kernel_init=KERNEL_INIT,
                              bias_init=nn.initializers.constant(

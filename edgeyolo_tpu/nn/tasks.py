@@ -411,7 +411,7 @@ class GraphNet(nn.Module):
 
     TEXT_MODULES = frozenset({"C2fAttn", "ImagePoolingAttn", "WorldDetect"})
 
-    def __call__(self, x, train: bool = False, text=None):
+    def __call__(self, x, train: bool = False, text=None, dn=None):
         y: dict[int, Any] = {}
         out = x
         for sp, blk in zip(self.spec, self.blocks):
@@ -424,6 +424,8 @@ class GraphNet(nn.Module):
                     out = blk(inp, train=train, text=text)
                 else:
                     out = blk(inp, text, train=train)
+            elif sp.name == "RTDETRDecoder" and dn is not None:
+                out = blk(inp, train=train, dn=dn)
             else:
                 out = blk(inp, train=train)
             if sp.i in self.save:

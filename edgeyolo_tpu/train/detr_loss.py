@@ -19,8 +19,59 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from edgeyolo_tpu.ops.boxes import bbox_iou, xywh2xyxy
+import numpy as np
+
+from edgeyolo_tpu.ops.boxes import bbox_iou, xywh2xyxy, xyxy2xywh
 from edgeyolo_tpu.train.loss import bce_logits
+
+
+def make_cdn_group(gt_cls, gt_boxes, mask_gt, nc: int, key, num_dn: int = 100,
+                   cls_noise_ratio: float = 0.5, box_noise_scale: float = 1.0):
+    """Build one contrastive-denoising query group set with static shapes.
+
+    Behavioral spec: reference models/utils/ops.py:259-345 (get_cdn_group) —
+    2*num_group copies of the padded gt set; positives get small box noise
+    (rand in [0,1)), negatives get known-bad noise (rand in [1,2)); labels
+    flip to a random class with prob cls_noise_ratio/2. Group count derives
+    from num_dn // max_gt, so with the dense padded-gt layout every shape is
+    static and the whole generator jits.
+
+    Returns a dict consumable by RTDETRDecoder(dn=...) and the dn loss:
+    cls (B,D) int32, bbox (B,D,4) cxcywh in [0,1], valid (B,D), neg (D,)
+    bool numpy, group_size/num_groups python ints.
+    """
+    gt_cls = gt_cls.reshape(gt_cls.shape[0], -1).astype(jnp.int32)
+    B, M = gt_cls.shape
+    g = max(1, num_dn // max(M, 1))
+    D = 2 * g * M
+    neg_np = np.tile(np.concatenate([np.zeros(M, bool), np.ones(M, bool)]), g)  # (D,)
+
+    reps = 2 * g
+    cls_t = jnp.tile(gt_cls, (1, reps))                       # (B, D)
+    box_t = jnp.tile(gt_boxes, (1, reps, 1))                  # (B, D, 4)
+    valid = jnp.tile(mask_gt.reshape(B, M) > 0, (1, reps))    # (B, D)
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    flip = (jax.random.uniform(k1, (B, D)) < cls_noise_ratio * 0.5) & valid
+    rnd_cls = jax.random.randint(k2, (B, D), 0, nc)
+    dn_cls = jnp.where(flip, rnd_cls, cls_t)
+
+    wh = box_t[..., 2:]
+    diff = jnp.concatenate([wh * 0.5, wh], axis=-1)           # (B, D, 4)
+    sign = jnp.where(jax.random.bernoulli(k3, 0.5, (B, D, 4)), 1.0, -1.0)
+    rand_part = jax.random.uniform(k4, (B, D, 4))
+    rand_part = rand_part + jnp.asarray(neg_np, jnp.float32)[None, :, None]
+    xyxy = xywh2xyxy(box_t) + sign * rand_part * diff * box_noise_scale
+    xyxy = jnp.clip(xyxy, 0.0, 1.0)
+    # per-coordinate noise can invert corners; re-sort so boxes stay valid
+    lo = jnp.minimum(xyxy[..., :2], xyxy[..., 2:])
+    hi = jnp.maximum(xyxy[..., :2], xyxy[..., 2:])
+    dn_bbox = xyxy2xywh(jnp.concatenate([lo, hi], axis=-1))
+    dn_bbox = jnp.where(valid[..., None], dn_bbox, 0.5)       # keep inert slots sane
+
+    return {"cls": jnp.clip(dn_cls, 0, nc - 1), "bbox": dn_bbox,
+            "valid": valid.astype(jnp.float32), "neg": neg_np,
+            "group_size": 2 * M, "num_groups": g}
 
 
 def _giou_xywh(a, b):
@@ -121,6 +172,31 @@ class RTDETRDetectionLoss:
         return gc_ * lc.mean() + gb_ * lb.mean() + gg_ * lg.mean(), {
             "cls": lc.mean(), "l1": lb.mean(), "giou": lg.mean()}
 
+    def _dn_layer(self, scores, bboxes, dn, gt_cls, gt_boxes, mask_gt):
+        """Denoising losses: matching is by construction (slot i targets the
+        gt it was noised from); negatives are pure background cls terms."""
+        B, D, nc = scores.shape
+        M = gt_boxes.shape[1]
+        reps = D // M
+        tgt_cls = jnp.tile(gt_cls.reshape(B, M), (1, reps))
+        tgt_box = jnp.tile(gt_boxes, (1, reps, 1))
+        valid = dn["valid"] > 0
+        pos = valid & ~jnp.asarray(dn["neg"])[None, :]
+
+        iou = jnp.clip(bbox_iou(bboxes, tgt_box, xywh=True)[..., 0], 0, 1) * pos
+        onehot = jax.nn.one_hot(jnp.clip(tgt_cls, 0, nc - 1), nc)
+        tgt = onehot * iou[..., None]
+        pos_mask = onehot * pos[..., None] > 0
+        p = jax.nn.sigmoid(scores)
+        w = jnp.where(pos_mask, tgt, 0.75 * p**2.0)
+        denom = jnp.maximum(pos.sum(axis=1), 1)[:, None, None]
+        lc = jnp.sum(bce_logits(scores, tgt) * w / denom, axis=(1, 2))
+
+        lb = jnp.sum(jnp.sum(jnp.abs(bboxes - tgt_box), -1) * pos / denom[..., 0], axis=1)
+        lg = jnp.sum((1 - _giou_xywh(bboxes, tgt_box)) * pos / denom[..., 0], axis=1)
+        gc_, gb_, gg_ = self.g
+        return gc_ * lc.mean() + gb_ * lb.mean() + gg_ * lg.mean()
+
     def __call__(self, out: dict, batch: dict):
         gt_cls = batch["cls"].astype(jnp.int32)
         gt_boxes = batch["bboxes"]  # normalized cxcywh
@@ -135,5 +211,14 @@ class RTDETRDetectionLoss:
         if "enc_scores" in out:
             l, _ = self._single_layer(out["enc_scores"], out["enc_bboxes"], gt_cls, gt_boxes, mask_gt)
             total = total + l
+        dn = batch.get("dn")
+        if dn is not None and "dn_feats" in out:
+            db, ds = out["dn_feats"]
+            dn_total = self._dn_layer(ds, db, dn, gt_cls, gt_boxes, mask_gt)
+            dab, das = out.get("dn_aux", ([], []))
+            for ab, asc in zip(dab[:-1], das[:-1]):
+                dn_total = dn_total + self._dn_layer(asc, ab, dn, gt_cls, gt_boxes, mask_gt)
+            total = total + dn_total
+            items = {**items, "dn": jax.lax.stop_gradient(dn_total)}
         B = gt_boxes.shape[0]
         return total * B, {k: jax.lax.stop_gradient(v) for k, v in items.items()}

@@ -183,10 +183,11 @@ class DetectionTrainer(CallbackMixin):
 
         criterion = self._build_criterion(task, args, kpt_shape)
         has_quality = "GF" in self.model.head_name or "E2E" in self.model.head_name
-        head_is_dict_loss = task in ("segment", "pose", "obb") or self.model.head_name == "RTDETRDecoder"
-        # masks/rboxes don't ride the geometric warp yet: segment/obb train
-        # with letterbox-only; pose keypoints DO ride it (flips auto-disabled)
-        geo_aug_ok = task in ("detect", "pose")
+        is_rtdetr = self.model.head_name == "RTDETRDecoder"
+        head_is_dict_loss = task in ("segment", "pose", "obb") or is_rtdetr
+        # all label types ride the fused geometric warp (masks at mask_ratio
+        # resolution, rboxes via corner projection + rect refit)
+        geo_aug_ok = task in ("detect", "pose", "segment", "obb")
         hyp_dict = {k: v for k, v in vars(args).items() if isinstance(v, (int, float))}
         use_bf16 = bool(args.amp)
         # data-parallel mesh over the largest device count that divides the batch
@@ -206,11 +207,22 @@ class DetectionTrainer(CallbackMixin):
             )
             if geo_aug_ok:
                 kp = batch_dev.get("keypoints")
+                sm = batch_dev.get("masks") if task == "segment" else None
+                rb = batch_dev.get("rboxes") if task == "obb" else None
                 aug = augment_batch(images, cls, bboxes, mask, key, imgsz, hyp_dict,
-                                    mosaic=mosaic, keypoints=kp)
-                if kp is not None:
-                    img01, acls, aboxes, amask, akpts = aug
-                    tgt = {"cls": acls, "bboxes": aboxes, "mask_gt": amask, "keypoints": akpts}
+                                    mosaic=mosaic, keypoints=kp, masks=sm, rboxes=rb)
+                if len(aug) == 5:
+                    img01, acls, aboxes, amask, ex = aug
+                    tgt = {"cls": acls, "bboxes": aboxes, "mask_gt": amask}
+                    if not isinstance(ex, dict):
+                        tgt["keypoints"] = ex  # pose back-compat return
+                    else:
+                        if "keypoints" in ex:
+                            tgt["keypoints"] = ex["keypoints"]
+                        if "masks" in ex:
+                            tgt["masks"] = ex["masks"]
+                        if "rboxes" in ex:
+                            tgt["bboxes"] = ex["rboxes"]  # obb criterion consumes rboxes
                 else:
                     img01, acls, aboxes, amask = aug
                     tgt = {"cls": acls, "bboxes": aboxes, "mask_gt": amask}
@@ -222,10 +234,21 @@ class DetectionTrainer(CallbackMixin):
                         tgt[extra] = batch_dev[extra]
             x = img01.astype(jnp.bfloat16) if use_bf16 else img01
 
+            # contrastive denoising group (RT-DETR training; reference
+            # models/utils/ops.py:259) — generated inside the traced step so
+            # group_size/num_groups stay static python ints
+            dn = None
+            if is_rtdetr:
+                from edgeyolo_tpu.train.detr_loss import make_cdn_group
+
+                dn = make_cdn_group(tgt["cls"], tgt["bboxes"], tgt["mask_gt"],
+                                    self.model.nc, jax.random.fold_in(key, 7))
+                tgt["dn"] = dn
+
             def loss_fn(p):
                 out, mut = self.model.net.apply(
                     {"params": p, "batch_stats": batch_stats}, x, train=True,
-                    mutable=["batch_stats"],
+                    mutable=["batch_stats"], **({"dn": dn} if dn is not None else {}),
                 )
                 out = {k: ([f.astype(jnp.float32) for f in v] if isinstance(v, list)
                            else v.astype(jnp.float32) if hasattr(v, "astype") else v)

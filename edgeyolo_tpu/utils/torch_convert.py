@@ -1,0 +1,125 @@
+"""Torch checkpoint → flax variables converter.
+
+Behavioral spec: the reference trains/ships torch `.pt` checkpoints
+(ultralytics/nn/tasks.py:932 attempt_load_one_weight); this module lets
+those weights load into the flax model tree so pretrained reference
+checkpoints run here directly.
+
+The mapping is rule-based, not a hand-written table: our module/param names
+deliberately mirror the reference's (`l10_C2PSA/m_0/attn/pe/bn/scale` ↔
+`model.10.m.0.attn.pe.bn.weight`), so conversion is a string rewrite plus
+the layout transposes (conv OIHW→HWIO, linear (out,in)→(in,out)). Unmatched
+keys on either side are reported loudly — silence means exact coverage.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# flax leaf name -> torch suffix
+_PARAM_SUFFIX = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                 "mean": "running_mean", "var": "running_var", "embedding": "weight"}
+
+
+def flax_path_to_torch_key(path: tuple[str, ...]) -> str:
+    """Translate one flax param path to the reference state_dict key."""
+    parts = list(path)
+    # layer root: l{i}_{Type} -> model.{i}
+    m = re.match(r"^l(\d+)_", parts[0])
+    if m:
+        parts[0] = f"model.{m.group(1)}"
+    out = []
+    for p in parts[:-1]:
+        # name_0 -> name.0, name_0_1 -> name.0.1 (nested ModuleList indexing)
+        out.append(re.sub(r"_(?=\d+(?:_\d+)*$)", ".", p) if re.search(r"_\d+(?:_\d+)*$", p) else p)
+    leaf = _PARAM_SUFFIX.get(parts[-1], parts[-1])
+    return ".".join(out + [leaf])
+
+
+def _to_flax(arr: np.ndarray, flax_shape: tuple[int, ...], leaf: str) -> np.ndarray | None:
+    """Reshape/transpose a torch tensor into the flax layout; None if impossible."""
+    if tuple(arr.shape) == tuple(flax_shape):
+        return arr
+    if leaf == "kernel":
+        if arr.ndim == 4:  # conv OIHW -> HWIO (grouped convs transpose identically)
+            t = arr.transpose(2, 3, 1, 0)
+            if t.shape == tuple(flax_shape):
+                return t
+        if arr.ndim == 2:  # linear (out,in) -> (in,out)
+            t = arr.T
+            if t.shape == tuple(flax_shape):
+                return t
+    if arr.size == int(np.prod(flax_shape)):
+        return arr.reshape(flax_shape)
+    return None
+
+
+def convert_state_dict(torch_sd: dict, variables: dict, strict: bool = True,
+                       rewrites: dict[str, str] | None = None) -> tuple[dict, dict]:
+    """Fill a flax variables tree from a torch state_dict.
+
+    Returns (new_variables, report). report = {"matched": n, "missing": [flax
+    keys with no torch source], "unused": [torch keys never consumed],
+    "shape_errors": [...]}. strict=True raises on any missing/shape error.
+    """
+    import jax
+
+    sd = {k: np.asarray(v) for k, v in torch_sd.items()
+          if not k.endswith("num_batches_tracked")}
+    used = set()
+    missing, shape_errors = [], []
+    matched = 0
+
+    flat = {}
+    for coll, tree in variables.items():
+        leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for kp, leaf in leaves:
+            path = tuple(getattr(k, "key", str(k)) for k in kp)
+            flat[(coll, path)] = leaf
+
+    new_flat = {}
+    for (coll, path), leaf in flat.items():
+        tk = flax_path_to_torch_key(path)
+        if rewrites and tk in rewrites:
+            tk = rewrites[tk]
+        if tk not in sd:
+            missing.append(f"{coll}:{'/'.join(path)} -> {tk}")
+            new_flat[(coll, path)] = leaf
+            continue
+        conv = _to_flax(sd[tk], tuple(leaf.shape), path[-1])
+        if conv is None:
+            shape_errors.append(f"{tk} {sd[tk].shape} vs {'/'.join(path)} {leaf.shape}")
+            new_flat[(coll, path)] = leaf
+        else:
+            new_flat[(coll, path)] = conv.astype(np.asarray(leaf).dtype)
+            matched += 1
+            used.add(tk)
+
+    report = {"matched": matched, "missing": missing,
+              "unused": sorted(set(sd) - used), "shape_errors": shape_errors}
+    if strict and (missing or shape_errors):
+        raise ValueError(
+            f"torch->flax conversion incomplete: {len(missing)} missing, "
+            f"{len(shape_errors)} shape errors\nmissing: {missing[:10]}\n"
+            f"shape: {shape_errors[:10]}")
+
+    # rebuild nested dicts
+    out: dict = {}
+    for (coll, path), arr in new_flat.items():
+        d = out.setdefault(coll, {})
+        for p in path[:-1]:
+            d = d.setdefault(p, {})
+        d[path[-1]] = np.asarray(arr)
+    return out, report
+
+
+def load_pt(path: str):
+    """Read a torch checkpoint file into a flat {name: ndarray} state_dict."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    model = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = model.state_dict() if hasattr(model, "state_dict") else model
+    return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}

@@ -86,3 +86,46 @@ def test_mosaic_mixes_partner_images():
     u = np.unique((np.asarray(img01[0]) * 255).round().astype(int))
     # gray border value + at least 2 distinct source colors
     assert len([v for v in u if v > 0]) >= 2
+
+
+def test_masks_and_rboxes_ride_the_warp():
+    """Segment masks and OBB rboxes transform with the same geometry as boxes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from edgeyolo_tpu.data.augment_device import augment_batch
+
+    B, S, M, Sm = 2, 64, 2, 32
+    key = jax.random.PRNGKey(3)
+    imgs = (jax.random.uniform(key, (B, S, S, 3)) * 255).astype(jnp.uint8)
+    cls = jnp.zeros((B, M))
+    boxes = jnp.tile(jnp.array([[0.5, 0.5, 0.5, 0.25]]), (B, M, 1))
+    mask = jnp.ones((B, M))
+    # instance mask == exactly the box footprint at mask res
+    mm = np.zeros((B, M, Sm, Sm), np.float32)
+    mm[:, :, 12:20, 8:24] = 1.0  # y in [0.375,0.625), x in [0.25,0.75)
+    rb = jnp.tile(jnp.array([[0.5, 0.5, 0.5, 0.25, 0.0]]), (B, M, 1))
+
+    hyp = {"degrees": 30.0, "translate": 0.05, "scale": 0.2, "shear": 0.0,
+           "hsv_h": 0, "hsv_s": 0, "hsv_v": 0, "fliplr": 0.0, "flipud": 0.0, "mixup": 0.0}
+    img01, c4, b4, v4, ex = augment_batch(imgs, cls, boxes, mask, key, S, hyp,
+                                          mosaic=False, masks=jnp.asarray(mm), rboxes=rb)
+    v = np.asarray(v4) > 0
+    # wherever the instance survived, its mask area should track the rbox area
+    rbo = np.asarray(ex["rboxes"])
+    mo = np.asarray(ex["masks"])
+    for bi in range(B):
+        for j in range(v.shape[1]):
+            if not v[bi, j]:
+                continue
+            area_rbox = rbo[bi, j, 2] * rbo[bi, j, 3]  # normalized
+            area_mask = mo[bi, j].mean()
+            assert area_rbox > 0.01
+            assert abs(area_mask - area_rbox) < 0.25 * area_rbox + 0.02
+    # angles moved away from 0 (30-degree jitter) for at least one sample
+    angs = rbo[v][:, 4]
+    assert np.abs(angs).max() > 0.01
+    # rboxes stay canonical: w,h>0, angle in [0, pi/2)
+    assert (rbo[v][:, 2:4] > 0).all()
+    assert (angs >= 0).all() and (angs < np.pi / 2 + 1e-6).all()

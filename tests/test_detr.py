@@ -51,3 +51,77 @@ def test_rtdetr_model_builds():
 
     m = DetectionModel("rtdetr-l.yaml")
     assert m.count_params() == 32970476
+
+
+def test_cdn_group_semantics():
+    """make_cdn_group: static shapes, group layout, noise scaling (reference
+    models/utils/ops.py:259-345)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from edgeyolo_tpu.train.detr_loss import make_cdn_group
+
+    B, M, nc = 3, 10, 7
+    key = jax.random.PRNGKey(0)
+    cls = jax.random.randint(key, (B, M), 0, nc)
+    box = jnp.clip(jax.random.uniform(key, (B, M, 4)) * 0.4 + 0.3, 0.1, 0.9)
+    mask = (jnp.arange(M)[None] < jnp.array([[6], [2], [10]])).astype(jnp.float32)
+    dn = make_cdn_group(cls, box, mask, nc, jax.random.PRNGKey(1))
+
+    g = max(1, 100 // M)
+    D = 2 * g * M
+    assert dn["cls"].shape == (B, D) and dn["bbox"].shape == (B, D, 4)
+    assert dn["group_size"] == 2 * M and dn["num_groups"] == g
+    assert dn["neg"].shape == (D,) and dn["neg"].sum() == D // 2
+    # boxes stay normalized
+    assert float(dn["bbox"].min()) >= 0.0 and float(dn["bbox"].max()) <= 1.0
+    # valid mask tiles the gt mask
+    v = np.asarray(dn["valid"]).reshape(B, 2 * g, M)
+    assert (v == np.asarray(mask)[:, None, :]).all()
+    # negatives are displaced further from their source than positives (cx shift)
+    src = np.tile(np.asarray(box), (1, 2 * g, 1))
+    disp = np.abs(np.asarray(dn["bbox"]) - src).sum(-1)
+    valid = np.asarray(dn["valid"]) > 0
+    neg = np.asarray(dn["neg"])[None, :] & valid
+    pos = ~np.asarray(dn["neg"])[None, :] & valid
+    assert disp[neg].mean() > disp[pos].mean()
+    # labels only flip for a minority of slots
+    flips = (np.asarray(dn["cls"]) != np.tile(np.asarray(cls), (1, 2 * g)))[valid]
+    assert 0.0 < flips.mean() < 0.5
+
+
+def test_cdn_attention_mask_isolation():
+    """dn groups must not leak into each other or into the real queries."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import flax.linen as nn
+    from edgeyolo_tpu.nn.modules.transformer import _mha
+
+    class SA(nn.Module):
+        @nn.compact
+        def __call__(self, q, mask):
+            dense = lambda f, nm: nn.Dense(f, name=nm)
+            return _mha(q, q, q, 4, dense, "sa", mask=mask)
+
+    D, nq, gs = 8, 5, 4  # 2 groups of 4
+    T = D + nq
+    m = np.zeros((T, T), bool)
+    m[D:, :D] = True
+    for gi in range(2):
+        a, b = gi * gs, (gi + 1) * gs
+        m[a:b, :a] = True
+        m[a:b, b:D] = True
+    mod = SA()
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, T, 16))
+    v = mod.init(jax.random.PRNGKey(1), q, jnp.asarray(m))
+    base = mod.apply(v, q, jnp.asarray(m))
+    # perturbing group 0 must not change group 1 nor the real queries
+    q2 = q.at[:, 0].add(100.0)
+    out2 = mod.apply(v, q2, jnp.asarray(m))
+    assert float(jnp.abs(out2[:, gs:D] - base[:, gs:D]).max()) < 1e-5
+    assert float(jnp.abs(out2[:, D:] - base[:, D:]).max()) < 1e-5
+    # but group 0 itself does change
+    assert float(jnp.abs(out2[:, :gs] - base[:, :gs]).max()) > 1e-3

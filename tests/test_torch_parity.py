@@ -1,0 +1,110 @@
+"""Numerical forward parity vs the torch reference (random-init weights).
+
+The strongest correctness check we have: instantiate the reference model in
+torch (cpu), export its state_dict + eval-mode forward on a fixed input,
+convert the weights with utils/torch_convert.py, and assert our jitted
+forward reproduces the reference to fp32 tolerance. Covers the whole graph:
+every conv/BN/attention/DWT path, DFL decode, and anchor grids.
+
+Skipped when the reference checkout is not mounted at /root/reference.
+Dumps are cached in /tmp/ptparity across runs.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+REPO = Path(__file__).resolve().parents[1]
+CACHE = Path("/tmp/ptparity")
+
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference checkout not mounted")
+
+CASES = [
+    # (cache name, reference cfg, our cfg, box tol in px @64)
+    ("yolo11n", "yolo11n.yaml", "yolo11n", 5e-4),
+    ("la", "ultralytics/cfg/models/11/yolo11-lineattention.yaml", "yolo11-lineattention", 5e-3),
+    ("wav", "ultralytics/cfg/models/11/yolo11-DSC3K2_Wavelet.yaml", "yolo11-dsc3k2-wavelet", 5e-4),
+]
+
+
+def _dump(name: str, ref_cfg: str) -> Path:
+    out = CACHE / f"ref_{name}.npz"
+    if out.exists():
+        return out
+    CACHE.mkdir(exist_ok=True)
+    env = dict(os.environ, PYTHONPATH=f"{REPO}/tools/ref_shim:.")
+    subprocess.run(
+        [sys.executable, str(REPO / "tools/dump_reference_forward.py"), ref_cfg, str(out), "64"],
+        cwd=REF, env=env, check=True, capture_output=True, text=True)
+    return out
+
+
+@pytest.mark.parametrize("name,ref_cfg,our_cfg,tol", CASES, ids=[c[0] for c in CASES])
+def test_forward_parity(name, ref_cfg, our_cfg, tol):
+    import jax
+    import jax.numpy as jnp
+
+    from edgeyolo_tpu.nn.tasks import DetectionModel
+    from edgeyolo_tpu.utils.torch_convert import convert_state_dict
+
+    z = np.load(_dump(name, ref_cfg))
+    sd = {k: z[k] for k in z.files if not k.startswith("__")}
+    m = DetectionModel(our_cfg, verbose=False)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    nv, rep = convert_state_dict(sd, v, strict=True)
+    assert [u for u in rep["unused"] if "dfl" not in u] == []  # full coverage both ways
+
+    x = z["__input__"].transpose(0, 2, 3, 1)  # NCHW -> NHWC
+    out = m.apply(jax.tree.map(jnp.asarray, nv), jnp.asarray(x), train=False)
+    pred = np.asarray((out[0] if isinstance(out, tuple) else out)["pred"])
+    ref = z["__pred__"].transpose(0, 2, 1)
+    assert pred.shape == ref.shape
+    d = np.abs(pred - ref)
+    assert float(d[..., :4].max()) < tol, f"box decode diverged: {d[..., :4].max()}"
+    assert float(d[..., 4:].max()) < 1e-4, f"cls scores diverged: {d[..., 4:].max()}"
+
+
+def test_pt_facade_roundtrip(tmp_path):
+    """YOLO('model.pt') loads a torch checkpoint end-to-end."""
+    _dump("yolo11n", "yolo11n.yaml")
+    pt = CACHE / "yolo11n_random.pt"
+    if not pt.exists():
+        env = dict(os.environ, PYTHONPATH=f"{REPO}/tools/ref_shim:.")
+        code = (
+            "import torch; from ultralytics.nn.tasks import DetectionModel\n"
+            "torch.manual_seed(0)\n"
+            "m = DetectionModel('yolo11n.yaml', ch=3, nc=80, verbose=False).eval().float()\n"
+            f"torch.save({{'model': m}}, r'{pt}')\n")
+        subprocess.run([sys.executable, "-c", code], cwd=REF, env=env, check=True,
+                       capture_output=True, text=True)
+
+    # unpickling the checkpoint needs the reference package importable
+    sys.path.insert(0, str(REPO / "tools/ref_shim"))
+    sys.path.insert(0, str(REF))
+    import importlib.metadata as _md
+    _orig_version = _md.version
+    _md.version = lambda n: "0.17.2" if n == "torchvision" else _orig_version(n)
+    try:
+        from edgeyolo_tpu.engine.model import YOLO
+
+        y = YOLO(str(pt))
+        assert y.task == "detect"
+        z = np.load(CACHE / "ref_yolo11n.npz")
+        import jax.numpy as jnp
+
+        x = jnp.asarray(z["__input__"].transpose(0, 2, 3, 1))
+        out = y.model.apply(y.model.variables, x, train=False)
+        pred = np.asarray((out[0] if isinstance(out, tuple) else out)["pred"])
+        ref = z["__pred__"].transpose(0, 2, 1)
+        assert float(np.abs(pred - ref).max()) < 5e-4
+    finally:
+        _md.version = _orig_version
+        sys.path.remove(str(REPO / "tools/ref_shim"))
+        sys.path.remove(str(REF))
