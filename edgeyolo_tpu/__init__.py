@@ -6,7 +6,7 @@ Public API mirrors the reference surface: `YOLO(model).train/val/predict/...`.
 
 __version__ = "0.1.0"
 
-__all__ = ["YOLO", "__version__"]
+__all__ = ["YOLO", "SAM", "RTDETR", "__version__"]
 
 
 def __getattr__(name):
@@ -14,4 +14,15 @@ def __getattr__(name):
         from edgeyolo_tpu.engine.model import YOLO
 
         return YOLO
+    if name == "SAM":
+        from edgeyolo_tpu.engine.sam import SAM
+
+        return SAM
+    if name == "RTDETR":
+        from edgeyolo_tpu.engine.model import YOLO
+
+        def RTDETR(model="rtdetr-l", **kw):
+            return YOLO(model, **kw)
+
+        return RTDETR
     raise AttributeError(f"module 'edgeyolo_tpu' has no attribute '{name}'")
