@@ -6,7 +6,7 @@ Public API mirrors the reference surface: `YOLO(model).train/val/predict/...`.
 
 __version__ = "0.1.0"
 
-__all__ = ["YOLO", "SAM", "RTDETR", "__version__"]
+__all__ = ["YOLO", "SAM", "RTDETR", "NAS", "__version__"]
 
 
 def __getattr__(name):
@@ -18,6 +18,10 @@ def __getattr__(name):
         from edgeyolo_tpu.engine.sam import SAM
 
         return SAM
+    if name == "NAS":
+        from edgeyolo_tpu.engine.nas import NAS
+
+        return NAS
     if name == "RTDETR":
         from edgeyolo_tpu.engine.model import YOLO
 

@@ -103,7 +103,7 @@ class _Block(nn.Module):
         x = x + h
         h = nn.LayerNorm(name="norm2")(x)
         h = nn.Dense(4 * C, kernel_init=KINIT, name="mlp_lin1")(h)
-        h = nn.Dense(C, kernel_init=KINIT, name="mlp_lin2")(jax.nn.gelu(h))
+        h = nn.Dense(C, kernel_init=KINIT, name="mlp_lin2")(jax.nn.gelu(h, approximate=False))
         return x + h
 
 
@@ -174,9 +174,9 @@ class PromptEncoder(nn.Module):
 
         if masks is not None:
             m = nn.Conv(E // 16, (2, 2), strides=(2, 2), kernel_init=KINIT, name="mask_down_0")(masks)
-            m = jax.nn.gelu(nn.LayerNorm(name="mask_down_ln0")(m))
+            m = jax.nn.gelu(nn.LayerNorm(name="mask_down_ln0")(m), approximate=False)
             m = nn.Conv(E // 4, (2, 2), strides=(2, 2), kernel_init=KINIT, name="mask_down_1")(m)
-            m = jax.nn.gelu(nn.LayerNorm(name="mask_down_ln1")(m))
+            m = jax.nn.gelu(nn.LayerNorm(name="mask_down_ln1")(m), approximate=False)
             dense = nn.Conv(E, (1, 1), kernel_init=KINIT, name="mask_down_2")(m)
         else:
             no_mask = self.param("no_mask_embed", nn.initializers.normal(1.0), (E,))
@@ -221,16 +221,21 @@ class _TwoWayBlock(nn.Module):
 
     @nn.compact
     def __call__(self, queries, keys, qpe, kpe):
-        q = queries if self.skip_first_pe else queries + qpe
-        queries = nn.LayerNorm(name="norm1")(queries + _XAttn(self.dim, self.heads, name="self_attn")(q, q, queries))
+        # reference transformer.py:235-241: layer 0 self-attn REPLACES queries
+        if self.skip_first_pe:
+            queries = _XAttn(self.dim, self.heads, name="self_attn")(queries, queries, queries)
+        else:
+            q = queries + qpe
+            queries = queries + _XAttn(self.dim, self.heads, name="self_attn")(q, q, queries)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm1")(queries)
         q = queries + qpe
         k = keys + kpe
-        queries = nn.LayerNorm(name="norm2")(
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm2")(
             queries + _XAttn(self.dim, self.heads, 2, name="cross_t2i")(q, k, keys))
         h = nn.Dense(2048, kernel_init=KINIT, name="mlp_lin1")(queries)
-        queries = nn.LayerNorm(name="norm3")(queries + nn.Dense(self.dim, kernel_init=KINIT, name="mlp_lin2")(jax.nn.relu(h)))
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm3")(queries + nn.Dense(self.dim, kernel_init=KINIT, name="mlp_lin2")(jax.nn.relu(h)))
         q = queries + qpe
-        keys = nn.LayerNorm(name="norm4")(
+        keys = nn.LayerNorm(epsilon=1e-5, name="norm4")(
             keys + _XAttn(self.dim, self.heads, 2, name="cross_i2t")(k, q, queries))
         return queries, keys
 
@@ -263,7 +268,7 @@ class MaskDecoder(nn.Module):
                                          name=f"layer_{i}")(queries, keys, qpe, kpe)
         q = queries + qpe
         k = keys + kpe
-        queries = nn.LayerNorm(name="final_norm")(
+        queries = nn.LayerNorm(epsilon=1e-5, name="final_norm")(
             queries + _XAttn(E, self.heads, 2, name="final_attn")(q, k, keys))
 
         iou_out = queries[:, 0]
@@ -271,8 +276,8 @@ class MaskDecoder(nn.Module):
 
         src = keys.reshape(B, g, g, E)
         up = nn.ConvTranspose(E // 4, (2, 2), strides=(2, 2), kernel_init=KINIT, name="upscale_0")(src)
-        up = jax.nn.gelu(nn.LayerNorm(name="upscale_ln")(up))
-        up = jax.nn.gelu(nn.ConvTranspose(E // 8, (2, 2), strides=(2, 2), kernel_init=KINIT, name="upscale_1")(up))
+        up = jax.nn.gelu(nn.LayerNorm(name="upscale_ln")(up), approximate=False)
+        up = jax.nn.gelu(nn.ConvTranspose(E // 8, (2, 2), strides=(2, 2), kernel_init=KINIT, name="upscale_1")(up), approximate=False)
 
         hyper = []
         for i in range(self.num_masks):

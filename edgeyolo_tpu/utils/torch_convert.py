@@ -39,25 +39,36 @@ def flax_path_to_torch_key(path: tuple[str, ...]) -> str:
 
 
 def _to_flax(arr: np.ndarray, flax_shape: tuple[int, ...], leaf: str) -> np.ndarray | None:
-    """Reshape/transpose a torch tensor into the flax layout; None if impossible."""
-    if tuple(arr.shape) == tuple(flax_shape):
-        return arr
+    """Reshape/transpose a torch tensor into the flax layout; None if impossible.
+
+    Kernels transpose BEFORE the identity-shape shortcut: a square torch
+    Linear weight (out==in) has the same shape as the flax kernel but still
+    needs the (out,in)->(in,out) transpose.
+    """
     if leaf == "kernel":
         if arr.ndim == 4:  # conv OIHW -> HWIO (grouped convs transpose identically)
             t = arr.transpose(2, 3, 1, 0)
+            if t.shape == tuple(flax_shape):
+                return t
+            # ConvTranspose: torch (in,out,kh,kw), and torch's deconv applies
+            # the kernel spatially FLIPPED relative to flax.ConvTranspose
+            t = arr[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
             if t.shape == tuple(flax_shape):
                 return t
         if arr.ndim == 2:  # linear (out,in) -> (in,out)
             t = arr.T
             if t.shape == tuple(flax_shape):
                 return t
+    if tuple(arr.shape) == tuple(flax_shape):
+        return arr
     if arr.size == int(np.prod(flax_shape)):
         return arr.reshape(flax_shape)
     return None
 
 
 def convert_state_dict(torch_sd: dict, variables: dict, strict: bool = True,
-                       rewrites: dict[str, str] | None = None) -> tuple[dict, dict]:
+                       rewrites: dict[str, str] | None = None,
+                       key_fn=None) -> tuple[dict, dict]:
     """Fill a flax variables tree from a torch state_dict.
 
     Returns (new_variables, report). report = {"matched": n, "missing": [flax
@@ -79,9 +90,10 @@ def convert_state_dict(torch_sd: dict, variables: dict, strict: bool = True,
             path = tuple(getattr(k, "key", str(k)) for k in kp)
             flat[(coll, path)] = leaf
 
+    key_fn = key_fn or flax_path_to_torch_key
     new_flat = {}
     for (coll, path), leaf in flat.items():
-        tk = flax_path_to_torch_key(path)
+        tk = key_fn(path)
         if rewrites and tk in rewrites:
             tk = rewrites[tk]
         if tk not in sd:
@@ -123,3 +135,52 @@ def load_pt(path: str):
     model = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     sd = model.state_dict() if hasattr(model, "state_dict") else model
     return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+# SAM name mapping: our flax module names -> the reference's torch names
+# (models/sam/modules/{encoders,decoders,transformer}.py). Applied AFTER the
+# generic rewrite; see sam_torch_key().
+SAM_REWRITE_RULES = (
+    (r"image_encoder\.patch_embed\.(weight|bias)$", r"image_encoder.patch_embed.proj.\1"),
+    (r"\.block\.(\d+)\.", r".blocks.\1."),
+    (r"mlp_lin(\d)", r"mlp.lin\1"),
+    (r"prompt_encoder\.pe_gaussian$", "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"),
+    (r"prompt_encoder\.not_a_point_embed$", "prompt_encoder.not_a_point_embed.weight"),
+    (r"prompt_encoder\.no_mask_embed$", "prompt_encoder.no_mask_embed.weight"),
+    (r"prompt_encoder\.mask_down\.0\.", "prompt_encoder.mask_downscaling.0."),
+    (r"prompt_encoder\.mask_down_ln0\.", "prompt_encoder.mask_downscaling.1."),
+    (r"prompt_encoder\.mask_down\.1\.", "prompt_encoder.mask_downscaling.3."),
+    (r"prompt_encoder\.mask_down_ln1\.", "prompt_encoder.mask_downscaling.4."),
+    (r"prompt_encoder\.mask_down\.2\.", "prompt_encoder.mask_downscaling.6."),
+    (r"mask_decoder\.iou_token$", "mask_decoder.iou_token.weight"),
+    (r"mask_decoder\.mask_tokens$", "mask_decoder.mask_tokens.weight"),
+    (r"mask_decoder\.layer\.(\d+)\.", r"mask_decoder.transformer.layers.\1."),
+    (r"\.self_attn\.(q|k|v|out)\.", r".self_attn.\1_proj."),
+    (r"\.cross_t2i\.(q|k|v|out)\.", r".cross_attn_token_to_image.\1_proj."),
+    (r"\.cross_i2t\.(q|k|v|out)\.", r".cross_attn_image_to_token.\1_proj."),
+    (r"mask_decoder\.final_attn\.(q|k|v|out)\.", r"mask_decoder.transformer.final_attn_token_to_image.\1_proj."),
+    (r"mask_decoder\.final_norm\.", "mask_decoder.transformer.norm_final_attn."),
+    (r"mask_decoder\.upscale\.0\.", "mask_decoder.output_upscaling.0."),
+    (r"mask_decoder\.upscale_ln\.", "mask_decoder.output_upscaling.1."),
+    (r"mask_decoder\.upscale\.1\.", "mask_decoder.output_upscaling.3."),
+    (r"mask_decoder\.hyper_(\d)_l(\d)\.", r"mask_decoder.output_hypernetworks_mlps.\1.layers.\2."),
+    (r"mask_decoder\.iou_l(\d)\.", r"mask_decoder.iou_prediction_head.layers.\1."),
+)
+
+
+def sam_torch_key(path: tuple) -> str:
+    """flax path -> SAM reference state_dict key."""
+    k = flax_path_to_torch_key(path)
+    for pat, rep in SAM_REWRITE_RULES:
+        k = re.sub(pat, rep, k)
+    return k
+
+
+def convert_sam_state_dict(torch_sd: dict, variables: dict, strict: bool = True):
+    """convert_state_dict with the SAM name mapping; merges the reference's
+    4 per-label point embeddings into our single (4, E) tensor."""
+    sd = dict(torch_sd)
+    pe_keys = [f"prompt_encoder.point_embeddings.{i}.weight" for i in range(4)]
+    if all(k in sd for k in pe_keys):
+        sd["prompt_encoder.point_embeddings"] = np.concatenate([sd.pop(k) for k in pe_keys], 0)
+    return convert_state_dict(sd, variables, strict=strict, key_fn=sam_torch_key)

@@ -108,3 +108,41 @@ def test_pt_facade_roundtrip(tmp_path):
         _md.version = _orig_version
         sys.path.remove(str(REPO / "tools/ref_shim"))
         sys.path.remove(str(REF))
+
+
+def test_sam_forward_parity():
+    """Full SAM stack vs the torch reference at random init: ViT encoder,
+    prompt encoder, two-way mask decoder (small config, same code paths as
+    vit_b: windowed+global blocks, rel-pos, 14px windows over an 8x8 grid)."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgeyolo_tpu.nn.sam import SAMModel
+    from edgeyolo_tpu.utils.torch_convert import convert_sam_state_dict
+
+    out = CACHE / "ref_sam.npz"
+    if not out.exists():
+        CACHE.mkdir(exist_ok=True)
+        env = dict(os.environ, PYTHONPATH=f"{REPO}/tools/ref_shim:.")
+        subprocess.run([sys.executable, str(REPO / "tools/dump_reference_sam.py"), str(out)],
+                       cwd=REF, env=env, check=True, capture_output=True, text=True)
+    z = np.load(out)
+    sd = {k: z[k] for k in z.files if not k.startswith("__")}
+
+    m = SAMModel(img_size=128, encoder_dim=64, encoder_depth=4, encoder_heads=2,
+                 global_idx=(1, 3))
+    x = jnp.asarray(z["__input__"].transpose(0, 2, 3, 1))
+    # reference pads point prompts with a (0,0)/-1 slot when no box is given
+    pts = np.concatenate([z["__pts__"] + 0.5, np.zeros((1, 1, 2), np.float32)], 1) / 128.0
+    labs = np.concatenate([z["__labs__"], -np.ones((1, 1), np.float32)], 1).astype(np.int32)
+    v = m.init(jax.random.PRNGKey(0), x, jnp.asarray(pts), jnp.asarray(labs))
+    nv, rep = convert_sam_state_dict(sd, v, strict=True)
+    # only the mask-input stem (unused: no mask prompt here) may stay torch-side
+    assert all("mask_downscaling" in u for u in rep["unused"])
+
+    nv = jax.tree.map(jnp.asarray, nv)
+    emb = m.apply(nv, x, method="encode")
+    assert float(np.abs(np.asarray(emb) - z["__emb__"].transpose(0, 2, 3, 1)).max()) < 1e-4
+    masks, iou = m.apply(nv, emb, jnp.asarray(pts), jnp.asarray(labs), method="prompt")
+    assert float(np.abs(np.asarray(masks) - z["__masks__"]).max()) < 1e-4
+    assert float(np.abs(np.asarray(iou) - z["__iou__"]).max()) < 1e-5
