@@ -168,9 +168,9 @@ class AdaHGConv(nn.Module):
         A = AdaHyperedgeGen(self.embed_dim, self.num_hyperedges, self.num_heads,
                             self.dropout, self.context, name="edge_generator")(X, train)
         He = jnp.einsum("bne,bnd->bed", A, X)
-        He = jax.nn.gelu(nn.Dense(self.embed_dim, kernel_init=KERNEL_INIT, name="edge_proj")(He))
+        He = jax.nn.gelu(nn.Dense(self.embed_dim, kernel_init=KERNEL_INIT, name="edge_proj")(He), approximate=False)
         Xn = jnp.einsum("bne,bed->bnd", A, He)
-        Xn = jax.nn.gelu(nn.Dense(self.embed_dim, kernel_init=KERNEL_INIT, name="node_proj")(Xn))
+        Xn = jax.nn.gelu(nn.Dense(self.embed_dim, kernel_init=KERNEL_INIT, name="node_proj")(Xn), approximate=False)
         return Xn + X
 
 

@@ -427,7 +427,7 @@ class RTDETRDecoder(nn.Module):
         anchors, valid = self._anchors(shapes)
         features = nn.Dense(self.hd, kernel_init=KERNEL_INIT, name="enc_output_0")(
             jnp.where(valid, feats, 0.0))
-        features = nn.LayerNorm(name="enc_output_1")(features)
+        features = nn.LayerNorm(epsilon=1e-5, name="enc_output_1")(features)
         enc_scores_all = nn.Dense(self.nc, kernel_init=KERNEL_INIT,
                                   bias_init=nn.initializers.constant(
                                       float(-math.log((1 - 0.01) / 0.01)) / 80 * self.nc),

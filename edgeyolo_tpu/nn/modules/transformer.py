@@ -75,10 +75,10 @@ class TransformerEncoderLayer(nn.Module):
         dense = lambda f, nm: nn.Dense(f, kernel_init=KERNEL_INIT, name=nm)
         q = src if pos is None else src + pos
         attn = _mha(q, q, src, self.num_heads, dense, "ma")
-        src = nn.LayerNorm(name="norm1")(src + attn)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + attn)
         ff = dense(self.cm, "fc1")(src)
-        ff = dense(self.c1, "fc2")(jax.nn.gelu(ff))
-        return nn.LayerNorm(name="norm2")(src + ff)
+        ff = dense(self.c1, "fc2")(jax.nn.gelu(ff, approximate=False))
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src + ff)
 
 
 class AIFI(nn.Module):
@@ -104,13 +104,15 @@ class AIFI(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, h, w, c = x.shape
-        # reference flattens W-major (flatten(2) on BCHW is row-major over H,W);
-        # our NHWC reshape matches (h*w, c) ordering h-major == same sequence
+        # reference quirk preserved exactly (transformer.py AIFI.forward):
+        # tokens are H-major (flatten(2) on BCHW) while the sincos grid is
+        # built w-major (meshgrid(w, h, indexing="ij")) — the pairing is
+        # "transposed", and matching the reference numerically requires
+        # keeping it, not fixing it
         pos = self.sincos_embed(w, h, c)
-        # torch grid is (w,h) indexing 'ij' flattened -> w-major; transpose ours
-        tokens = x.transpose(0, 2, 1, 3).reshape(b, h * w, c)
+        tokens = x.reshape(b, h * w, c)
         tokens = TransformerEncoderLayer(self.c1, self.cm, self.num_heads, name="enc")(tokens, pos)
-        return tokens.reshape(b, w, h, c).transpose(0, 2, 1, 3)
+        return tokens.reshape(b, h, w, c)
 
 
 class RepC3(nn.Module):
@@ -231,14 +233,14 @@ class DeformableTransformerDecoderLayer(nn.Module):
         dense = lambda f, nm: nn.Dense(f, kernel_init=KERNEL_INIT, name=nm)
         q = embed if query_pos is None else embed + query_pos
         sa = _mha(q, q, embed, self.n_heads, dense, "self_attn", mask=attn_mask)
-        embed = nn.LayerNorm(name="norm1")(embed + sa)
+        embed = nn.LayerNorm(epsilon=1e-5, name="norm1")(embed + sa)
         ca = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
                           name="cross_attn")(
             embed if query_pos is None else embed + query_pos, refer_bbox, feats, shapes)
-        embed = nn.LayerNorm(name="norm2")(embed + ca)
+        embed = nn.LayerNorm(epsilon=1e-5, name="norm2")(embed + ca)
         ff = dense(self.d_ffn, "linear1")(embed)
         ff = dense(self.d_model, "linear2")(jax.nn.relu(ff))
-        return nn.LayerNorm(name="norm3")(embed + ff)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(embed + ff)
 
 
 def inverse_sigmoid(x, eps: float = 1e-5):

@@ -184,3 +184,51 @@ def convert_sam_state_dict(torch_sd: dict, variables: dict, strict: bool = True)
     if all(k in sd for k in pe_keys):
         sd["prompt_encoder.point_embeddings"] = np.concatenate([sd.pop(k) for k in pe_keys], 0)
     return convert_state_dict(sd, variables, strict=strict, key_fn=sam_torch_key)
+
+
+# RT-DETR name mapping (reference nn/modules/transformer.py RTDETRDecoder &
+# friends). torch packs nn.MultiheadAttention projections into
+# in_proj_weight; split_packed_attention() unpacks them into the per-dense
+# keys our _mha layout uses.
+RTDETR_REWRITE_RULES = (
+    (r"\.enc\.(ma|fc1|fc2|norm1|norm2)", r".\1"),
+    (r"\.input_proj_(\d)_conv\.", r".input_proj.\1.0."),
+    (r"\.input_proj_(\d)_bn\.", r".input_proj.\1.1."),
+    (r"\.decoder\.layer\.(\d+)\.", r".decoder.layers.\1."),
+    (r"\.decoder\.bbox_head\.(\d+)\.", r".dec_bbox_head.\1."),
+    (r"\.decoder\.score_head\.(\d+)\.", r".dec_score_head.\1."),
+    (r"\.l(\d)\.(weight|bias)$", r".layers.\1.\2"),
+    (r"\.denoising_class_embed$", ".denoising_class_embed.weight"),
+    (r"\.tgt_embed$", ".tgt_embed.weight"),
+)
+
+
+def split_packed_attention(sd: dict) -> dict:
+    """Unpack every torch nn.MultiheadAttention in_proj/out_proj into
+    X_q/X_k/X_v/X_o dense keys."""
+    sd = dict(sd)
+    for k in [k for k in sd if k.endswith(".in_proj_weight")]:
+        base = k[: -len(".in_proj_weight")]
+        w = sd.pop(k)
+        b = sd.pop(base + ".in_proj_bias")
+        e = w.shape[1]
+        for i, nm in enumerate("qkv"):
+            sd[f"{base}_{nm}.weight"] = w[i * e : (i + 1) * e]
+            sd[f"{base}_{nm}.bias"] = b[i * e : (i + 1) * e]
+        sd[f"{base}_o.weight"] = sd.pop(base + ".out_proj.weight")
+        sd[f"{base}_o.bias"] = sd.pop(base + ".out_proj.bias")
+    return sd
+
+
+def rtdetr_torch_key(path: tuple) -> str:
+    """flax path -> RT-DETR reference state_dict key."""
+    k = flax_path_to_torch_key(path)
+    for pat, rep in RTDETR_REWRITE_RULES:
+        k = re.sub(pat, rep, k)
+    return k
+
+
+def convert_rtdetr_state_dict(torch_sd: dict, variables: dict, strict: bool = True):
+    """convert_state_dict with the RT-DETR name mapping + attention unpack."""
+    return convert_state_dict(split_packed_attention(torch_sd), variables,
+                              strict=strict, key_fn=rtdetr_torch_key)

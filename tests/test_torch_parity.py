@@ -146,3 +146,56 @@ def test_sam_forward_parity():
     masks, iou = m.apply(nv, emb, jnp.asarray(pts), jnp.asarray(labs), method="prompt")
     assert float(np.abs(np.asarray(masks) - z["__masks__"]).max()) < 1e-4
     assert float(np.abs(np.asarray(iou) - z["__iou__"]).max()) < 1e-5
+
+
+def test_rtdetr_forward_parity():
+    """rtdetr-l vs the torch reference at random init. Scores match
+    elementwise; boxes match as a SET — equal-scored anchors at random init
+    tie-break differently between torch.topk and lax.top_k, permuting rows
+    (~10% of 300 queries; irrelevant for set prediction and gone with
+    trained weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgeyolo_tpu.nn.tasks import RTDETRDetectionModel
+    from edgeyolo_tpu.utils.torch_convert import convert_rtdetr_state_dict
+
+    out = CACHE / "ref_rtdetr.npz"
+    if not out.exists():
+        CACHE.mkdir(exist_ok=True)
+        env = dict(os.environ, PYTHONPATH=f"{REPO}/tools/ref_shim:.")
+        code = (
+            "import numpy as np, torch\n"
+            "torch.manual_seed(0)\n"
+            "from ultralytics.nn.tasks import RTDETRDetectionModel\n"
+            "m = RTDETRDetectionModel('rtdetr-l.yaml', ch=3, nc=80, verbose=False).eval().float()\n"
+            "x = torch.from_numpy(np.random.RandomState(11).rand(1,3,256,256).astype(np.float32))\n"
+            "with torch.no_grad(): y = m(x)\n"
+            "p = y[0] if isinstance(y, (list, tuple)) else y\n"
+            f"np.savez(r'{out}', __pred__=p.numpy(), __input__=x.numpy(),"
+            " **{k: v.detach().numpy() for k, v in m.state_dict().items()})\n")
+        subprocess.run([sys.executable, "-c", code], cwd=REF, env=env, check=True,
+                       capture_output=True, text=True)
+    z = np.load(out)
+    sd = {k: z[k] for k in z.files if not k.startswith("__")}
+
+    m = RTDETRDetectionModel("rtdetr-l", verbose=False)
+    v = m.init(jax.random.PRNGKey(0), imgsz=256)
+    nv, rep = convert_rtdetr_state_dict(sd, v, strict=True)
+    assert rep["unused"] == []
+
+    x = jnp.asarray(z["__input__"].transpose(0, 2, 3, 1))
+    out_ = m.apply(jax.tree.map(jnp.asarray, nv), x, train=False)
+    pred = np.asarray((out_[0] if isinstance(out_, tuple) else out_)["pred"])[0]
+    ref = z["__pred__"][0]
+    assert pred.shape == ref.shape
+    # permutation-tolerant set comparison (greedy nearest match)
+    used = np.zeros(len(ref), bool)
+    worst = 0.0
+    for row in pred:
+        d = np.abs(row[None] - ref).max(-1)
+        d[used] = 1e9
+        j = d.argmin()
+        used[j] = True
+        worst = max(worst, float(d[j]))
+    assert worst < 1e-4, f"rtdetr outputs diverge beyond tie-permutation: {worst}"
