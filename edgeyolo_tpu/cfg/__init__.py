@@ -132,7 +132,7 @@ def find_model_yaml(model: str | Path) -> Path:
 
     stem = p.stem
     # strip a trailing scale char (yolo11n -> yolo11, scale n)
-    m = re.match(r"^(.*yolo\d+)([nslmx])?([-_].+)?$", stem)
+    m = re.match(r"^(.*yolo[v]?\d+)([nslmx])?([-_].+)?$", stem)
     unified = f"{m.group(1)}{m.group(3) or ''}" if m else stem
     for cand in (MODELS_DIR / f"{stem}.yaml", MODELS_DIR / f"{unified}.yaml"):
         if cand.exists():

@@ -35,7 +35,10 @@ def flax_path_to_torch_key(path: tuple[str, ...]) -> str:
         # name_0 -> name.0, name_0_1 -> name.0.1 (nested ModuleList indexing)
         out.append(re.sub(r"_(?=\d+(?:_\d+)*$)", ".", p) if re.search(r"_\d+(?:_\d+)*$", p) else p)
     leaf = _PARAM_SUFFIX.get(parts[-1], parts[-1])
-    return ".".join(out + [leaf])
+    key = ".".join(out + [leaf])
+    # Proto's upsample is a RAW ConvTranspose2d in the reference (block.py
+    # Proto), not the wrapped ConvTranspose module with its .conv_transpose
+    return key.replace("proto.upsample.conv_transpose.", "proto.upsample.")
 
 
 def _to_flax(arr: np.ndarray, flax_shape: tuple[int, ...], leaf: str) -> np.ndarray | None:

@@ -199,3 +199,89 @@ def test_rtdetr_forward_parity():
         used[j] = True
         worst = max(worst, float(d[j]))
     assert worst < 1e-4, f"rtdetr outputs diverge beyond tie-permutation: {worst}"
+
+
+TASK_CASES = [
+    # (cache name, reference cfg, our cfg, task, model class name)
+    ("seg", "yolov8n-seg.yaml", "yolov8n-seg", "segment", "SegmentationModel"),
+    ("pose", "yolov8n-pose.yaml", "yolov8n-pose", "pose", "PoseModel"),
+    ("obb", "yolov8n-obb.yaml", "yolov8n-obb", "obb", "OBBModel"),
+]
+
+
+@pytest.mark.parametrize("name,ref_cfg,our_cfg,task,cls_name", TASK_CASES,
+                         ids=[c[0] for c in TASK_CASES])
+def test_task_head_forward_parity(name, ref_cfg, our_cfg, task, cls_name):
+    """Segment (incl. Proto transpose-conv), Pose (keypoint decode) and OBB
+    (angle decode) heads vs the torch reference at random init."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgeyolo_tpu.nn import tasks
+    from edgeyolo_tpu.utils.torch_convert import convert_state_dict
+
+    out = CACHE / f"ref_{name}.npz"
+    if not out.exists():
+        CACHE.mkdir(exist_ok=True)
+        env = dict(os.environ, PYTHONPATH=f"{REPO}/tools/ref_shim:.")
+        subprocess.run([sys.executable, str(REPO / "tools/dump_reference_task_forward.py"),
+                        ref_cfg, task, str(out), "64"],
+                       cwd=REF, env=env, check=True, capture_output=True, text=True)
+    z = np.load(out)
+    sd = {k: z[k] for k in z.files if not k.startswith("__")}
+    m = getattr(tasks, cls_name)(our_cfg, verbose=False)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    nv, rep = convert_state_dict(sd, v, strict=True)
+    assert [u for u in rep["unused"] if "dfl" not in u] == []
+
+    x = jnp.asarray(z["__input__"].transpose(0, 2, 3, 1))
+    o = m.apply(jax.tree.map(jnp.asarray, nv), x, train=False)
+    o = o[0] if isinstance(o, tuple) else o
+    pred = np.asarray(o["pred"])
+    ref = z["__pred__"].transpose(0, 2, 1)
+    assert pred.shape == ref.shape
+    assert float(np.abs(pred - ref).max()) < 1e-3
+    if name == "seg":  # Proto path: transpose-conv orientation must match
+        for k in ("__aux0__", "__aux1__", "__aux2__"):
+            if k in z.files and z[k].ndim == 4 and z[k].shape[1] == 32:
+                d = np.abs(np.asarray(o["proto"]) - z[k].transpose(0, 2, 3, 1)).max()
+                assert float(d) < 1e-4
+
+
+def test_classify_forward_parity():
+    """yolov8n-cls vs torch reference: our logits softmax to the reference's
+    eval probabilities exactly (reference Classify returns softmax in eval)."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgeyolo_tpu.nn.tasks import ClassificationModel
+    from edgeyolo_tpu.utils.torch_convert import convert_state_dict
+
+    out = CACHE / "ref_cls.npz"
+    if not out.exists():
+        CACHE.mkdir(exist_ok=True)
+        env = dict(os.environ, PYTHONPATH=f"{REPO}/tools/ref_shim:.")
+        code = (
+            "import numpy as np, torch\n"
+            "torch.manual_seed(0)\n"
+            "from ultralytics.nn.tasks import ClassificationModel\n"
+            "m = ClassificationModel('yolov8n-cls.yaml', ch=3, verbose=False).eval().float()\n"
+            "x = torch.from_numpy(np.random.RandomState(42).rand(1,3,64,64).astype(np.float32))\n"
+            "with torch.no_grad(): y = m(x)\n"
+            "p = y[0] if isinstance(y, (list, tuple)) else y\n"
+            f"np.savez(r'{out}', __pred__=p.numpy(), __input__=x.numpy(),"
+            " **{k: v.detach().numpy() for k, v in m.state_dict().items()})\n")
+        subprocess.run([sys.executable, "-c", code], cwd=REF, env=env, check=True,
+                       capture_output=True, text=True)
+    z = np.load(out)
+    sd = {k: z[k] for k in z.files if not k.startswith("__")}
+    m = ClassificationModel("yolov8n-cls", verbose=False)
+    v = m.init(jax.random.PRNGKey(0), imgsz=64)
+    nv, rep = convert_state_dict(sd, v, strict=True)
+    assert rep["unused"] == []
+    x = jnp.asarray(z["__input__"].transpose(0, 2, 3, 1))
+    o = m.apply(jax.tree.map(jnp.asarray, nv), x, train=False)
+    o = o[0] if isinstance(o, tuple) else o
+    pred = o["pred"] if isinstance(o, dict) else o
+    probs = np.asarray(jax.nn.softmax(pred, -1))
+    assert float(np.abs(probs - z["__pred__"]).max()) < 1e-6
