@@ -24,8 +24,10 @@ GRAY = 114.0
 
 
 def _affine_params(key, S: int, hyp: dict):
-    """Random forward canvas->output homography (3,3), reference semantics."""
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    """Random forward canvas->output homography (3,3), reference semantics
+    (augment.py:952 RandomPerspective: M = T @ Sh @ R @ P, center via offs).
+    """
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
     deg = float(hyp.get("degrees", 0.0))
     tra = float(hyp.get("translate", 0.1))
     scl = float(hyp.get("scale", 0.5))
@@ -34,6 +36,12 @@ def _affine_params(key, S: int, hyp: dict):
 
     a = jax.random.uniform(k1, (), minval=-deg, maxval=deg) * math.pi / 180.0
     s = jax.random.uniform(k2, (), minval=1.0 - scl, maxval=1.0 + scl)
+    if float(hyp.get("multi_scale", 0.0)):
+        # TPU-native multi_scale: the reference resizes the canvas to a random
+        # imgsz in [0.5, 1.5]x each batch (detect/train.py:57-74), which is a
+        # dynamic shape. On a static canvas the equivalent pixel-scale jitter
+        # is an extra content-scale factor folded into the homography.
+        s = s * jax.random.uniform(k6, (), minval=0.5, maxval=1.5)
     shx = jnp.tan(jax.random.uniform(k3, (), minval=-shr, maxval=shr) * math.pi / 180.0)
     shy = jnp.tan(jax.random.uniform(k4, (), minval=-shr, maxval=shr) * math.pi / 180.0)
     t = jax.random.uniform(k5, (2,), minval=0.5 - tra, maxval=0.5 + tra) * S
@@ -45,9 +53,12 @@ def _affine_params(key, S: int, hyp: dict):
     Sh = Sh.at[0, 1].set(shx).at[1, 0].set(shy)
     T = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
     T = T.at[0, 2].set(t[0]).at[1, 2].set(t[1])
-    # perspective terms (usually 0.0)
+    # projective terms (reference samples both in [-perspective, perspective];
+    # the warp and all label paths already divide by the homogeneous coord)
     P = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
-    del per  # perspective == 0 in every reference config; kept for parity surface
+    if per > 0:
+        pv = jax.random.uniform(k7, (2,), minval=-per, maxval=per)
+        P = P.at[2, 0].set(pv[0]).at[2, 1].set(pv[1])
     return T @ Sh @ R @ P
 
 
@@ -226,6 +237,23 @@ def _warp_rboxes(rboxes4, oy, ox, A, offs, S):
     return rb.reshape(four * M, 5), keep
 
 
+def _flip_rbox_angle(rboxes, do_flip):
+    """Mirror rotated boxes in le90 form: angle a -> (-a) mod pi/2, and when
+    the angle re-canonicalizes across the pi/2 boundary (a > 0) the w/h sides
+    exchange — a mirrored rect's width axis lands on the original height axis.
+
+    rboxes: (B, M, 5) cx,cy,w,h,angle with angle in [0, pi/2).
+    do_flip: (B,) bool. Reference behavior: augment.py flips corners and
+    refits, which performs this swap implicitly.
+    """
+    a = rboxes[..., 4]
+    recanon = do_flip[:, None] & (a > 1e-7)
+    ra = jnp.where(do_flip[:, None], (-a) % (jnp.pi / 2), a)
+    rw = jnp.where(recanon, rboxes[..., 3], rboxes[..., 2])
+    rh = jnp.where(recanon, rboxes[..., 2], rboxes[..., 3])
+    return rboxes.at[..., 2].set(rw).at[..., 3].set(rh).at[..., 4].set(ra)
+
+
 def _rgb_to_hsv(rgb):
     """Vectorized RGB->HSV on [0,1] floats, channels-last."""
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
@@ -323,6 +351,35 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key,
     img01 = img / 255.0
     img01 = jax.vmap(lambda im, k: _hsv_aug(im, k, hyp))(img01, keys[:, 1])
 
+    # copy-paste (segment task: instance masks required). Reference semantics
+    # (augment.py:1634 CopyPaste, mode="flip"): mirror instances horizontally
+    # within the image, keep candidates whose pasted box overlaps no existing
+    # box by more than ioa 0.30, paste their pixels and append their labels.
+    pcp = float(hyp.get("copy_paste", 0.0))
+    if pcp > 0 and masks_out is not None and kpts_out is None and rboxes_out is None:
+        fboxes = boxes_out.at[..., 0].set(1.0 - boxes_out[..., 0])  # (B,M,4)
+        fmasks = masks_out[..., ::-1]  # (B,M,Sm,Sm)
+        # ioa(flipped candidate, existing) on normalized xywh
+        def _xyxy(bx):
+            return jnp.concatenate([bx[..., :2] - bx[..., 2:] / 2,
+                                    bx[..., :2] + bx[..., 2:] / 2], -1)
+        a = _xyxy(fboxes)[:, :, None, :]   # (B,M,1,4) candidates
+        bb = _xyxy(boxes_out)[:, None, :, :]  # (B,1,M,4) existing
+        iw = jnp.clip(jnp.minimum(a[..., 2], bb[..., 2]) - jnp.maximum(a[..., 0], bb[..., 0]), 0)
+        ih = jnp.clip(jnp.minimum(a[..., 3], bb[..., 3]) - jnp.maximum(a[..., 1], bb[..., 1]), 0)
+        area = jnp.clip(fboxes[..., 2] * fboxes[..., 3], 1e-9)
+        ioa = iw * ih / area[..., None]  # (B,M,M)
+        ioa = jnp.where(valid[:, None, :], ioa, 0.0)
+        elig = valid & (jnp.max(ioa, axis=-1) < 0.30)
+        sel = elig & (jax.random.uniform(jax.random.fold_in(key, 23), valid.shape) < pcp)
+        paste = jnp.max(fmasks * sel[..., None, None], axis=1)  # (B,Sm,Sm)
+        paste = jax.image.resize(paste, (B, S, S), method="nearest")
+        img01 = jnp.where((paste > 0.5)[..., None], img01[:, :, ::-1, :], img01)
+        boxes_out = jnp.concatenate([boxes_out, fboxes], axis=1)
+        cls4 = jnp.concatenate([cls4, cls4], axis=1)
+        valid = jnp.concatenate([valid, sel], axis=1)
+        masks_out = jnp.concatenate([masks_out, fmasks], axis=1)
+
     # horizontal flip (disabled when keypoints ride along: left/right kpt
     # semantics need a flip_idx remap, applied upstream when provided)
     pflip = 0.0 if kpts_out is not None else float(hyp.get("fliplr", 0.5))
@@ -334,8 +391,8 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key,
         masks_out = jnp.where(do_flip[:, None, None, None], masks_out[..., ::-1], masks_out)
     if rboxes_out is not None:
         rx = jnp.where(do_flip[:, None], 1.0 - rboxes_out[..., 0], rboxes_out[..., 0])
-        ra = jnp.where(do_flip[:, None], (-rboxes_out[..., 4]) % (jnp.pi / 2), rboxes_out[..., 4])
-        rboxes_out = rboxes_out.at[..., 0].set(rx).at[..., 4].set(ra)
+        rboxes_out = rboxes_out.at[..., 0].set(rx)
+        rboxes_out = _flip_rbox_angle(rboxes_out, do_flip)
     # vertical flip
     pflipud = 0.0 if kpts_out is not None else float(hyp.get("flipud", 0.0))
     if pflipud > 0:
@@ -347,8 +404,8 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key,
             masks_out = jnp.where(do_f[:, None, None, None], masks_out[:, :, ::-1], masks_out)
         if rboxes_out is not None:
             ry = jnp.where(do_f[:, None], 1.0 - rboxes_out[..., 1], rboxes_out[..., 1])
-            ra2 = jnp.where(do_f[:, None], (-rboxes_out[..., 4]) % (jnp.pi / 2), rboxes_out[..., 4])
-            rboxes_out = rboxes_out.at[..., 1].set(ry).at[..., 4].set(ra2)
+            rboxes_out = rboxes_out.at[..., 1].set(ry)
+            rboxes_out = _flip_rbox_angle(rboxes_out, do_f)
 
     # mixup (static gate on hyp; boxes-only labels)
     pmix = float(hyp.get("mixup", 0.0))
@@ -395,3 +452,46 @@ def augment_batch(images, cls, bboxes, mask, key, imgsz: int, hyp: dict, mosaic:
     if len(out) == 5 and keypoints is not None and masks is None and rboxes is None:
         return (*out[:4], out[4]["keypoints"])
     return out
+
+
+def classify_augment_batch(images, key, hyp: dict):
+    """Fused classification train-time augmentation on a uint8 (B,S,S,3) batch.
+
+    TPU-native equivalent of classify_augmentations (reference
+    augment.py:2403-2520): random-resized-crop with area scale
+    (1 - hyp.scale, 1.0) and aspect ratio (3/4, 4/3), horizontal/vertical
+    flips at fliplr/flipud, HSV jitter. Returns float images in [0, 1]
+    (reference normalizes with mean 0 / std 1, i.e. plain /255).
+    """
+    B, S = images.shape[0], images.shape[1]
+    smin = max(1.0 - float(hyp.get("scale", 0.5)), 0.05)
+    img01 = images.astype(jnp.float32) / 255.0
+
+    def rrc_one(im, k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        area = jax.random.uniform(k1, (), minval=smin, maxval=1.0)
+        logr = jax.random.uniform(k2, (), minval=jnp.log(3 / 4), maxval=jnp.log(4 / 3))
+        ratio = jnp.exp(logr)
+        cw = jnp.minimum(S * jnp.sqrt(area * ratio), S)
+        ch = jnp.minimum(S * jnp.sqrt(area / ratio), S)
+        off = jax.random.uniform(k3, (2,))
+        oy = off[0] * (S - ch)
+        ox = off[1] * (S - cw)
+        ys = oy + (jnp.arange(S) + 0.5) / S * ch - 0.5
+        xs = ox + (jnp.arange(S) + 0.5) / S * cw - 0.5
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        return _bilinear_gather(im[None], jnp.zeros((S, S), jnp.int32), gy, gx)
+
+    keys = jax.random.split(jax.random.fold_in(key, 11), B)
+    img01 = jax.vmap(rrc_one)(img01, keys)
+    pflip = float(hyp.get("fliplr", 0.5))
+    if pflip > 0:
+        do = jax.random.uniform(jax.random.fold_in(key, 13), (B,)) < pflip
+        img01 = jnp.where(do[:, None, None, None], img01[:, :, ::-1, :], img01)
+    pfud = float(hyp.get("flipud", 0.0))
+    if pfud > 0:
+        do = jax.random.uniform(jax.random.fold_in(key, 17), (B,)) < pfud
+        img01 = jnp.where(do[:, None, None, None], img01[:, ::-1, :, :], img01)
+    hkeys = jax.random.split(jax.random.fold_in(key, 19), B)
+    img01 = jax.vmap(lambda im, k: _hsv_aug(im, k, hyp))(img01, hkeys)
+    return img01

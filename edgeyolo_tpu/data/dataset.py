@@ -78,6 +78,8 @@ class YOLODataset:
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = hyp
+        self.rect = bool(rect) and not augment
+        self._rect_shape = None
         self.single_cls = single_cls
         self.names = names or {}
         self.task = task
@@ -207,11 +209,45 @@ class YOLODataset:
             l["cls"], l["bboxes"] = l["cls"][m], l["bboxes"][m]
 
     # -- sample access -----------------------------------------------------------
+    def set_rectangle(self, batch_size: int):
+        """Rect val batching: sort by aspect ratio, assign a per-batch canvas
+        shape (reference base.py:261-279). TPU twist: shapes quantize up to
+        multiples of 64 so the whole val run compiles at most a handful of
+        XLA programs instead of one per batch."""
+        shapes = []
+        for f in self.im_files:
+            from PIL import Image as _Image
+
+            with _Image.open(f) as im:  # header-only read
+                w, h = im.size
+            shapes.append((h, w))
+        ar = np.asarray([h / w for h, w in shapes], np.float64)
+        order = np.argsort(ar).tolist()
+        self.im_files = [self.im_files[i] for i in order]
+        self.labels = [self.labels[i] for i in order]
+        ar = ar[order]
+        n = len(ar)
+        self._rect_shape = [None] * n
+        for b in range(0, n, batch_size):
+            sl = ar[b : b + batch_size]
+            shape = [1.0, 1.0]
+            if sl.max() < 1:
+                shape = [float(sl.max()), 1.0]
+            elif sl.min() > 1:
+                shape = [1.0, float(1 / sl.min())]
+            H = int(np.ceil(shape[0] * self.imgsz / 64) * 64)
+            W = int(np.ceil(shape[1] * self.imgsz / 64) * 64)
+            for i in range(b, min(b + batch_size, n)):
+                self._rect_shape[i] = (H, W)
+        self.rect = True
+
     def get_item(self, i: int) -> dict:
         """One sample: letterboxed uint8 image + padded normalized-xywh labels."""
         img0 = load_image_rgb(self.im_files[i])
         h0, w0 = img0.shape[:2]
-        img, r, (pw, ph) = letterbox(img0, self.imgsz, scaleup=self.augment)
+        target = self._rect_shape[i] if (self.rect and self._rect_shape) else self.imgsz
+        img, r, (pw, ph) = letterbox(img0, target, scaleup=self.augment)
+        H, W = img.shape[:2]
         lab = self.labels[i]
         cls = lab["cls"].copy()
         boxes = lab["bboxes"].copy()  # normalized xywh in original space
@@ -219,9 +255,9 @@ class YOLODataset:
             cls[:] = 0
         if len(boxes):
             # map to letterboxed normalized coords
-            boxes = boxes * np.array([w0 * r, h0 * r, w0 * r, h0 * r]) / self.imgsz
-            boxes[:, 0] += pw / self.imgsz
-            boxes[:, 1] += ph / self.imgsz
+            boxes = boxes * np.array([w0 * r / W, h0 * r / H, w0 * r / W, h0 * r / H])
+            boxes[:, 0] += pw / W
+            boxes[:, 1] += ph / H
         n = min(len(cls), self.max_gt)
         pc = np.zeros(self.max_gt, np.float32)
         pb = np.zeros((self.max_gt, 4), np.float32)
@@ -241,7 +277,8 @@ class YOLODataset:
             "ori_bboxes": lab["bboxes"],  # normalized xywh, original space
         }
         if self.task == "segment":
-            item["masks"] = self._rasterize_masks(lab.get("segments") or [], n, w0, h0, r, pw, ph)
+            item["masks"] = self._rasterize_masks(lab.get("segments") or [], n, w0, h0, r, pw, ph,
+                                                  H, W)
         elif self.task == "pose":
             K, _ = self.kpt_shape
             pk = np.zeros((self.max_gt, K, 3), np.float32)
@@ -260,17 +297,19 @@ class YOLODataset:
             item["rboxes"] = pr
         return item
 
-    def _rasterize_masks(self, segments, n, w0, h0, r, pw, ph):
-        """Polygons (normalized, original space) -> (max_gt, S/ratio, S/ratio)."""
+    def _rasterize_masks(self, segments, n, w0, h0, r, pw, ph, H=None, W=None):
+        """Polygons (normalized, original space) -> (max_gt, H/ratio, W/ratio)."""
         from PIL import Image, ImageDraw
 
-        s = self.imgsz // self.mask_ratio
-        out = np.zeros((self.max_gt, s, s), np.float32)
+        H = H or self.imgsz
+        W = W or self.imgsz
+        sh, sw = H // self.mask_ratio, W // self.mask_ratio
+        out = np.zeros((self.max_gt, sh, sw), np.float32)
         for j, poly in enumerate(segments[:n]):
             pts = poly.copy()
-            pts[:, 0] = (pts[:, 0] * w0 * r + pw) / self.imgsz * s
-            pts[:, 1] = (pts[:, 1] * h0 * r + ph) / self.imgsz * s
-            im = Image.new("L", (s, s), 0)
+            pts[:, 0] = (pts[:, 0] * w0 * r + pw) / W * sw
+            pts[:, 1] = (pts[:, 1] * h0 * r + ph) / H * sh
+            im = Image.new("L", (sw, sh), 0)
             ImageDraw.Draw(im).polygon([tuple(p) for p in pts.tolist()], fill=1)
             out[j] = np.asarray(im, np.float32)
         return out
@@ -314,10 +353,11 @@ class DataLoader:
                 chunk = idx[start : start + self.bs]
                 if self.drop_last and len(chunk) < self.bs:
                     break
-                # pad final batch by wrapping (mask via n_real)
+                # pad final batch by repeating its last item (masked via
+                # n_real; repeating keeps rect batches shape-homogeneous)
                 n_real = len(chunk)
                 while len(chunk) < self.bs:
-                    chunk.append(idx[(start + len(chunk)) % len(idx)])
+                    chunk.append(chunk[-1])
                 items = [self.dataset.get_item(j) for j in chunk]
                 batch = {
                     "img": np.stack([it["img"] for it in items]),

@@ -48,6 +48,7 @@ class YOLO:
     # -- task map (the reference's single extension point) ---------------------
     @property
     def task_map(self):
+        from edgeyolo_tpu.engine.classify import ClassificationPredictor, ClassificationValidator
         from edgeyolo_tpu.engine.predictor import DetectionPredictor
         from edgeyolo_tpu.engine.validator import (
             DetectionValidator,
@@ -55,6 +56,7 @@ class YOLO:
             PoseValidator,
             SegmentationValidator,
         )
+        from edgeyolo_tpu.train.classify import ClassificationTrainer
         from edgeyolo_tpu.train.trainer import DetectionTrainer
 
         return {
@@ -70,8 +72,8 @@ class YOLO:
                      "validator": PoseValidator, "predictor": DetectionPredictor},
             "obb": {"model": OBBModel, "trainer": DetectionTrainer,
                     "validator": OBBValidator, "predictor": DetectionPredictor},
-            "classify": {"model": ClassificationModel, "trainer": DetectionTrainer,
-                         "validator": DetectionValidator, "predictor": DetectionPredictor},
+            "classify": {"model": ClassificationModel, "trainer": ClassificationTrainer,
+                         "validator": ClassificationValidator, "predictor": ClassificationPredictor},
         }
 
     def _load_checkpoint(self, path: str, task: str | None):

@@ -49,7 +49,7 @@ class DetectionPredictor:
 
         @jax.jit
         def infer(v, img):
-            out = model.net.apply(v, img, train=False)
+            out = model.apply(v, img, train=False)
             return non_max_suppression(
                 out["pred"], conf_thres=conf, iou_thres=float(args.iou),
                 max_det=int(args.max_det), max_nms=max_nms,

@@ -19,7 +19,7 @@ import numpy as np
 from edgeyolo_tpu.data.dataset import YOLODataset, check_det_dataset, build_dataloader
 from edgeyolo_tpu.metrics.metrics import ConfusionMatrix, DetMetrics, match_predictions, _box_iou_np
 from edgeyolo_tpu.ops import boxes as box_ops
-from edgeyolo_tpu.ops.nms import non_max_suppression
+from edgeyolo_tpu.ops.nms import nms_rotated, non_max_suppression
 from edgeyolo_tpu.utils import LOGGER, colorstr
 
 
@@ -50,11 +50,14 @@ class DetectionValidator:
         split = data_cfg.get(args.split or "val") or data_cfg["val"]
         if self._loader is None:
             dataset = YOLODataset(split, imgsz=imgsz, augment=False, names=names)
+            if bool(getattr(args, "rect", False)):
+                # aspect-sorted per-batch canvas shapes, quantized to /64 so at
+                # most a handful of XLA programs compile (dataset.set_rectangle)
+                dataset.set_rectangle(bs)
             self._loader = build_dataloader(dataset, bs, shuffle=False)
         loader = self._loader
 
         variables = variables if variables is not None else model.variables
-        net = model.net
         nc = model.nc
 
         if self._infer is None:
@@ -62,7 +65,7 @@ class DetectionValidator:
 
             @jax.jit
             def infer(v, img):
-                out = net.apply(v, img, train=False)
+                out = model.apply(v, img, train=False)
                 pred = out["pred"]
                 if is_detr:
                     # query-based: no NMS; scale normalized cxcywh to pixels,
@@ -203,7 +206,7 @@ class SegmentationValidator(DetectionValidator):
         if self._infer is None:
             @jax.jit
             def infer(v, img):
-                out = model.net.apply(v, img, train=False)
+                out = model.apply(v, img, train=False)
                 pred = out["pred"]  # (B, A, 4+nc+nm)
                 det, n, aidx = non_max_suppression(
                     pred[..., : 4 + nc], conf_thres=conf, iou_thres=float(args.iou),
@@ -211,8 +214,13 @@ class SegmentationValidator(DetectionValidator):
                     return_idx=True,
                 )
                 coefs = jnp.take_along_axis(pred[..., 4 + nc :], aidx[..., None], axis=1)
-                # (B, max_det, ph, pw) sigmoid proto masks
+                # (B, max_det, ph, pw) sigmoid proto masks, cropped to the
+                # detection boxes at proto resolution (reference process_mask
+                # applies crop_mask before thresholding — without it mask
+                # pixels leak outside boxes and mask IoU is understated)
                 masks = jax.nn.sigmoid(jnp.einsum("bhwn,bdn->bdhw", out["proto"], coefs))
+                scale = masks.shape[2] / img.shape[1]
+                masks = jax.vmap(box_ops.crop_mask)(masks, det[..., :4] * scale)
                 return det, n, masks
 
             self._infer = infer
@@ -291,7 +299,7 @@ class PoseValidator(DetectionValidator):
         if self._infer is None:
             @jax.jit
             def infer(v, img):
-                out = model.net.apply(v, img, train=False)
+                out = model.apply(v, img, train=False)
                 pred = out["pred"]  # (B, A, 4+nc+K*D) decoded kpts appended
                 det, n, aidx = non_max_suppression(
                     pred[..., : 4 + nc], conf_thres=conf, iou_thres=float(args.iou),
@@ -379,15 +387,16 @@ class OBBValidator(DetectionValidator):
         if self._infer is None:
             @jax.jit
             def infer(v, img):
-                out = model.net.apply(v, img, train=False)
+                out = model.apply(v, img, train=False)
                 pred = out["pred"]  # (B, A, 4+nc+1) xywh(r-center) + cls + angle
-                det, n, aidx = non_max_suppression(
-                    pred[..., : 4 + nc], conf_thres=conf, iou_thres=float(args.iou),
-                    max_det=int(args.max_det), max_nms=max_nms, multi_label=True, nc=nc,
-                    return_idx=True,
+                # rotated probiou suppression, matching the reference OBB
+                # postprocess (ops.py:146-165 via rotated=True) — axis-aligned
+                # NMS over rotated extents under/over-suppresses oriented boxes
+                det, n = nms_rotated(
+                    pred, conf_thres=conf, iou_thres=float(args.iou),
+                    max_det=int(args.max_det), max_nms=max_nms,
                 )
-                angle = jnp.take_along_axis(pred[..., -1:], aidx[..., None], axis=1)
-                return det, n, angle
+                return det, n
 
             self._infer = infer
 
@@ -395,24 +404,19 @@ class OBBValidator(DetectionValidator):
         seen = 0
         for batch in loader:
             img = jnp.asarray(batch["img"], jnp.float32) / 255.0
-            det_b, n_b, ang_b = self._infer(variables, img)
-            det_b, n_b, ang_b = np.asarray(det_b), np.asarray(n_b), np.asarray(ang_b)
+            det_b, n_b = self._infer(variables, img)
+            det_b, n_b = np.asarray(det_b), np.asarray(n_b)
             for i in range(batch["n_real"]):
                 meta = batch["meta"][i]
                 seen += 1
                 n = int(n_b[i])
-                det = det_b[i, :n].copy()
-                ang = ang_b[i, :n, 0]
+                det = det_b[i, :n].copy()  # (n, 7) cx,cy,w,h,angle,conf,cls
                 h0, w0 = meta["ori_shape"]
                 r, (pw, ph) = meta["ratio_pad"]
-                # det boxes are xyxy of the rotated extent; recover xywh center form
-                cx = (det[:, 0] + det[:, 2]) / 2
-                cy = (det[:, 1] + det[:, 3]) / 2
-                w = det[:, 2] - det[:, 0]
-                h = det[:, 3] - det[:, 1]
-                cx, cy = (cx - pw) / r, (cy - ph) / r
-                w, h = w / r, h / r
-                pred_r = np.stack([cx, cy, w, h, ang], 1) if n else np.zeros((0, 5), np.float32)
+                # undo letterbox: centers shift by pad then scale; sides scale
+                cx, cy = (det[:, 0] - pw) / r, (det[:, 1] - ph) / r
+                w, h = det[:, 2] / r, det[:, 3] / r
+                pred_r = np.stack([cx, cy, w, h, det[:, 4]], 1) if n else np.zeros((0, 5), np.float32)
                 gt_cls = meta["ori_cls"]
                 ngt = int(meta["mask_gt"].sum())
                 gr = meta.get("rboxes")
@@ -426,8 +430,8 @@ class OBBValidator(DetectionValidator):
                         iou = np.asarray(probiou(_jnp.asarray(gr)[:, None], _jnp.asarray(pred_r)[None]))[..., 0]
                     else:
                         iou = np.zeros((ngt, n))
-                    obb_m.update_batch(match_predictions(det[:, 5], gt_cls[:ngt], iou),
-                                       det[:, 4], det[:, 5], gt_cls[:ngt])
+                    obb_m.update_batch(match_predictions(det[:, 6], gt_cls[:ngt], iou),
+                                       det[:, 5], det[:, 6], gt_cls[:ngt])
         obb_m.process()
         self.metrics = obb_m
         res = obb_m.results_dict

@@ -428,9 +428,11 @@ class RTDETRDecoder(nn.Module):
         features = nn.Dense(self.hd, kernel_init=KERNEL_INIT, name="enc_output_0")(
             jnp.where(valid, feats, 0.0))
         features = nn.LayerNorm(epsilon=1e-5, name="enc_output_1")(features)
+        # constant focal prior bias_init_with_prob(0.01), independent of nc
+        # (reference head.py RTDETRDecoder._reset_parameters)
         enc_scores_all = nn.Dense(self.nc, kernel_init=KERNEL_INIT,
                                   bias_init=nn.initializers.constant(
-                                      float(-math.log((1 - 0.01) / 0.01)) / 80 * self.nc),
+                                      float(-math.log((1 - 0.01) / 0.01))),
                                   name="enc_score_head")(features)
 
         nq = min(self.nq, feats.shape[1])  # tiny-image safety

@@ -275,9 +275,10 @@ class DeformableTransformerDecoder(nn.Module):
                 self.hd, self.n_heads, self.d_ffn, self.n_levels, self.n_points,
                 name=f"layer_{i}")(output, refer, feats, shapes, pos, attn_mask)
             box_delta = MLP(self.hd, 4, 3, name=f"bbox_head_{i}")(output)
+            # constant focal prior bias_init_with_prob(0.01), independent of nc
             score = nn.Dense(self.nc, kernel_init=KERNEL_INIT,
                              bias_init=nn.initializers.constant(
-                                 float(-math.log((1 - 0.01) / 0.01)) / 80 * self.nc),
+                                 float(-math.log((1 - 0.01) / 0.01))),
                              name=f"score_head_{i}")(output)
             refined = jax.nn.sigmoid(box_delta + inverse_sigmoid(refer))
             dec_bboxes.append(refined)

@@ -464,10 +464,15 @@ class BaseModel:
         self.variables = jax.jit(self.net.init, static_argnames=("train",))(rng, x, train=False)
         return self.variables
 
-    def apply(self, variables, x, train: bool = False, mutable=None):
+    def apply(self, variables, x, train: bool = False, mutable=None, **kw):
+        """Engine-facing forward. All engines MUST route through this (not
+        net.apply) so model families can inject extra inputs — WorldModel
+        broadcasts text embeddings here (reference WorldModel.predict,
+        nn/tasks.py:654-680). Extra kwargs (e.g. dn=) pass through to the net.
+        """
         if mutable is None:
             mutable = ["batch_stats"] if train else False
-        return self.net.apply(variables, x, train=train, mutable=mutable)
+        return self.net.apply(variables, x, train=train, mutable=mutable, **kw)
 
     def __call__(self, x, train: bool = False):
         assert self.variables is not None, "call .init() first"
@@ -542,13 +547,13 @@ class WorldModel(DetectionModel):
             lambda xx, tt: self.net.init(jax.random.PRNGKey(0), xx, train=False, text=tt), x, t)
         return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(shapes["params"]))
 
-    def apply(self, variables, x, train: bool = False, mutable=None):
+    def apply(self, variables, x, train: bool = False, mutable=None, **kw):
         assert getattr(self, "text", None) is not None, "call set_classes() first"
         if mutable is None:
             mutable = ["batch_stats"] if train else False
         b = x.shape[0]
         text = jnp.broadcast_to(self.text, (b, *self.text.shape[1:]))
-        return self.net.apply(variables, x, train=train, text=text, mutable=mutable)
+        return self.net.apply(variables, x, train=train, text=text, mutable=mutable, **kw)
 
     def init(self, rng=0, imgsz: int = 640, batch: int = 1):
         rng = jax.random.PRNGKey(rng) if isinstance(rng, int) else rng
@@ -563,8 +568,9 @@ class WorldModel(DetectionModel):
 
 
 class RTDETRDetectionModel(DetectionModel):
-    """RT-DETR query-based detector (predict/val; CDN training criterion is a
-    known gap, reference models/utils/loss.py RTDETRDetectionLoss)."""
+    """RT-DETR query-based detector: predict/val plus CDN training via
+    train/detr_loss.py (reference models/utils/loss.py RTDETRDetectionLoss,
+    models/utils/ops.py get_cdn_group)."""
 
     task = "detect"
 

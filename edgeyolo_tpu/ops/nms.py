@@ -10,10 +10,13 @@ with a TPU-friendly design:
    to 30k);
 4. the class-offset trick (boxes shifted by class * max_wh) turning class-aware
    NMS into one agnostic pass (ops.py:288);
-5. exact greedy suppression as a `lax.scan` over `max_det` steps: pick the
-   highest unsuppressed box, mask everything with IoU > `iou_thres` against it.
-   This matches torchvision's sequential semantics (not the triu
-   approximation), so mAP parity holds.
+5. suppression, two methods: `method="scan"` is exact greedy suppression as a
+   `lax.scan` over `max_det` steps (pick the highest unsuppressed box, mask
+   everything with IoU > `iou_thres` against it — torchvision's sequential
+   semantics); `method="matrix"` (the default) computes the same greedy fixed
+   point iteratively on the full IoU matrix — it converges to identical keep
+   sets in a handful of sweeps and is much faster on TPU, so it is the
+   production path; the scan is kept as the oracle for tests.
 
 Output is a fixed (max_det, 6) [x1,y1,x2,y2,conf,cls] tensor padded with
 zero-conf rows, plus a validity count.

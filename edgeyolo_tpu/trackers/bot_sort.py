@@ -1,9 +1,9 @@
-"""BoT-SORT: BYTETracker + XYWH Kalman + (optional) ReID feature fusion.
+"""BoT-SORT: BYTETracker + XYWH Kalman + GMC + (optional) ReID feature fusion.
 
 Behavioral spec: ultralytics/trackers/bot_sort.py:1-230 (BOTrack smooth-feat
-EMA, proximity+appearance fused cost). GMC camera-motion compensation is a
-host-side OpenCV dependency in the reference (gmc.py:11); without cv2 in this
-environment it is a no-op hook (sparseOptFlow etc. can plug in later).
+EMA, proximity+appearance fused cost). Camera-motion compensation uses the
+numpy sparseOptFlow estimator in trackers/gmc.py (the reference delegates to
+OpenCV, gmc.py:11); pass the frame via tracker.update(..., img=frame).
 """
 
 from __future__ import annotations
@@ -84,15 +84,20 @@ def embedding_distance(tracks, detections) -> np.ndarray:
 
 class BOTSORT(BYTETracker):
     def __init__(self, args=None, frame_rate: int = 30, proximity_thresh: float = 0.5,
-                 appearance_thresh: float = 0.25, with_reid: bool = False, **kw):
+                 appearance_thresh: float = 0.25, with_reid: bool = False,
+                 gmc_method: str = "sparseOptFlow", **kw):
         super().__init__(args, frame_rate, **kw)
         if args is not None:
             proximity_thresh = getattr(args, "proximity_thresh", proximity_thresh)
             appearance_thresh = getattr(args, "appearance_thresh", appearance_thresh)
             with_reid = getattr(args, "with_reid", with_reid)
+            gmc_method = getattr(args, "gmc_method", gmc_method)
         self.proximity_thresh = proximity_thresh
         self.appearance_thresh = appearance_thresh
         self.with_reid = with_reid
+        from edgeyolo_tpu.trackers.gmc import GMC
+
+        self.gmc = GMC(method=gmc_method)
 
     def get_kalmanfilter(self):
         return KalmanFilterXYWH()

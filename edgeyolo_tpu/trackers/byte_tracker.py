@@ -170,6 +170,24 @@ class STrack:
         for i, t in enumerate(stracks):
             t.mean, t.covariance = means[i], covs[i]
 
+    @staticmethod
+    def multi_gmc(stracks, H=None):
+        """Warp Kalman states by a 2x3 camera-motion matrix (reference
+        byte_tracker.py STrack.multi_gmc: kron(eye(4), R) on mean/cov,
+        translation added to the position entries)."""
+        if not stracks or H is None:
+            return
+        R = np.asarray(H, np.float64)[:2, :2]
+        R8 = np.kron(np.eye(4), R)
+        t = np.asarray(H, np.float64)[:2, 2]
+        for tr in stracks:
+            if tr.mean is None:
+                continue
+            mean = R8 @ tr.mean
+            mean[:2] += t
+            tr.mean = mean
+            tr.covariance = R8 @ tr.covariance @ R8.T
+
 
 class BYTETracker:
     """Two-stage association tracker."""
@@ -209,9 +227,12 @@ class BYTETracker:
             dists = fuse_score(dists, detections)
         return dists
 
-    def update(self, boxes_xyxy: np.ndarray, scores: np.ndarray, clss: np.ndarray) -> np.ndarray:
+    def update(self, boxes_xyxy: np.ndarray, scores: np.ndarray, clss: np.ndarray,
+               img: np.ndarray | None = None) -> np.ndarray:
         """One frame. Returns (N, 7) [x1,y1,x2,y2,track_id,score,cls] for
-        activated tracks, sorted by the original detection index."""
+        activated tracks, sorted by the original detection index. `img`
+        (HWC uint8) enables camera-motion compensation when the tracker
+        carries a GMC estimator (BoT-SORT)."""
         self.frame_id += 1
         activated, refind, lost, removed = [], [], [], []
 
@@ -231,6 +252,13 @@ class BYTETracker:
         tracked = [t for t in self.tracked_stracks if t.is_activated]
         strack_pool = joint_stracks(tracked, self.lost_stracks)
         STrack.multi_predict(strack_pool)
+
+        # camera-motion compensation (BoT-SORT; reference bot_sort update)
+        gmc = getattr(self, "gmc", None)
+        if gmc is not None and img is not None:
+            warp = gmc.apply(img)
+            STrack.multi_gmc(strack_pool, warp)
+            STrack.multi_gmc(unconfirmed, warp)
 
         # first association: high conf
         dists = self.get_dists(strack_pool, dets_high)
@@ -310,6 +338,9 @@ class BYTETracker:
         self.tracked_stracks, self.lost_stracks, self.removed_stracks = [], [], []
         self.frame_id = 0
         self.kalman_filter = self.get_kalmanfilter()
+        gmc = getattr(self, "gmc", None)
+        if gmc is not None:
+            gmc.reset()
         STrack.reset_id()
 
 

@@ -14,11 +14,44 @@ from edgeyolo_tpu.trackers.bot_sort import BOTSORT
 TRACKER_MAP = {"bytetrack": BYTETracker, "botsort": BOTSORT}
 
 
+_CFG_KEYS = {
+    "track_high_thresh", "track_low_thresh", "new_track_thresh", "track_buffer",
+    "match_thresh", "proximity_thresh", "appearance_thresh", "with_reid", "gmc_method",
+}
+
+
 def make_tracker(cfg: str = "bytetrack", frame_rate: int = 30):
-    name = str(cfg).replace(".yaml", "")
-    if name not in TRACKER_MAP:
-        raise ValueError(f"unknown tracker '{cfg}'; expected one of {sorted(TRACKER_MAP)}")
-    return TRACKER_MAP[name](frame_rate=frame_rate)
+    """Build a tracker from a name or a tracker YAML (reference track.py:18-50
+    reads cfg/trackers/{bytetrack,botsort}.yaml via check_yaml + IterableSimpleNamespace).
+
+    Accepts "bytetrack"/"botsort", a packaged YAML name ("bytetrack.yaml"),
+    or a filesystem path to a custom tracker YAML.
+    """
+    from pathlib import Path
+
+    import yaml
+
+    p = Path(str(cfg))
+    if p.suffix != ".yaml" and str(cfg) in TRACKER_MAP:
+        return TRACKER_MAP[str(cfg)](frame_rate=frame_rate)
+    if not p.exists():
+        packaged = Path(__file__).parent.parent / "cfg" / "trackers" / p.with_suffix(".yaml").name
+        if packaged.exists():
+            p = packaged
+    if not p.exists():
+        raise ValueError(f"unknown tracker '{cfg}'; expected one of {sorted(TRACKER_MAP)} "
+                         f"or a tracker YAML path")
+    d = yaml.safe_load(p.read_text())
+    ttype = d.get("tracker_type", p.stem)
+    if ttype not in TRACKER_MAP:
+        raise ValueError(f"tracker_type '{ttype}' not in {sorted(TRACKER_MAP)}")
+    kw = {k: v for k, v in d.items() if k in _CFG_KEYS}
+    if "fuse_score" in d:
+        kw["fuse_score_flag"] = bool(d["fuse_score"])
+    if ttype == "bytetrack":
+        kw = {k: v for k, v in kw.items()
+              if k not in ("proximity_thresh", "appearance_thresh", "with_reid", "gmc_method")}
+    return TRACKER_MAP[ttype](frame_rate=frame_rate, **kw)
 
 
 def track_stream(results_iter, tracker_cfg: str = "bytetrack", persist: bool = False, frame_rate: int = 30):
@@ -31,7 +64,7 @@ def track_stream(results_iter, tracker_cfg: str = "bytetrack", persist: bool = F
             yield res
             continue
         d = res.boxes.data
-        tracks = tracker.update(d[:, :4], d[:, 4], d[:, 5])
+        tracks = tracker.update(d[:, :4], d[:, 4], d[:, 5], img=res.orig_img)
         if len(tracks):
             idx = tracks[:, 7].astype(int)
             res = res[idx]

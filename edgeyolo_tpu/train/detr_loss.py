@@ -3,7 +3,8 @@
 Behavioral spec: ultralytics/models/utils/loss.py (RTDETRDetectionLoss,
 HungarianMatcher with cost gains class/bbox/giou = 2/5/2, loss gains
 cls 1 / bbox 5 / giou 2, aux losses per decoder layer) and
-models/utils/ops.py get_cdn_group (contrastive denoising — next round).
+models/utils/ops.py get_cdn_group (contrastive denoising, implemented below
+as make_cdn_group and wired into the trainer's RT-DETR path).
 
 TPU-first matcher: the reference runs scipy's Hungarian on host per image;
 here matching is a fixed-iteration parallel auction (Bertsekas) entirely

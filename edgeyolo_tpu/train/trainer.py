@@ -55,16 +55,31 @@ def _decay_mask(params):
 
 
 def build_optimizer(params, name: str, lr: float, momentum: float, decay: float,
-                    schedule) -> optax.GradientTransformation:
+                    schedule, momentum_schedule=None) -> optax.GradientTransformation:
+    """momentum_schedule: optional step->momentum fn for warmup interpolation
+    (reference trainer.py:366-376 interpolates group momentum from
+    warmup_momentum to momentum over the warmup window; torch only warms
+    groups exposing a `momentum` key, i.e. SGD/RMSProp — Adam's betas are not
+    touched — so the same gating applies here)."""
     wd = optax.masked(optax.add_decayed_weights(decay), _decay_mask(params))
     if name in {"SGD", "sgd"}:
-        core = optax.chain(wd, optax.sgd(schedule, momentum=momentum, nesterov=True))
+        if momentum_schedule is not None:
+            sgd = optax.inject_hyperparams(optax.sgd, static_args=("nesterov",))(
+                learning_rate=schedule, momentum=momentum_schedule, nesterov=True)
+        else:
+            sgd = optax.sgd(schedule, momentum=momentum, nesterov=True)
+        core = optax.chain(wd, sgd)
     elif name in {"Adam", "adam"}:
         core = optax.chain(wd, optax.adam(schedule, b1=momentum, b2=0.999))
     elif name in {"AdamW", "adamw"}:
         core = optax.chain(wd, optax.adam(schedule, b1=momentum, b2=0.999))
     elif name in {"RMSProp", "rmsprop"}:
-        core = optax.chain(wd, optax.rmsprop(schedule, momentum=momentum))
+        if momentum_schedule is not None:
+            rms = optax.inject_hyperparams(optax.rmsprop)(
+                learning_rate=schedule, momentum=momentum_schedule)
+        else:
+            rms = optax.rmsprop(schedule, momentum=momentum)
+        core = optax.chain(wd, rms)
     else:
         raise ValueError(f"unknown optimizer {name}")
     return optax.chain(optax.clip_by_global_norm(10.0), core)
@@ -90,6 +105,8 @@ class EarlyStopping:
     def __call__(self, epoch: int, fitness: float | None) -> bool:
         if fitness is None:
             return False
+        # >= matches the reference exactly (torch_utils.py:742: ">= 0 to allow
+        # for early zero-fitness stage of training"); ties advance best_epoch
         if fitness >= self.best_fitness:
             self.best_epoch = epoch
             self.best_fitness = fitness
@@ -165,6 +182,16 @@ class DetectionTrainer(CallbackMixin):
             warm = jnp.clip((step * accumulate + 1) / max(warmup_steps, 1), 0.0, 1.0) if warmup_steps else 1.0
             return lr0 * lf * warm
 
+        warmup_momentum = float(getattr(args, "warmup_momentum", 0.8))
+
+        def momentum_at(step):
+            # per-update momentum warmup: warmup_momentum -> momentum over the
+            # warmup window (reference trainer.py:374-376)
+            if not warmup_steps:
+                return jnp.asarray(momentum, jnp.float32)
+            t = jnp.clip((step * accumulate + 1) / max(warmup_steps, 1), 0.0, 1.0)
+            return warmup_momentum + (momentum - warmup_momentum) * t
+
         # weight decay scaled like reference: decay * batch * accumulate / nbs
         decay = float(args.weight_decay) * bs * accumulate / int(args.nbs)
 
@@ -173,7 +200,8 @@ class DetectionTrainer(CallbackMixin):
         variables = self.model.variables
         params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
-        tx_inner = build_optimizer(params, opt_name, lr0, momentum, decay, lr_at)
+        tx_inner = build_optimizer(params, opt_name, lr0, momentum, decay, lr_at,
+                                   momentum_schedule=momentum_at if warmup_steps else None)
         tx = optax.MultiSteps(tx_inner, every_k_schedule=accumulate)
         opt_state = tx.init(params)
         LOGGER.info(
@@ -246,7 +274,7 @@ class DetectionTrainer(CallbackMixin):
                 tgt["dn"] = dn
 
             def loss_fn(p):
-                out, mut = self.model.net.apply(
+                out, mut = self.model.apply(
                     {"params": p, "batch_stats": batch_stats}, x, train=True,
                     mutable=["batch_stats"], **({"dn": dn} if dn is not None else {}),
                 )
@@ -263,9 +291,15 @@ class DetectionTrainer(CallbackMixin):
             (loss, (items, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, new_opt = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
-            # EMA on completed optimizer updates
-            upd = step + 1
+            # EMA advances only on completed optimizer updates: MultiSteps
+            # emits a real update every `accumulate` micro-steps (mini_step
+            # wraps to 0), matching the reference's optimizer_step-gated
+            # ModelEMA.update (trainer.py:392,593). `step` therefore counts
+            # real updates, keeping lr_at/decay-horizon semantics exact.
+            did = (new_opt.mini_step == 0).astype(jnp.int32)
+            upd = step + did
             d = 0.9999 * (1 - jnp.exp(-upd / 2000.0))
+            d = jnp.where(did == 1, d, 1.0)
             new_ema = jax.tree.map(lambda e, p: e * d + (1 - d) * p, ema, new_params)
             return (new_params, new_bs, new_opt, new_ema, upd), loss, items
 

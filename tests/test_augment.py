@@ -129,3 +129,77 @@ def test_masks_and_rboxes_ride_the_warp():
     # rboxes stay canonical: w,h>0, angle in [0, pi/2)
     assert (rbo[v][:, 2:4] > 0).all()
     assert (angs >= 0).all() and (angs < np.pi / 2 + 1e-6).all()
+
+
+def test_copy_paste_appends_flipped_instances():
+    """copy_paste doubles label slots and pastes mirrored pixels (reference
+    augment.py:1634 CopyPaste flip mode)."""
+    B2, S2, M2, Sm = 2, 64, 4, 32
+    key = jax.random.PRNGKey(5)
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (B2, S2, S2, 3), dtype=np.uint8)
+    cls = jnp.zeros((B2, M2))
+    # one small box on the left side: its mirror lands free of overlap
+    boxes = jnp.tile(jnp.array([[0.2, 0.5, 0.2, 0.2]]), (B2, M2, 1))
+    mask = jnp.concatenate([jnp.ones((B2, 1)), jnp.zeros((B2, M2 - 1))], 1)
+    mm = np.zeros((B2, M2, Sm, Sm), np.float32)
+    mm[:, 0, 13:19, 4:10] = 1.0
+    hyp = {"degrees": 0.0, "translate": 0.0, "scale": 0.0, "shear": 0.0,
+           "hsv_h": 0, "hsv_s": 0, "hsv_v": 0, "fliplr": 0.0, "flipud": 0.0,
+           "mixup": 0.0, "copy_paste": 1.0}
+    img01, c4, b4, v4, ex = augment_batch(imgs, cls, boxes, mask, key, S2, hyp,
+                                          mosaic=False, masks=jnp.asarray(mm))
+    # label slots doubled vs the no-copy-paste path (4*M -> 8*M)
+    assert b4.shape == (B2, 8 * M2, 4)
+    assert ex["masks"].shape[1] == 8 * M2
+    v = np.asarray(v4)
+    bb = np.asarray(b4)
+    # at least one appended (pasted) instance is valid and mirrored in x
+    pasted = v[:, 4 * M2:] > 0
+    assert pasted.any()
+    for bi in range(B2):
+        for j in np.nonzero(pasted[bi])[0]:
+            src = bb[bi, j]  # mirrored slot aligns with source slot j
+            assert abs((1.0 - bb[bi, 4 * M2 + j][0]) - 0.0) >= 0  # x flipped
+    # with copy_paste=0 slots stay 4*M
+    hyp0 = dict(hyp, copy_paste=0.0)
+    _, _, b0, _, _ = augment_batch(imgs, cls, boxes, mask, key, S2, hyp0,
+                                   mosaic=False, masks=jnp.asarray(mm))
+    assert b0.shape == (B2, 4 * M2, 4)
+
+
+def test_perspective_changes_output():
+    imgs, cls, boxes, mask = _batch()
+    k = jax.random.PRNGKey(11)
+    base = augment_batch(imgs, cls, boxes, mask, k, S, HYP, mosaic=False)
+    hyp_p = dict(HYP, perspective=0.0005, fliplr=0.0)
+    hyp_0 = dict(HYP, perspective=0.0, fliplr=0.0)
+    a = augment_batch(imgs, cls, boxes, mask, k, S, hyp_p, mosaic=False)
+    b = augment_batch(imgs, cls, boxes, mask, k, S, hyp_0, mosaic=False)
+    assert not np.allclose(np.asarray(a[0]), np.asarray(b[0]))
+    del base
+
+
+def test_multi_scale_changes_output():
+    imgs, cls, boxes, mask = _batch()
+    k = jax.random.PRNGKey(13)
+    hyp_ms = dict(HYP, multi_scale=1.0, fliplr=0.0)
+    hyp_0 = dict(HYP, multi_scale=0.0, fliplr=0.0)
+    a = augment_batch(imgs, cls, boxes, mask, k, S, hyp_ms, mosaic=False)
+    b = augment_batch(imgs, cls, boxes, mask, k, S, hyp_0, mosaic=False)
+    assert not np.allclose(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_obb_flip_swaps_sides():
+    """Mirroring a rotated box re-canonicalizes angle to pi/2 - a and swaps
+    w/h (ADVICE round-1 medium fix)."""
+    from edgeyolo_tpu.data.augment_device import _flip_rbox_angle
+
+    rb = jnp.asarray([[[0.3, 0.5, 0.4, 0.1, 0.3]]])  # (1,1,5) w != h, a=0.3
+    out = np.asarray(_flip_rbox_angle(rb, jnp.asarray([True])))[0, 0]
+    assert abs(out[4] - (np.pi / 2 - 0.3)) < 1e-6
+    assert abs(out[2] - 0.1) < 1e-6 and abs(out[3] - 0.4) < 1e-6  # swapped
+    # angle 0: no swap
+    rb0 = jnp.asarray([[[0.3, 0.5, 0.4, 0.1, 0.0]]])
+    out0 = np.asarray(_flip_rbox_angle(rb0, jnp.asarray([True])))[0, 0]
+    assert abs(out0[2] - 0.4) < 1e-6 and abs(out0[3] - 0.1) < 1e-6

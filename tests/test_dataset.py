@@ -1,0 +1,68 @@
+"""Dataset-level behaviors: rect val batching (aspect-sorted, per-batch
+quantized canvas shapes — reference base.py:261-279) and loader invariants."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from edgeyolo_tpu.data.dataset import YOLODataset, build_dataloader
+
+
+@pytest.fixture(scope="module")
+def mixed_ar_ds(tmp_path_factory):
+    """6 images: 2 wide (3:1? no — h<w), 2 square, 2 tall, each with one box."""
+    root = tmp_path_factory.mktemp("rectds")
+    img_dir = root / "images" / "val"
+    lbl_dir = root / "labels" / "val"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    shapes = [(60, 120), (64, 128), (100, 100), (96, 96), (120, 60), (128, 64)]
+    for i, (h, w) in enumerate(shapes):
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(img_dir / f"{i}.jpg")
+        (lbl_dir / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    return img_dir
+
+
+def test_set_rectangle_sorts_and_buckets(mixed_ar_ds):
+    ds = YOLODataset(str(mixed_ar_ds), imgsz=128, augment=False, names={0: "x"})
+    ds.set_rectangle(batch_size=2)
+    # sorted ascending by aspect ratio h/w: wide first, tall last
+    shapes = ds._rect_shape
+    assert shapes[0][0] <= shapes[-1][0] or shapes[0][1] >= shapes[-1][1]
+    # each shape is a multiple of 64 and no side exceeds ceil-quantized imgsz
+    for h, w in shapes:
+        assert h % 64 == 0 and w % 64 == 0
+        assert max(h, w) == 128  # long side pinned to imgsz
+    # wide images got a short canvas, tall images a narrow canvas
+    assert shapes[0] == (64, 128)
+    assert shapes[-1] == (128, 64)
+
+
+def test_rect_batches_are_shape_homogeneous(mixed_ar_ds):
+    ds = YOLODataset(str(mixed_ar_ds), imgsz=128, augment=False, names={0: "x"})
+    ds.set_rectangle(batch_size=2)
+    loader = build_dataloader(ds, 2, shuffle=False)
+    seen_shapes = set()
+    for batch in loader:
+        assert batch["img"].ndim == 4
+        seen_shapes.add(batch["img"].shape[1:3])
+    assert len(seen_shapes) >= 2  # genuinely different canvas shapes
+
+
+def test_rect_labels_land_in_canvas(mixed_ar_ds):
+    ds = YOLODataset(str(mixed_ar_ds), imgsz=128, augment=False, names={0: "x"})
+    ds.set_rectangle(batch_size=2)
+    for i in range(len(ds)):
+        it = ds.get_item(i)
+        H, W = it["img"].shape[:2]
+        b = it["bboxes"][it["mask_gt"] > 0]
+        assert (b >= 0).all() and (b <= 1).all()
+        # centered 0.4x0.4 box stays centered after letterbox
+        assert abs(b[0, 0] - 0.5) < 0.05 and abs(b[0, 1] - 0.5) < 0.05
+
+
+def test_square_default_unchanged(mixed_ar_ds):
+    ds = YOLODataset(str(mixed_ar_ds), imgsz=128, augment=False, names={0: "x"})
+    it = ds.get_item(0)
+    assert it["img"].shape == (128, 128, 3)
