@@ -140,6 +140,12 @@ def find_model_yaml(model: str | Path) -> Path:
     hits = sorted(MODELS_DIR.rglob(f"{unified}.yaml")) or sorted(MODELS_DIR.rglob(f"{stem}.yaml"))
     if hits:
         return hits[0]
+    # case-insensitive fallback: reference names mix case (yolo11-GF2Detect)
+    # while bundled specs are lowercase
+    lower = {f.stem.lower(): f for f in MODELS_DIR.rglob("*.yaml")}
+    for cand in (stem.lower(), unified.lower()):
+        if cand in lower:
+            return lower[cand]
     raise FileNotFoundError(f"model spec '{model}' not found in {MODELS_DIR}")
 
 

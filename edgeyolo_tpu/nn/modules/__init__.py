@@ -16,7 +16,9 @@ from edgeyolo_tpu.nn.modules.conv import (
     Index,
     LightConv,
     SpatialAttention,
+    MaxPool2d,
     Upsample,
+    ZeroPad2d,
     autopad,
 )
 from edgeyolo_tpu.nn.modules.block import (

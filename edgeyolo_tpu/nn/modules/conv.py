@@ -270,6 +270,30 @@ class Upsample(nn.Module):
         return jax.image.resize(x, (b, nh, nw, c), method=method)
 
 
+class MaxPool2d(nn.Module):
+    """Max pooling (reference: torch nn.MaxPool2d; used by yolov3-tiny)."""
+
+    k: int = 2
+    s: int = 2
+    p: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = [(self.p, self.p), (self.p, self.p)]
+        return nn.max_pool(x, (self.k, self.k), strides=(self.s, self.s), padding=pad)
+
+
+class ZeroPad2d(nn.Module):
+    """Zero padding (torch convention: (left, right, top, bottom))."""
+
+    pad: Any = (0, 1, 0, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        l, r, t, b = self.pad
+        return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
+
+
 class Index(nn.Module):
     """Select one output from a list input (reference conv.py:392)."""
 

@@ -92,11 +92,19 @@ class ImagePoolingAttn(nn.Module):
             p = nn.Conv(self.ec, (1, 1), use_bias=True, kernel_init=KERNEL_INIT,
                         dtype=x.dtype, name=f"proj_{i}")(x)
             b, h, w, c = p.shape
-            # adaptive max pool to (k, k)
-            ph = h // self.k * self.k
-            pw = w // self.k * self.k
-            p = p[:, :ph, :pw].reshape(b, self.k, ph // self.k, self.k, pw // self.k, c)
-            p = p.max(axis=(2, 4))  # (b, k, k, c)
+            # adaptive max pool to (k, k) with torch bin boundaries
+            # floor(i*h/k)..ceil((i+1)*h/k) — exact for any h, incl. h < k
+            import math as _math
+
+            rows = []
+            for bi in range(self.k):
+                y0, y1 = (bi * h) // self.k, _math.ceil((bi + 1) * h / self.k)
+                cols = []
+                for bj in range(self.k):
+                    x0, x1 = (bj * w) // self.k, _math.ceil((bj + 1) * w / self.k)
+                    cols.append(p[:, y0:y1, x0:x1].max(axis=(1, 2)))
+                rows.append(jnp.stack(cols, axis=1))
+            p = jnp.stack(rows, axis=1)  # (b, k, k, c)
             patches.append(p.reshape(b, self.k * self.k, c))
         kv = jnp.concatenate(patches, axis=1)  # (B, nf*k^2, ec)
 

@@ -92,6 +92,8 @@ _REG: dict[str, tuple[type, list[str]]] = {
     # glue
     "Concat": (M.Concat, ["dim"]),
     "nn.Upsample": (M.Upsample, ["size", "scale_factor", "mode"]),
+    "nn.MaxPool2d": (M.MaxPool2d, ["k", "s", "p"]),
+    "nn.ZeroPad2d": (M.ZeroPad2d, ["pad"]),
     "nn.Identity": (M.Identity, []),
     "Upsample": (M.Upsample, ["size", "scale_factor", "mode"]),
     # heads
@@ -140,7 +142,8 @@ _C3K2_FAMILY = {"C3k2", "DSC3K2", "C3k2_Wavelet", "C3k2_TWavelet", "DSC3K2_Wavel
 _HEADS = {"Detect", "GF2Detect", "E2EDetect", "GFLHeadv2_uniH", "GFLHeadv2_E2E",
           "Segment", "OBB", "Pose", "v10Detect", "RTDETRDecoder", "WorldDetect"}
 # spatial stride factor per module (for static stride derivation)
-_STRIDE_ARG = {"Conv", "ConvBN", "DWConv", "DSConv", "GhostConv", "Focus", "SCDown", "RepConv"}
+_STRIDE_ARG = {"Conv", "ConvBN", "DWConv", "DSConv", "GhostConv", "Focus", "SCDown", "RepConv",
+               "nn.MaxPool2d"}
 _STRIDE_FIXED = {"AConv": 2.0, "ADown": 2.0, "DownsampleConv": 2.0, "HGStem": 4.0}
 
 
@@ -292,9 +295,11 @@ def parse_spec(d: dict, ch: int = 3, verbose: bool = False):
             c2 = sum(ch_list[x] for x in f_list)
         elif name in _HEADS:
             kwargs["ch"] = tuple(ch_list[x] for x in f_list)
-            # v10Detect always uses the lightweight DW cls tower (reference
-            # head.py:764 overwrites cv3 after super().__init__)
-            kwargs["legacy"] = False if name == "v10Detect" else legacy
+            # v10Detect and the EdgeLine E2E heads always use the lightweight
+            # DW cls tower (reference head.py:764 and :806-824 overwrite cv3
+            # after super().__init__)
+            kwargs["legacy"] = (False if name in {"v10Detect", "E2EDetect", "GFLHeadv2_E2E"}
+                                else legacy)
             if name == "Segment" and len(args) > 2:
                 args[2] = make_divisible(min(args[2], max_channels) * width, 8)  # npr
             if name == "Pose" and len(args) > 1 and isinstance(args[1], (list, tuple)):

@@ -45,6 +45,26 @@ PARITY = {
     ("yolo11-pose", "n"): 2908507,
     ("yolo11-obb", "n"): 2695747,
     ("rtdetr-l", ""): 32970476 + 16,  # no DFL in RT-DETR; +16 cancels the shared DFL adjust
+    # round-2 additions (reference as-built counts via its own parse_model)
+    ("yolov8-p2", "n"): 3354144,
+    ("yolov8-p6", "n"): 4984352,
+    ("yolov8-ghost", "n"): 1865316,
+    ("yolov8-ghost-p2", "n"): 2033944,
+    ("yolov8-ghost-p6", "n"): 2901100,
+    ("yolov10n", ""): 2775520,
+    ("yolov10s", ""): 8128272,
+    ("yolov10m", ""): 16576768,
+    ("yolov10b", ""): 20574384,
+    ("yolov10l", ""): 25888688,
+    ("yolov10x", ""): 31808960,
+    ("yolov9c", ""): 25590912,
+    ("yolov9m", ""): 20216160,
+    ("yolov3-spp", ""): 104803744,
+    ("yolov3-tiny", ""): 12173248,
+    ("yolov5-p6", "n"): 4334896,
+    ("yolo11-test", "n"): 2678699,   # == edgeline-yolo (the full EdgeLine config)
+    ("yolo11-tune", "n"): 2740939,
+    ("yolov8-test", "n"): 3197798,
 }
 
 
@@ -72,3 +92,38 @@ def test_save_list():
 def test_scale_inference_from_name():
     d = yaml_model_load("yolo11s.yaml")
     assert d["scale"] == "s"
+
+
+def test_parse_all_bundled_yamls():
+    """Every bundled model YAML compiles through the DSL (parse + strides).
+
+    Reference configs whose modules do not exist anywhere in the reference
+    source (yolov13-X/HyperACEPlus, yolov13-lsnet/LSBlock) are not shipped —
+    SURVEY 'verified defects' policy: never replicate dead configs. The
+    TorchVision-wrapper config (yolo11-cls-resnet18) is also not shipped: it
+    requires running a torch backbone at inference time, a non-goal for a
+    TPU-native framework (ResNetLayer-based cls configs cover the capability).
+    """
+    from pathlib import Path
+
+    import edgeyolo_tpu
+
+    models_dir = Path(edgeyolo_tpu.__file__).parent / "cfg" / "models"
+    yamls = sorted(models_dir.glob("*.yaml"))
+    assert len(yamls) >= 55
+    for y in yamls:
+        d = yaml_model_load(y)
+        spec, save, info = parse_spec(d)
+        assert len(spec) > 3, y.name
+        strides = derive_strides(spec)
+        assert max(strides) >= 8, y.name
+
+
+def test_world_param_parity():
+    """World models count against the reference WorldModel as-built."""
+    from edgeyolo_tpu.nn.tasks import WorldModel
+
+    m = WorldModel("yolov8-worldv2.yaml")
+    assert m.count_params() == 3695183 - DFL
+    m1 = WorldModel("yolov8-world.yaml")
+    assert m1.count_params() == 4204111 - DFL
