@@ -35,33 +35,160 @@ class SourceTypes:
     tensor: bool = False
 
 
+# ---------------------------------------------------------------------------
+# pluggable video decoders (reference LoadImagesAndVideos uses cv2; here any
+# callable (path) -> frame-iterator-or-None can register; built-ins probe
+# PIL animated images, imageio, and a pure-python MJPEG-AVI scanner)
+# ---------------------------------------------------------------------------
+VIDEO_DECODERS: list = []
+
+
+def register_video_decoder(fn, prepend: bool = False):
+    """Register a decoder: fn(path) returns an iterator of HWC RGB uint8
+    frames, or None if it cannot handle the file."""
+    if prepend:
+        VIDEO_DECODERS.insert(0, fn)
+    else:
+        VIDEO_DECODERS.append(fn)
+    return fn
+
+
+def _pil_decoder(path: str):
+    """Animated GIF / multi-frame formats PIL can step through."""
+    if Path(path).suffix.lower() not in {".gif", ".webp", ".tif", ".tiff", ".apng", ".png"}:
+        return None
+    from PIL import Image, ImageSequence
+
+    try:
+        im = Image.open(path)
+        if getattr(im, "n_frames", 1) <= 1 and Path(path).suffix.lower() != ".gif":
+            return None
+    except Exception:
+        return None
+
+    def gen():
+        for frame in ImageSequence.Iterator(Image.open(path)):
+            yield np.asarray(frame.convert("RGB"))
+
+    return gen()
+
+
+def _imageio_decoder(path: str):
+    try:
+        import imageio.v3 as iio
+    except Exception:
+        return None
+
+    try:  # imiter is lazy — pull the first frame to probe decodability
+        probe = iio.imiter(path)
+        first = next(iter(probe))
+    except Exception:
+        return None
+
+    def norm(frame):
+        f = np.asarray(frame)
+        if f.ndim == 2:
+            f = np.stack([f] * 3, -1)
+        return f[..., :3]
+
+    def gen():
+        yield norm(first)
+        for frame in probe:
+            yield norm(frame)
+
+    return gen()
+
+
+def _mjpeg_avi_decoder(path: str):
+    """Pure-python MJPEG-in-AVI: scan for JPEG SOI..EOI blobs in the movi
+    chunk — MJPEG AVIs are just concatenated JPEGs (no ffmpeg needed)."""
+    p = Path(path)
+    if p.suffix.lower() != ".avi":
+        return None
+    data = p.read_bytes()
+    if b"MJPG" not in data[:4096] and b"mjpg" not in data[:4096]:
+        return None
+    from io import BytesIO
+
+    from PIL import Image
+
+    def gen():
+        i = 0
+        while True:
+            s = data.find(b"\xff\xd8\xff", i)
+            if s < 0:
+                break
+            e = data.find(b"\xff\xd9", s)
+            if e < 0:
+                break
+            try:
+                yield np.asarray(Image.open(BytesIO(data[s : e + 2])).convert("RGB"))
+            except Exception:
+                pass
+            i = e + 2
+
+    return gen()
+
+
+VIDEO_DECODERS += [_pil_decoder, _mjpeg_avi_decoder, _imageio_decoder]
+
+
+def open_video(path: str):
+    """Resolve a video file to a frame iterator via the decoder registry."""
+    for dec in VIDEO_DECODERS:
+        it = dec(str(path))
+        if it is not None:
+            return it
+    raise NotImplementedError(
+        f"no registered decoder handles '{path}' (cv2/ffmpeg are not in this "
+        "image). Built-ins cover animated GIF/WebP/TIFF (PIL), MJPEG AVI and "
+        "imageio-readable formats; register_video_decoder() plugs in others."
+    )
+
+
+class LoadVideo:
+    """Frame iterator over one video file through the decoder registry
+    (reference LoadImagesAndVideos video branch, loaders.py:284)."""
+
+    def __init__(self, path: str):
+        self.path = str(path)
+
+    def __iter__(self):
+        for i, frame in enumerate(open_video(self.path)):
+            yield f"{self.path}:{i}", np.asarray(frame)
+
+
 class LoadImages:
-    """Batched walker over image files/dirs/globs."""
+    """Batched walker over image files/dirs/globs; video files stream
+    through the decoder registry."""
 
     def __init__(self, source, batch: int = 1):
         p = Path(str(source))
+        self.videos: list[Path] = []
         if p.is_dir():
             files = sorted(x for x in p.rglob("*.*") if x.suffix.lower() in IMG_EXTS)
+            self.videos = sorted(x for x in p.rglob("*.*") if x.suffix.lower() in VID_EXTS)
         elif "*" in str(source):
             files = [Path(f) for f in sorted(glob.glob(str(source))) if Path(f).suffix.lower() in IMG_EXTS]
         elif p.is_file():
             if p.suffix.lower() in VID_EXTS:
-                raise NotImplementedError(
-                    "video decode requires cv2/ffmpeg which are not in this image; "
-                    "extract frames to a directory and pass that instead"
-                )
-            files = [p]
+                files = []
+                self.videos = [p]
+            else:
+                files = [p]
         else:
             raise FileNotFoundError(f"source not found: {source}")
         self.files = files
         self.batch = batch
 
     def __len__(self):
-        return len(self.files)
+        return len(self.files) + len(self.videos)
 
     def __iter__(self):
         for f in self.files:
             yield str(f), load_image_rgb(str(f))
+        for v in self.videos:
+            yield from LoadVideo(str(v))
 
 
 class LoadPilAndNumpy:

@@ -91,9 +91,124 @@ class SAM:
         m = jimg.resize(masks[0, best], (h, w), method="bilinear")
         return np.asarray(m > 0.0)[None], np.asarray(iou[0, best : best + 1])
 
+    def _prompt_batch(self, pts01):
+        """Batched single-point prompts against the cached embedding.
+        pts01 (B, 2) xy in [0, 1]. Returns (multimask logits (B, 3, h, w),
+        iou (B, 3)) — the grid-generate hook."""
+        import jax.numpy as jnp
+
+        assert self._embed is not None, "call set_image() first"
+        B = len(pts01)
+        e = jnp.broadcast_to(self._embed, (B, *self._embed.shape[1:]))
+        p = jnp.asarray(pts01, jnp.float32)[:, None, :]
+        l = jnp.ones((B, 1), jnp.int32)
+        masks, iou = self._prompt(self.variables, e, p, l)
+        return masks[:, 1:], iou[:, 1:]
+
+    def generate(self, img, **kw):
+        """Segment everything via the point-grid sweep (predict.py:297)."""
+        return grid_generate(self, img, **kw)
+
     def info(self):
         import jax
 
         n = sum(x.size for x in jax.tree_util.tree_leaves(self.variables))
         LOGGER.info(f"SAM: {n:,} params, encoder img_size {self.img_size}")
         return n
+
+
+def grid_generate(fac, img, points_per_side: int = 16, points_per_batch: int = 64,
+                  pred_iou_thresh: float = 0.88, stability_thresh: float = 0.95,
+                  stability_offset: float = 1.0, nms_iou: float = 0.7,
+                  min_area: int = 0):
+    """Segment everything: regular point-grid sweep + quality filtering + NMS
+    (reference sam/predict.py:297 Predictor.generate, crop_n_layers=0 path).
+
+    Works with both the SAM and SAM2 facades (anything exposing set_image()
+    and _prompt_batch()). Returns a list of dicts with keys
+    {"segmentation" (H, W) bool, "bbox" xyxy, "predicted_iou", "stability_score"}.
+    """
+    import jax.image as jimg
+    import jax.numpy as jnp
+
+    fac.set_image(img)
+    h, w = img.shape[:2]
+    side = points_per_side
+    xs = (np.arange(side) + 0.5) / side
+    grid = np.stack(np.meshgrid(xs, xs), -1).reshape(-1, 2).astype(np.float32)  # (P,2) xy
+
+    cand_masks, cand_iou, cand_stab = [], [], []
+    for i in range(0, len(grid), points_per_batch):
+        chunk = grid[i : i + points_per_batch]
+        if len(chunk) < points_per_batch:  # static shapes: pad, mask later
+            pad = np.tile(chunk[-1:], (points_per_batch - len(chunk), 1))
+            real = len(chunk)
+            chunk = np.concatenate([chunk, pad], 0)
+        else:
+            real = len(chunk)
+        logits, ious = fac._prompt_batch(chunk)  # (B,K,h',w'), (B,K)
+        logits = np.asarray(logits)[:real]
+        ious = np.asarray(ious)[:real]
+        B, K = ious.shape
+        flat = logits.reshape(B * K, *logits.shape[2:])
+        fi = ious.reshape(B * K)
+        area_i = (flat > stability_offset).sum((1, 2)).astype(np.float64)
+        area_u = (flat > -stability_offset).sum((1, 2)).astype(np.float64)
+        stab = np.where(area_u > 0, area_i / np.maximum(area_u, 1), 1.0)
+        keep = (fi > pred_iou_thresh) & (stab > stability_thresh)
+        if keep.any():
+            cand_masks.append(flat[keep] > 0.0)
+            cand_iou.append(fi[keep])
+            cand_stab.append(stab[keep])
+    if not cand_masks:
+        return []
+    masks = np.concatenate(cand_masks, 0)
+    ious = np.concatenate(cand_iou, 0)
+    stabs = np.concatenate(cand_stab, 0)
+
+    # boxes from masks (low-res space), drop empties/small
+    boxes = np.zeros((len(masks), 4), np.float32)
+    ok = np.zeros(len(masks), bool)
+    for i, m in enumerate(masks):
+        ys, xs_ = np.nonzero(m)
+        if len(ys) <= min_area:
+            continue
+        boxes[i] = [xs_.min(), ys.min(), xs_.max() + 1, ys.max() + 1]
+        ok[i] = True
+    masks, boxes, ious, stabs = masks[ok], boxes[ok], ious[ok], stabs[ok]
+    if not len(masks):
+        return []
+
+    # greedy NMS by predicted IoU (class-agnostic)
+    order = np.argsort(-ious)
+    kept = []
+    for i in order:
+        bi = boxes[i]
+        dup = False
+        for j in kept:
+            bj = boxes[j]
+            iw = max(0.0, min(bi[2], bj[2]) - max(bi[0], bj[0]))
+            ih = max(0.0, min(bi[3], bj[3]) - max(bi[1], bj[1]))
+            inter = iw * ih
+            ua = ((bi[2] - bi[0]) * (bi[3] - bi[1])
+                  + (bj[2] - bj[0]) * (bj[3] - bj[1]) - inter)
+            if ua > 0 and inter / ua > nms_iou:
+                dup = True
+                break
+        if not dup:
+            kept.append(i)
+
+    out = []
+    lh, lw = masks.shape[1:]
+    for i in kept:
+        big = jimg.resize(jnp.asarray(masks[i], jnp.float32), (h, w), method="bilinear")
+        seg = np.asarray(big > 0.5)
+        sx, sy = w / lw, h / lh
+        out.append({
+            "segmentation": seg,
+            "bbox": [float(boxes[i][0] * sx), float(boxes[i][1] * sy),
+                     float(boxes[i][2] * sx), float(boxes[i][3] * sy)],
+            "predicted_iou": float(ious[i]),
+            "stability_score": float(stabs[i]),
+        })
+    return out

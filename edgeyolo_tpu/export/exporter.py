@@ -75,6 +75,8 @@ class Exporter:
             "stride": list(model.stride),
             "layout": "NHWC",
             "pred": "(B, A, 4+nc) xywh pixels + class probs",
+            "model_yaml": model.yaml.get("yaml_file", ""),
+            "scale": model.scale,
         }
 
         if fmt == "stablehlo":
@@ -96,6 +98,9 @@ class Exporter:
     def export_stablehlo(self, fwd, x, path: Path, meta: dict):
         exported = jax.export.export(jax.jit(fwd))(x)
         path.write_text(exported.mlir_module())
+        # serialized twin so AutoBackend can execute the artifact (the text
+        # form is for inspection/interop)
+        path.with_suffix(".jaxexp").write_bytes(exported.serialize())
         path.with_suffix(".json").write_text(json.dumps(meta, default=str))
         return str(path)
 

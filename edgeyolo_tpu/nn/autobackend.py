@@ -79,6 +79,8 @@ class AutoBackend:
             self.kind = "npz"
             model_yaml = meta.get("model_yaml") or "yolo11n.yaml"
             d = yaml_model_load(model_yaml)
+            if meta.get("scale"):
+                d["scale"] = meta["scale"]
             if meta.get("nc"):
                 d["nc"] = int(meta["nc"])
             self.model = DetectionModel(d)

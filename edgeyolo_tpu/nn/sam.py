@@ -173,9 +173,11 @@ class PromptEncoder(nn.Module):
             sparse = jnp.where(lab == li, pe + emb[li][None, None], sparse)
 
         if masks is not None:
-            m = nn.Conv(E // 16, (2, 2), strides=(2, 2), kernel_init=KINIT, name="mask_down_0")(masks)
+            # reference mask_downscaling widths: mask_in_chans=16 -> 4, 16, E
+            # (prompt_encoder.py; NOT E-relative)
+            m = nn.Conv(4, (2, 2), strides=(2, 2), kernel_init=KINIT, name="mask_down_0")(masks)
             m = jax.nn.gelu(nn.LayerNorm(name="mask_down_ln0")(m), approximate=False)
-            m = nn.Conv(E // 4, (2, 2), strides=(2, 2), kernel_init=KINIT, name="mask_down_1")(m)
+            m = nn.Conv(16, (2, 2), strides=(2, 2), kernel_init=KINIT, name="mask_down_1")(m)
             m = jax.nn.gelu(nn.LayerNorm(name="mask_down_ln1")(m), approximate=False)
             dense = nn.Conv(E, (1, 1), kernel_init=KINIT, name="mask_down_2")(m)
         else:

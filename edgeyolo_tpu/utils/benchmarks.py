@@ -15,60 +15,114 @@ import numpy as np
 from edgeyolo_tpu.utils import LOGGER, colorstr
 
 
-def benchmark(model, imgsz: int = 640, batch: int = 1, iters: int = 30, data=None, verbose: bool = True):
-    """Time the jitted e2e pipeline; optionally evaluate mAP if data given.
+class _BackendAdapter:
+    """Expose an AutoBackend artifact through the model-handle surface the
+    validator drives (apply/nc/names/variables), enabling per-format mAP."""
 
-    Returns list of row dicts (format, ok, ms/img, imgs/s [, mAP]).
+    def __init__(self, backend, nc: int, names: dict, head_name: str = "Detect"):
+        self._b = backend
+        self.nc = nc
+        self.names = names
+        self.head_name = head_name
+        self.variables = {}
+
+    def apply(self, variables, img, train: bool = False, **kw):
+        return {"pred": self._b(img)}
+
+
+def _time_fn(fn, img, iters: int):
+    import jax
+
+    t0 = time.perf_counter()
+    out = fn(img)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(img)
+    jax.block_until_ready(out)
+    return compile_s, (time.perf_counter() - t0) / iters
+
+
+def benchmark(model, imgsz: int = 640, batch: int = 1, iters: int = 30, data=None,
+              verbose: bool = True, formats=None, out_dir="runs/export_bench"):
+    """Format x (latency, imgs/s [, mAP50-95]) table (reference
+    utils/benchmarks.py:50-179): exports the model to every available native
+    format, reloads each through AutoBackend, times the e2e pipeline and —
+    when `data` is given — runs the validator against the reloaded artifact.
+    Gated formats (TF family, ONNX) appear with an honest 'gated' status.
     """
     import jax
     import jax.numpy as jnp
 
+    from edgeyolo_tpu.export.exporter import EXPORT_FORMATS, Exporter
+    from edgeyolo_tpu.nn.autobackend import AutoBackend
     from edgeyolo_tpu.ops.nms import non_max_suppression
 
     model._ensure_init(imgsz)
     handle = model.model
-    variables = handle.variables
     use_bf16 = jax.devices()[0].platform != "cpu"
-
-    @jax.jit
-    def pipeline(v, img_u8):
-        x = img_u8.astype(jnp.bfloat16 if use_bf16 else jnp.float32) / 255.0
-        out = handle.net.apply(v, x, train=False)
-        return non_max_suppression(
-            out["pred"].astype(jnp.float32), conf_thres=0.25, iou_thres=0.7,
-            max_det=300, max_nms=4096, multi_label=False,
-        )
-
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randint(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
-    t0 = time.perf_counter()
-    out = pipeline(variables, img)
-    jax.block_until_ready(out)
-    compile_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipeline(variables, img)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    ms_per_img = dt / (iters * batch) * 1000
+    def make_pipeline(apply_fn):
+        @jax.jit
+        def pipeline(img_u8):
+            x = img_u8.astype(jnp.bfloat16 if use_bf16 else jnp.float32) / 255.0
+            pred = apply_fn(x)
+            return non_max_suppression(
+                pred.astype(jnp.float32), conf_thres=0.25, iou_thres=0.7,
+                max_det=300, max_nms=4096, multi_label=False,
+            )
+        return pipeline
 
-    rows = [{
-        "format": "xla-jit (native)",
-        "status": "ok",
-        "compile_s": round(compile_s, 1),
-        "ms/img": round(ms_per_img, 3),
-        "imgs/s": round(1000 / ms_per_img, 1),
-    }]
-    if data is not None:
-        res = model.val(data=data, imgsz=imgsz, batch=max(batch, 8), plots=False, verbose=False)
-        rows[0]["mAP50-95"] = round(res.get("metrics/mAP50-95(B)", 0.0), 4)
+    def val_map(m_handle):
+        from edgeyolo_tpu.cfg import get_cfg
+        from edgeyolo_tpu.engine.validator import DetectionValidator
+
+        vargs = get_cfg(overrides={"mode": "val", "data": data, "imgsz": imgsz,
+                                   "batch": max(batch, 8), "plots": False})
+        res = DetectionValidator(vargs)(m_handle, data=data)
+        return round(res.get("metrics/mAP50-95(B)", 0.0), 4)
+
+    from edgeyolo_tpu.cfg import get_cfg
+
+    fmts = formats or ["native", *EXPORT_FORMATS]
+    rows = []
+    for fmt in fmts:
+        if fmt != "native" and EXPORT_FORMATS.get(fmt, (None, None))[1] is None:
+            rows.append({"format": fmt, "status": "gated (backend not in image)"})
+            continue
+        try:
+            if fmt == "native":
+                backend_apply = lambda x: handle.apply(handle.variables, x, train=False)["pred"]
+                m_for_val = handle
+            else:
+                ex = Exporter(get_cfg(overrides={"mode": "export", "imgsz": imgsz,
+                                                 "format": fmt}))
+                path = ex(handle, out_dir=out_dir)
+                ab = AutoBackend(path)
+                backend_apply = lambda x, _ab=ab: _ab(x)
+                m_for_val = _BackendAdapter(ab, handle.nc, handle.names)
+            pipeline = make_pipeline(backend_apply)
+            compile_s, dt = _time_fn(pipeline, img, iters)
+            ms_per_img = dt / batch * 1000
+            row = {"format": fmt, "status": "ok", "compile_s": round(compile_s, 1),
+                   "ms/img": round(ms_per_img, 3), "imgs/s": round(1000 / ms_per_img, 1)}
+            if data is not None:
+                row["mAP50-95"] = val_map(m_for_val)
+            rows.append(row)
+        except Exception as e:
+            rows.append({"format": fmt, "status": f"error: {str(e)[:60]}"})
 
     if verbose:
-        hdr = f"{'format':<20}{'status':<8}{'ms/img':>10}{'imgs/s':>10}"
+        hdr = f"{'format':<14}{'status':<28}{'ms/img':>10}{'imgs/s':>10}" + (
+            f"{'mAP50-95':>10}" if data is not None else "")
         LOGGER.info(colorstr("benchmarks:") + f" imgsz={imgsz} batch={batch}\n" + hdr)
         for r in rows:
-            LOGGER.info(f"{r['format']:<20}{r['status']:<8}{r['ms/img']:>10}{r['imgs/s']:>10}")
+            LOGGER.info(f"{r['format']:<14}{r['status']:<28}{r.get('ms/img', ''):>10}"
+                        f"{r.get('imgs/s', ''):>10}"
+                        + (f"{r.get('mAP50-95', ''):>10}" if data is not None else ""))
     return rows
 
 

@@ -120,14 +120,84 @@ def try_register_integrations(target: CallbackMixin, log_dir, enabled=INTEGRATIO
         except Exception:
             status[name] = False
             continue
-        # generic scalar forwarding: every integration gets the same hook shape
-        def on_fit_epoch_end(trainer, _m=imported, _n=name):
-            metrics = {k: v for k, v in (getattr(trainer, "last_metrics", {}) or {}).items()
-                       if isinstance(v, (int, float))}
-            if _n == "wandb" and getattr(_m, "run", None):
-                _m.log(metrics, step=getattr(trainer, "epoch", 0))
-            elif _n == "mlflow":
-                _m.log_metrics(metrics, step=getattr(trainer, "epoch", 0))
-        target.add_callback("on_fit_epoch_end", on_fit_epoch_end)
+        hook = _make_scalar_hook(name, imported, log_dir)
+        if hook is None:  # backend importable but no usable sink — honest False
+            status[name] = False
+            continue
+        target.add_callback("on_fit_epoch_end", hook)
         status[name] = True
     return status
+
+
+def _make_scalar_hook(name: str, mod, log_dir):
+    """Per-backend scalar forwarding for on_fit_epoch_end (reference
+    utils/callbacks/{comet,clearml,dvc,neptune,raytune,wandb,mlflow}.py).
+    Returns None when the backend has no reachable sink (e.g. neptune with no
+    credentials), so the registry reports False instead of attaching a no-op.
+    """
+
+    def _metrics(trainer):
+        return {k: v for k, v in (getattr(trainer, "last_metrics", {}) or {}).items()
+                if isinstance(v, (int, float))}
+
+    if name == "wandb":
+        def hook(trainer):
+            if getattr(mod, "run", None):
+                mod.log(_metrics(trainer), step=getattr(trainer, "epoch", 0))
+        return hook
+    if name == "mlflow":
+        def hook(trainer):
+            try:
+                mod.log_metrics(_metrics(trainer), step=getattr(trainer, "epoch", 0))
+            except Exception:
+                pass
+        return hook
+    if name == "comet":
+        def hook(trainer):
+            exp = mod.get_global_experiment()
+            if exp is not None:
+                exp.log_metrics(_metrics(trainer), step=getattr(trainer, "epoch", 0),
+                                epoch=getattr(trainer, "epoch", 0))
+        return hook
+    if name == "clearml":
+        def hook(trainer):
+            task = mod.Task.current_task()
+            if task is not None:
+                logger = task.get_logger()
+                for k, v in _metrics(trainer).items():
+                    title, _, series = k.partition("/")
+                    logger.report_scalar(title, series or title, float(v),
+                                         iteration=getattr(trainer, "epoch", 0))
+        return hook
+    if name == "dvc":
+        try:
+            live = mod.Live(str(log_dir), save_dvc_exp=False)
+        except Exception:
+            return None
+
+        def hook(trainer):
+            for k, v in _metrics(trainer).items():
+                live.log_metric(k.replace("(", "").replace(")", ""), float(v))
+            live.next_step()
+        return hook
+    if name == "neptune":
+        run = None
+        try:  # only works with configured credentials / anonymous mode
+            run = mod.init_run(mode="offline")
+        except Exception:
+            return None
+
+        def hook(trainer, _run=run):
+            for k, v in _metrics(trainer).items():
+                _run[k].append(value=float(v), step=getattr(trainer, "epoch", 0))
+        return hook
+    if name == "raytune":
+        def hook(trainer):
+            try:
+                from ray import train as _train
+
+                _train.report(_metrics(trainer))
+            except Exception:
+                pass  # no active Ray session
+        return hook
+    return None

@@ -235,3 +235,81 @@ def convert_rtdetr_state_dict(torch_sd: dict, variables: dict, strict: bool = Tr
     """convert_state_dict with the RT-DETR name mapping + attention unpack."""
     return convert_state_dict(split_packed_attention(torch_sd), variables,
                               strict=strict, key_fn=rtdetr_torch_key)
+
+
+# SAM2 name mapping (reference models/sam/modules/{encoders,decoders,
+# memory_attention,blocks}.py; SAM2Model attribute layout sam.py:105-345).
+SAM2_REWRITE_RULES = (
+    # trunk
+    (r"image_encoder\.trunk\.patch_embed\.(kernel|weight|bias)", r"image_encoder.trunk.patch_embed.proj.\1"),
+    (r"image_encoder\.trunk\.block\.(\d+)\.", r"image_encoder.trunk.blocks.\1."),
+    (r"\.attn\.qkv\.", ".attn.qkv."),
+    (r"\.mlp\.0\.", ".mlp.layers.0."),
+    (r"\.mlp\.1\.", ".mlp.layers.1."),
+    # neck
+    (r"image_encoder\.neck\.conv\.(\d+)\.", r"image_encoder.neck.convs.\1.conv."),
+    # decoder high-res projections live inside the reference decoder
+    (r"^conv_s0\.", "sam_mask_decoder.conv_s0."),
+    (r"^conv_s1\.", "sam_mask_decoder.conv_s1."),
+    # prompt encoder (same structure as SAM1, different prefix)
+    (r"^prompt_encoder\.pe_gaussian$", "sam_prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"),
+    (r"^prompt_encoder\.not_a_point_embed$", "sam_prompt_encoder.not_a_point_embed.weight"),
+    (r"^prompt_encoder\.no_mask_embed$", "sam_prompt_encoder.no_mask_embed.weight"),
+    (r"^prompt_encoder\.point_embeddings$", "sam_prompt_encoder.point_embeddings"),
+    (r"^prompt_encoder\.mask_down\.0\.", "sam_prompt_encoder.mask_downscaling.0."),
+    (r"^prompt_encoder\.mask_down_ln0\.", "sam_prompt_encoder.mask_downscaling.1."),
+    (r"^prompt_encoder\.mask_down\.1\.", "sam_prompt_encoder.mask_downscaling.3."),
+    (r"^prompt_encoder\.mask_down_ln1\.", "sam_prompt_encoder.mask_downscaling.4."),
+    (r"^prompt_encoder\.mask_down\.2\.", "sam_prompt_encoder.mask_downscaling.6."),
+    # mask decoder
+    (r"^mask_decoder\.obj_score_token$", "sam_mask_decoder.obj_score_token.weight"),
+    (r"^mask_decoder\.iou_token$", "sam_mask_decoder.iou_token.weight"),
+    (r"^mask_decoder\.mask_tokens$", "sam_mask_decoder.mask_tokens.weight"),
+    (r"^mask_decoder\.layer\.(\d+)\.", r"sam_mask_decoder.transformer.layers.\1."),
+    (r"\.self_attn\.(q|k|v|out)\.", r".self_attn.\1_proj."),
+    (r"\.cross_t2i\.(q|k|v|out)\.", r".cross_attn_token_to_image.\1_proj."),
+    (r"\.cross_i2t\.(q|k|v|out)\.", r".cross_attn_image_to_token.\1_proj."),
+    (r"mlp_lin1\.", "mlp.layers.0."),
+    (r"mlp_lin2\.", "mlp.layers.1."),
+    (r"^mask_decoder\.final_attn\.(q|k|v|out)\.", r"sam_mask_decoder.transformer.final_attn_token_to_image.\1_proj."),
+    (r"^mask_decoder\.final_norm\.", "sam_mask_decoder.transformer.norm_final_attn."),
+    (r"^mask_decoder\.upscale\.0\.", "sam_mask_decoder.output_upscaling.0."),
+    (r"^mask_decoder\.upscale_ln\.", "sam_mask_decoder.output_upscaling.1."),
+    (r"^mask_decoder\.upscale\.1\.", "sam_mask_decoder.output_upscaling.3."),
+    (r"^mask_decoder\.hyper\.(\d+)\.l(\d)\.", r"sam_mask_decoder.output_hypernetworks_mlps.\1.layers.\2."),
+    (r"^mask_decoder\.iou_head\.l(\d)\.", r"sam_mask_decoder.iou_prediction_head.layers.\1."),
+    (r"^mask_decoder\.obj_score_head\.l(\d)\.", r"sam_mask_decoder.pred_obj_score_head.layers.\1."),
+    (r"^mask_decoder\.", "sam_mask_decoder."),
+    # memory attention (names align; only layer_{i} -> layers.{i})
+    (r"^memory_attention\.layer\.(\d+)\.", r"memory_attention.layers.\1."),
+    # memory encoder
+    (r"^memory_encoder\.mask_down\.(\d)\.", lambda m: f"memory_encoder.mask_downsampler.encoder.{3 * int(m.group(1))}."),
+    (r"^memory_encoder\.mask_down_ln(\d)\.", lambda m: f"memory_encoder.mask_downsampler.encoder.{3 * int(m.group(1)) + 1}."),
+    (r"^memory_encoder\.mask_down_out\.", "memory_encoder.mask_downsampler.encoder.12."),
+    (r"^memory_encoder\.fuser\.(\d)\.", r"memory_encoder.fuser.layers.\1."),
+    # object pointer MLP
+    (r"^obj_ptr_proj\.l(\d)\.", r"obj_ptr_proj.layers.\1."),
+)
+
+
+def sam2_torch_key(path: tuple) -> str:
+    """flax path -> SAM2 reference state_dict key."""
+    k = flax_path_to_torch_key(path)
+    for pat, rep in SAM2_REWRITE_RULES:
+        k = re.sub(pat, rep, k)
+    return k
+
+
+def convert_sam2_state_dict(torch_sd: dict, variables: dict, strict: bool = True):
+    """convert_state_dict with the SAM2 name mapping. Handles the NCHW->NHWC
+    transpose of the trunk pos embeddings and merges the 4 per-label point
+    embeddings like the SAM1 converter."""
+    sd = {k: np.asarray(v) for k, v in torch_sd.items()}
+    for k in ("image_encoder.trunk.pos_embed", "image_encoder.trunk.pos_embed_window"):
+        if k in sd and sd[k].ndim == 4:
+            sd[k] = sd[k].transpose(0, 2, 3, 1)  # (1,C,h,w) -> (1,h,w,C)
+    pe_keys = [f"sam_prompt_encoder.point_embeddings.{i}.weight" for i in range(4)]
+    if all(k in sd for k in pe_keys):
+        sd["sam_prompt_encoder.point_embeddings"] = np.concatenate(
+            [sd.pop(k) for k in pe_keys], 0)
+    return convert_state_dict(sd, variables, strict=strict, key_fn=sam2_torch_key)

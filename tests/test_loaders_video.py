@@ -1,0 +1,97 @@
+"""Video/stream source loaders: pluggable decoder registry (PIL animated,
+MJPEG-AVI scanner, imageio), FrameStream buffering, and model.track() over a
+real video file — closing the reference's LoadStreams/LoadImagesAndVideos
+surface (data/loaders.py:51-284) without cv2."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def _make_gif(path, n=5, size=64):
+    rng = np.random.RandomState(0)
+    frames = []
+    for i in range(n):
+        img = rng.randint(0, 80, (size, size, 3), np.uint8)
+        x = 8 + i * 6
+        img[20:44, x : x + 16] = [240, 60, 60]
+        frames.append(Image.fromarray(img))
+    frames[0].save(path, save_all=True, append_images=frames[1:], duration=50, loop=0)
+    return path
+
+
+def test_gif_decodes_through_registry(tmp_path):
+    from edgeyolo_tpu.data.loaders import open_video
+
+    gif = _make_gif(tmp_path / "clip.gif")
+    frames = list(open_video(gif))
+    assert len(frames) == 5
+    assert frames[0].shape == (64, 64, 3) and frames[0].dtype == np.uint8
+
+
+def test_load_inference_source_video_file(tmp_path):
+    from edgeyolo_tpu.data.loaders import load_inference_source
+
+    gif = _make_gif(tmp_path / "clip.gif")
+    loader, st = load_inference_source(str(gif))
+    out = list(loader)
+    assert len(out) == 5
+    assert out[0][0].endswith(":0")
+
+
+def test_custom_decoder_registration(tmp_path):
+    from edgeyolo_tpu.data.loaders import (
+        VIDEO_DECODERS,
+        open_video,
+        register_video_decoder,
+    )
+
+    fake = tmp_path / "video.xyz"
+    fake.write_bytes(b"fake")
+
+    def xyz_decoder(path):
+        if not str(path).endswith(".xyz"):
+            return None
+        return iter([np.zeros((8, 8, 3), np.uint8)] * 3)
+
+    register_video_decoder(xyz_decoder, prepend=True)
+    try:
+        frames = list(open_video(fake))
+        assert len(frames) == 3
+    finally:
+        VIDEO_DECODERS.remove(xyz_decoder)
+
+
+def test_unknown_video_is_gated_cleanly(tmp_path):
+    from edgeyolo_tpu.data.loaders import open_video
+
+    bad = tmp_path / "clip.mp4"
+    bad.write_bytes(b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="register_video_decoder"):
+        list(open_video(bad))
+
+
+def test_framestream_buffers_iterables():
+    from edgeyolo_tpu.data.loaders import FrameStream
+
+    frames = [np.full((16, 16, 3), i, np.uint8) for i in range(6)]
+    fs = FrameStream(iter(frames), buffer=4)
+    out = list(fs)
+    assert len(out) >= 4  # ring may drop under producer pressure, never dies
+    assert out[0][1].shape == (16, 16, 3)
+
+
+def test_track_over_video_file(tmp_path):
+    """model.track() over a decoded video: detections per frame get track ids
+    (reference Model.track engine flow, model.py:562-607)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from edgeyolo_tpu import YOLO
+
+    gif = _make_gif(tmp_path / "clip.gif", n=4, size=64)
+    m = YOLO("yolo11n.yaml")
+    results = list(m.track(str(gif), imgsz=64, conf=0.0, verbose=False))
+    assert len(results) == 4
+    for r in results:
+        assert hasattr(r, "track_ids")

@@ -1,0 +1,189 @@
+"""SAM2 numerical parity vs the live torch reference (random-init sam2_t at
+128px), plus engine-level behaviors. The dump harness
+(tools/dump_reference_sam2.py) runs the reference's forward_image,
+_forward_sam_heads, _encode_new_memory and memory_attention and records every
+intermediate; we convert its state_dict into our flax tree and compare."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).parent.parent
+CACHE = Path(__file__).parent / ".cache"
+CACHE.mkdir(exist_ok=True)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    out = CACHE / "ref_sam2.npz"
+    if not out.exists():
+        env = {"PYTHONPATH": f"{REPO}/tools/ref_shim:."}
+        import os
+
+        env = {**os.environ, **env}
+        subprocess.run([sys.executable, str(REPO / "tools/dump_reference_sam2.py"), str(out)],
+                       cwd="/root/reference", env=env, check=True, timeout=900)
+    return np.load(out)
+
+
+@pytest.fixture(scope="module")
+def converted(ref):
+    import jax
+    import jax.numpy as jnp
+
+    from edgeyolo_tpu.nn.sam2 import build_sam2
+    from edgeyolo_tpu.utils.torch_convert import convert_sam2_state_dict
+
+    m = build_sam2("sam2_t", img_size=128)
+    x = jnp.zeros((1, 128, 128, 3))
+    pts = jnp.zeros((1, 1, 2))
+    labs = jnp.zeros((1, 1), jnp.int32)
+    v = m.init(jax.random.PRNGKey(0), x, pts, labs)
+    sd = {k: ref[k] for k in ref.files if not k.startswith("__")}
+    nv, rep = convert_sam2_state_dict(sd, v, strict=True)
+    assert rep["matched"] > 400, rep["matched"]
+    assert not rep["unused"], rep["unused"][:10]
+    nv = jax.tree.map(jnp.asarray, nv)
+    return m, nv
+
+
+def test_sam2_image_encoder_parity(ref, converted):
+    import jax
+
+    m, v = converted
+    x = np.transpose(ref["__input__"], (0, 2, 3, 1))  # NCHW -> NHWC
+    enc = jax.jit(lambda vv, xx: m.apply(vv, xx, method="encode_image"))(v, x)
+    for ours, key in ((enc["feat"], "__fpn2__"), (enc["pos"], "__pos2__")):
+        theirs = np.transpose(ref[key], (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-4, rtol=1e-3)
+    # high-res fpn levels before decoder projection are not exposed; the
+    # projected ones are compared implicitly through the mask head below.
+
+
+def test_sam2_sam_heads_parity(ref, converted):
+    import jax
+    import jax.numpy as jnp
+
+    m, v = converted
+    x = np.transpose(ref["__input__"], (0, 2, 3, 1))
+    enc = m.apply(v, x, method="encode_image")
+    feat = enc["feat"] + v["params"]["no_mem_embed"][0, 0]
+    # reference: +0.5 pixel-center shift, /image_size, pad slot (0,0)/-1 when
+    # no box prompt is given (_embed_points pad=True)
+    pts = jnp.asarray(np.concatenate(
+        [ref["__pts__"] + 0.5, np.zeros((1, 1, 2), np.float32)], 1) / 128.0)
+    labs = jnp.asarray(np.concatenate(
+        [ref["__labs__"], -np.ones((1, 1), np.float32)], 1), jnp.int32)
+    out = m.apply(v, feat, pts, labs, enc["feat_s0"], enc["feat_s1"],
+                  multimask_output=True, method="sam_heads")
+    low_multi, ious, low_res, hi, obj_ptr, obj_logits = out
+    np.testing.assert_allclose(np.asarray(low_multi), ref["__low_multi__"],
+                               atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ious), ref["__ious__"], atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(low_res), ref["__low_res__"], atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(obj_ptr), ref["__obj_ptr__"], atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(obj_logits)[:, None], ref["__obj_logits__"],
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_sam2_memory_parity(ref, converted):
+    import jax.numpy as jnp
+
+    m, v = converted
+    x = np.transpose(ref["__input__"], (0, 2, 3, 1))
+    enc = m.apply(v, x, method="encode_image")
+    hi = jnp.asarray(ref["__low_res__"])  # (1,1,32,32) low-res logits
+    hi_up = jnp.transpose(
+        jnp.asarray(
+            np.asarray(__import__("jax").image.resize(hi, (1, 1, 128, 128), "bilinear"))),
+        (0, 2, 3, 1))
+    # parity on the memory encoder itself: feed the reference's own high-res
+    # masks instead (exact same input)
+    import torch  # noqa: F401 — ensures the dump ran with the same torch
+
+    mem, mem_pos = m.apply(v, enc["feat"], hi_up, jnp.asarray(ref["__obj_logits__"])[:, 0],
+                           method="encode_memory")
+    theirs = np.transpose(ref["__maskmem__"], (0, 2, 3, 1))
+    theirs_pos = np.transpose(ref["__maskmem_pos__"], (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(mem), theirs, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(mem_pos)[None], theirs_pos, atol=1e-5, rtol=1e-5)
+
+    # memory-conditioned features for the "next frame" (1 mem + 4 ptr tokens)
+    g = enc["feat"].shape[1]
+    memory = jnp.asarray(theirs).reshape(1, -1, 64)
+    # temporal position embedding rides the POSITION stream (sam.py:713)
+    mpos = jnp.asarray(theirs_pos).reshape(1, -1, 64) + v["params"]["maskmem_tpos_enc"][6, 0]
+    ptr = jnp.asarray(ref["__obj_ptr__"]).reshape(1, 4, 64)
+    tpos = m.apply(v, jnp.asarray([0.0]) / 15.0, method="tpos_ptr")
+    ptr_pos = jnp.broadcast_to(tpos[None], (1, 4, 64))
+    memory = jnp.concatenate([memory, ptr], axis=1)
+    mpos = jnp.concatenate([mpos, ptr_pos], axis=1)
+    cond = m.apply(v, enc["feat"], enc["pos"], memory, mpos, 4,
+                   method="condition_features")
+    theirs_cond = ref["__cond__"].transpose(1, 0, 2).reshape(1, g, g, 256)
+    np.testing.assert_allclose(np.asarray(cond), theirs_cond, atol=2e-3, rtol=1e-3)
+
+
+def _shape_frame(h, w, cx, cy, r, seed=0):
+    """Noise background + bright disk at (cx, cy)."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 60, (h, w, 3)).astype(np.uint8)
+    yy, xx = np.mgrid[:h, :w]
+    disk = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
+    img[disk] = [230, 60, 60]
+    return img, disk
+
+
+def test_sam2_image_facade_prompting():
+    from edgeyolo_tpu.engine.sam2 import SAM2
+
+    sam = SAM2("sam2_t", img_size=128)
+    img, disk = _shape_frame(96, 96, 48, 48, 20)
+    sam.set_image(img)
+    masks, ious = sam(points=[[48, 48]], labels=[1], multimask_output=True)
+    assert masks.shape == (1, 96, 96) and masks.dtype == bool
+    assert ious.shape == (1,)
+    # box prompt path
+    m2, _ = sam(bboxes=[20, 20, 76, 76])
+    assert m2.shape == (1, 96, 96)
+
+
+def test_sam2_video_predictor_tracks_synthetic_motion():
+    """Promptable tracking over a synthetic moving disk: the memory bank
+    propagates the object through unprompted frames (predict.py:815)."""
+    from edgeyolo_tpu.engine.sam2 import SAM2VideoPredictor
+
+    frames = []
+    centers = [(30, 48), (38, 48), (46, 48), (54, 48)]
+    for i, (cx, cy) in enumerate(centers):
+        img, _ = _shape_frame(96, 96, cx, cy, 16, seed=0)
+        frames.append(img)
+    vp = SAM2VideoPredictor("sam2_t", img_size=128)
+    vp.init_state(frames)
+    mask0, score0 = vp.add_points(0, points=[[30, 48]], labels=[1])
+    assert mask0.shape == (96, 96)
+    outs = list(vp.propagate())
+    assert len(outs) == 4
+    for fidx, mask, score in outs:
+        assert mask.shape == (96, 96)
+        assert np.isfinite(score)
+    # memory bank grew: conditioning frame + non-cond frames
+    assert len(vp.cond) == 1 and len(vp.non_cond) == 3
+
+
+def test_grid_generate_on_sam2():
+    from edgeyolo_tpu.engine.sam2 import SAM2
+
+    sam = SAM2("sam2_t", img_size=128)
+    img, _ = _shape_frame(96, 96, 48, 48, 22)
+    anns = sam.generate(img, points_per_side=4, points_per_batch=16,
+                        pred_iou_thresh=0.0, stability_thresh=0.0)
+    # random-init model: quality gates disabled -> sweep yields proposals with
+    # the right schema and deduplication
+    assert isinstance(anns, list)
+    for a in anns:
+        assert a["segmentation"].shape == (96, 96)
+        assert len(a["bbox"]) == 4
