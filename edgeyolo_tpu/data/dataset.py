@@ -127,7 +127,30 @@ class YOLODataset:
         h = hashlib.sha1("".join(self.im_files).encode()).hexdigest()[:16]
         return Path(self.im_files[0]).parent.parent / f".edgeyolo_labels_{h}.json"
 
+    def _verify_images(self):
+        """Image corruption verification (reference verify_image_label,
+        data/utils.py:97): header-only PIL verify + minimum size; corrupt
+        files are dropped from the epoch rather than crashing mid-train.
+        Runs BEFORE the cache check so cached labels always align with the
+        filtered file list."""
+        from PIL import Image as _Image
+
+        good = []
+        for f in self.im_files:
+            try:
+                with _Image.open(f) as im:
+                    im.verify()
+                    w0, h0 = im.size
+                assert w0 >= 10 and h0 >= 10, f"image too small {w0}x{h0}"
+                good.append(f)
+            except Exception as e:
+                LOGGER.warning(f"dropping corrupt image {f}: {e}")
+        self.im_files = good
+        if not self.im_files:
+            raise FileNotFoundError(f"all images under {self.img_path} failed verification")
+
     def _load_labels(self):
+        self._verify_images()
         cache = self._cache_path()
         sig = [os.path.getmtime(f) if os.path.exists(f) else 0 for f in map(img2label_path, self.im_files)]
         if cache.exists() and self.task == "detect":
@@ -386,19 +409,57 @@ def build_dataloader(dataset, batch_size, shuffle=True, seed=0, drop_last=False)
     return DataLoader(dataset, batch_size, shuffle=shuffle, seed=seed, drop_last=drop_last)
 
 
-def _poly2rbox_norm(poly: np.ndarray) -> np.ndarray:
-    """4-corner normalized polygon -> (cx, cy, w, h, r) normalized xywh + rad.
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; pts (N, 2) -> hull (M, 2) counter-clockwise."""
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
 
-    Minimal minAreaRect substitute: assumes the polygon is (close to) a
-    rotated rectangle (DOTA-style), taking edge directions from the corners.
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def _poly2rbox_norm(poly: np.ndarray) -> np.ndarray:
+    """Polygon (normalized coords) -> (cx, cy, w, h, r) min-area rect.
+
+    Full rotating-calipers minimum-area rectangle over the convex hull (the
+    reference uses cv2.minAreaRect; this is its numpy equivalent, exact for
+    skewed/non-rectangular DOTA quads — not just near-rectangles).
     """
-    p = poly.reshape(-1, 2)
-    c = p.mean(0)
-    e1 = p[1] - p[0]
-    e2 = p[2] - p[1]
-    w = float(np.linalg.norm(e1))
-    h = float(np.linalg.norm(e2))
-    r = float(np.arctan2(e1[1], e1[0]))
+    p = poly.reshape(-1, 2).astype(np.float64)
+    hull = _convex_hull(p)
+    if len(hull) < 3:  # degenerate: line or point
+        c = p.mean(0)
+        d = p.max(0) - p.min(0)
+        return np.asarray([c[0], c[1], max(d[0], 1e-6), max(d[1], 1e-6), 0.0], np.float32)
+    best = None
+    n = len(hull)
+    for i in range(n):
+        e = hull[(i + 1) % n] - hull[i]
+        norm = np.hypot(e[0], e[1])
+        if norm < 1e-12:
+            continue
+        ux, uy = e / norm                      # edge direction
+        R = np.asarray([[ux, uy], [-uy, ux]])  # rotate edge onto +x
+        q = hull @ R.T
+        mn, mx = q.min(0), q.max(0)
+        w, h = mx - mn
+        area = w * h
+        if best is None or area < best[0]:
+            cx, cy = (mn + mx) / 2 @ R          # un-rotate the center
+            ang = np.arctan2(uy, ux)
+            best = (area, cx, cy, w, h, ang)
+    _, cx, cy, w, h, r = best
     # canonicalize to r in [-pi/4, 3pi/4) with w >= h convention
     if w < h:
         w, h = h, w
@@ -407,4 +468,4 @@ def _poly2rbox_norm(poly: np.ndarray) -> np.ndarray:
         r -= np.pi
     while r < -np.pi / 4:
         r += np.pi
-    return np.asarray([c[0], c[1], w, h, r], np.float32)
+    return np.asarray([cx, cy, w, h, r], np.float32)

@@ -81,8 +81,17 @@ class Tuner:
         return {k: float(best[k]) for k in self.space if k in best}, float(best["fitness"])
 
     def __call__(self, model_factory, iterations: int = 10, **train_kwargs):
-        """Run the evolve loop: model_factory() -> fresh YOLO handle each iter."""
-        for it in range(iterations):
+        """Run the evolve loop: model_factory() -> fresh YOLO handle each iter.
+
+        Resumes from an existing tune_results.csv (reference tuner.py:77-103):
+        prior rows count toward `iterations` and the best row seeds mutation.
+        """
+        done = 0
+        if self.csv.exists():
+            done = len(list(csv.DictReader(open(self.csv))))
+            if done:
+                LOGGER.info(f"{colorstr('tuner:')} resuming from {self.csv} ({done} prior iterations)")
+        for it in range(done, iterations):
             parent, best_fit = self._best_row()
             hyp = self._mutate(parent) if best_fit >= 0 else {k: float(v) for k, v in parent.items()}
             LOGGER.info(f"{colorstr('tuner:')} iteration {it + 1}/{iterations} hyp={hyp}")

@@ -146,3 +146,4 @@ from edgeyolo_tpu.nn.modules.msla_lgl import (  # noqa: E402
 )
 
 __all__ = [n for n in dir() if not n.startswith("_")]
+from edgeyolo_tpu.nn.modules.activation import AGLU, TeLU, telu  # noqa: E402,F401

@@ -75,6 +75,10 @@ def _apply_act(x, act):
         return jax.nn.silu(x)
     if act is False or act is None:
         return x
+    if act == "telu":
+        from edgeyolo_tpu.nn.modules.activation import telu
+
+        return telu(x)
     return {"relu": jax.nn.relu, "relu6": jax.nn.relu6, "silu": jax.nn.silu,
             "sigmoid": jax.nn.sigmoid, "tanh": jnp.tanh}[act](x)
 

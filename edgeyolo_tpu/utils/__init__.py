@@ -6,6 +6,7 @@ TPU-native rebuild of the support layer described in SURVEY.md §2.10
 
 from __future__ import annotations
 
+import json
 import logging
 import math
 import os
@@ -228,3 +229,74 @@ for _k, _v in DEFAULT_CFG_DICT.items():
     if isinstance(_v, str) and _v.lower() == "none":
         DEFAULT_CFG_DICT[_k] = None
 DEFAULT_CFG = IterableSimpleNamespace(**DEFAULT_CFG_DICT)
+
+
+class SettingsManager(dict):
+    """Persistent user settings JSON (reference SettingsManager,
+    utils/__init__.py:1155-1240): versioned schema, default values, reset on
+    key/type/version mismatch, update() with key validation.
+
+    The config dir follows the fork's naming ("yolov13",
+    utils/__init__.py:777) under ~/.config (or $EDGEYOLO_CONFIG_DIR).
+    """
+
+    VERSION = "0.0.6"
+
+    def __init__(self, file: str | Path | None = None):
+        if file is None:
+            base = Path(os.environ.get("EDGEYOLO_CONFIG_DIR",
+                                       Path.home() / ".config" / "yolov13"))
+            file = base / "settings.json"
+        self.file = Path(file)
+        root = Path.cwd()
+        self.defaults = {
+            "settings_version": self.VERSION,
+            "datasets_dir": str(root.parent / "datasets"),
+            "weights_dir": str(root / "weights"),
+            "runs_dir": str(root / "runs"),
+            "sync": False,  # offline image: telemetry off by default
+            "api_key": "",
+            "clearml": True, "comet": True, "dvc": True, "hub": True,
+            "mlflow": True, "neptune": True, "raytune": True,
+            "tensorboard": True, "wandb": False,
+        }
+        super().__init__()
+        loaded = {}
+        if self.file.exists():
+            try:
+                loaded = json.loads(self.file.read_text())
+            except Exception:
+                loaded = {}
+        self.update_silent({**self.defaults, **loaded})
+        ok_keys = set(self.keys()) == set(self.defaults.keys())
+        ok_types = all(isinstance(self.get(k), type(v)) for k, v in self.defaults.items())
+        ok_ver = self.get("settings_version") == self.VERSION
+        if not (ok_keys and ok_types and ok_ver):
+            LOGGER.warning("settings reset to defaults (schema changed or file corrupt)")
+            self.reset()
+
+    def update_silent(self, d: dict):
+        dict.update(self, d)
+
+    def update(self, *args, **kwargs):  # type: ignore[override]
+        new = dict(*args, **kwargs)
+        for k, v in new.items():
+            if k not in self.defaults:
+                raise KeyError(f"unknown setting '{k}'; valid keys: {sorted(self.defaults)}")
+            want = type(self.defaults[k])
+            if not isinstance(v, want):
+                raise TypeError(f"setting '{k}' must be {want.__name__}, got {type(v).__name__}")
+        dict.update(self, new)
+        self.save()
+
+    def reset(self):
+        self.clear()
+        dict.update(self, self.defaults)
+        self.save()
+
+    def save(self):
+        try:
+            self.file.parent.mkdir(parents=True, exist_ok=True)
+            self.file.write_text(json.dumps(dict(self), indent=2))
+        except OSError as e:
+            LOGGER.warning(f"could not persist settings to {self.file}: {e}")

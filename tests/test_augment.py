@@ -203,3 +203,46 @@ def test_obb_flip_swaps_sides():
     rb0 = jnp.asarray([[[0.3, 0.5, 0.4, 0.1, 0.0]]])
     out0 = np.asarray(_flip_rbox_angle(rb0, jnp.asarray([True])))[0, 0]
     assert abs(out0[2] - 0.4) < 1e-6 and abs(out0[3] - 0.1) < 1e-6
+
+
+def test_mosaic9_shapes_and_mixing():
+    """mosaic=9 tiles nine sources on a 3x3 canvas (reference _mosaic9,
+    augment.py:586-680): 9*M label slots, output mixes several sources."""
+    rng = np.random.RandomState(3)
+    B2 = 6
+    imgs = np.zeros((B2, S, S, 3), np.uint8)
+    for i in range(B2):  # distinct solid colors per image
+        imgs[i] = (40 * i + 20)
+    cls = np.zeros((B2, M), np.float32)
+    boxes = np.tile(np.asarray([[0.5, 0.5, 0.5, 0.5]], np.float32), (B2, M, 1))
+    mask = np.ones((B2, M), np.float32)
+    hyp = dict(HYP, fliplr=0.0, translate=0.0, scale=0.0, hsv_h=0, hsv_s=0, hsv_v=0)
+    img01, c9, b9, v9 = augment_batch(
+        jnp.asarray(imgs), jnp.asarray(cls), jnp.asarray(boxes), jnp.asarray(mask),
+        jax.random.PRNGKey(1), S, hyp, mosaic=9)
+    assert b9.shape == (B2, 9 * M, 4)
+    assert c9.shape == (B2, 9 * M)
+    # at least one output contains pixels from 2+ distinct sources
+    distinct = [len(np.unique(np.round(np.asarray(img01[i]) * 255 / 20))) for i in range(B2)]
+    assert max(distinct) >= 2
+    # valid boxes stay normalized
+    bb = np.asarray(b9)[np.asarray(v9) > 0]
+    if len(bb):
+        assert (bb >= -1e-5).all() and (bb[:, :2] <= 1 + 1e-5).all()
+
+
+def test_activations_aglu_telu():
+    from edgeyolo_tpu.nn.modules import AGLU, TeLU, telu
+
+    x = jnp.linspace(-10, 40, 101)
+    y = telu(x)
+    assert bool(jnp.isfinite(y).all())
+    # large positive: y ~= x; zero: 0; matches x*tanh(exp(x)) in safe range
+    np.testing.assert_allclose(float(y[-1]), float(x[-1]), rtol=1e-6)
+    xs = jnp.linspace(-3, 3, 13)
+    np.testing.assert_allclose(np.asarray(telu(xs)),
+                               np.asarray(xs * jnp.tanh(jnp.exp(xs))), rtol=1e-6)
+    m = AGLU()
+    v = m.init(jax.random.PRNGKey(0), xs)
+    out = m.apply(v, xs)
+    assert bool(jnp.isfinite(out).all()) and (np.asarray(out) > 0).all()

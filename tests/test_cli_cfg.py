@@ -55,3 +55,24 @@ def test_cli_rejects_garbage():
 
 def test_cli_checks_runs():
     assert entrypoint(["checks"]) == 0
+
+
+def test_settings_manager_roundtrip(tmp_path, monkeypatch):
+    """Persistent settings JSON: versioned defaults, validated update, reset
+    (reference SettingsManager, utils/__init__.py:1155)."""
+    monkeypatch.setenv("EDGEYOLO_CONFIG_DIR", str(tmp_path))
+    from edgeyolo_tpu.utils import SettingsManager
+
+    s = SettingsManager()
+    assert s["settings_version"] == SettingsManager.VERSION
+    s.update(runs_dir=str(tmp_path / "runs2"))
+    s2 = SettingsManager()
+    assert s2["runs_dir"] == str(tmp_path / "runs2")
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        s2.update(not_a_key=1)
+    with _pt.raises(TypeError):
+        s2.update(sync="yes")
+    s2.reset()
+    assert SettingsManager()["runs_dir"] == s2.defaults["runs_dir"]

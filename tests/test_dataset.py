@@ -66,3 +66,38 @@ def test_square_default_unchanged(mixed_ar_ds):
     ds = YOLODataset(str(mixed_ar_ds), imgsz=128, augment=False, names={0: "x"})
     it = ds.get_item(0)
     assert it["img"].shape == (128, 128, 3)
+
+
+def test_corrupt_images_dropped(tmp_path):
+    """verify_image_label parity: corrupt/undersized files drop with a
+    warning instead of crashing the loader (reference data/utils.py:97)."""
+    img_dir = tmp_path / "images" / "val"
+    lbl_dir = tmp_path / "labels" / "val"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (48, 48, 3), np.uint8)).save(img_dir / f"ok{i}.jpg")
+        (lbl_dir / f"ok{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    (img_dir / "broken.jpg").write_bytes(b"\xff\xd8\xff\xe0 garbage not jpeg")
+    Image.fromarray(rng.randint(0, 255, (4, 4, 3), np.uint8)).save(img_dir / "tiny.png")
+    ds = YOLODataset(str(img_dir), imgsz=64, augment=False, names={0: "x"})
+    assert len(ds) == 3
+    assert all("ok" in f for f in ds.im_files)
+
+
+def test_min_area_rect_skewed_quad():
+    """_poly2rbox_norm is a true min-area rect (rotating calipers), covering
+    skewed DOTA quads exactly (reference uses cv2.minAreaRect)."""
+    from edgeyolo_tpu.data.dataset import _poly2rbox_norm
+
+    pts = np.asarray([[0.1, 0.1], [0.6, 0.15], [0.65, 0.5], [0.12, 0.42]])
+    cx, cy, w, h, a = _poly2rbox_norm(pts)
+    R = np.asarray([[np.cos(a), np.sin(a)], [-np.sin(a), np.cos(a)]])
+    q = (pts - [cx, cy]) @ R.T
+    assert (np.abs(q[:, 0]) <= w / 2 + 1e-6).all()
+    assert (np.abs(q[:, 1]) <= h / 2 + 1e-6).all()
+    # exact for a rotated square
+    sq = np.asarray([[0.5, 0.3], [0.7, 0.5], [0.5, 0.7], [0.3, 0.5]])
+    r = _poly2rbox_norm(sq)
+    assert abs(r[2] - 0.2 * np.sqrt(2)) < 1e-5 and abs(r[3] - 0.2 * np.sqrt(2)) < 1e-5
