@@ -305,11 +305,17 @@ class SAMModel(nn.Module):
     encoder_depth: int = 12
     encoder_heads: int = 12
     global_idx: Sequence[int] = (2, 5, 8, 11)
+    mobile: bool = False  # MobileSAM: TinyViT encoder (reference build.py:56)
 
     def setup(self):
-        self.image_encoder = ImageEncoderViT(
-            img_size=self.img_size, dim=self.encoder_dim, depth=self.encoder_depth,
-            num_heads=self.encoder_heads, global_idx=self.global_idx)
+        if self.mobile:
+            from edgeyolo_tpu.nn.tinyvit import TinyViT
+
+            self.image_encoder = TinyViT()
+        else:
+            self.image_encoder = ImageEncoderViT(
+                img_size=self.img_size, dim=self.encoder_dim, depth=self.encoder_depth,
+                num_heads=self.encoder_heads, global_idx=self.global_idx)
         self.prompt_encoder = PromptEncoder(grid=self.img_size // 16)
         self.mask_decoder = MaskDecoder()
 
@@ -335,7 +341,9 @@ _VARIANTS = {
 def build_sam(variant: str = "vit_b", img_size: int = 1024) -> SAMModel:
     """Construct a SAM model by encoder variant (reference sam_model_map)."""
     if variant.startswith("sam2"):
-        raise NotImplementedError("SAM2 (hiera encoder + memory attention): next round")
+        raise ValueError("SAM2 lives in nn/sam2.py — use build_sam2()/engine.sam2.SAM2")
+    if variant in {"mobile_sam", "mobile"}:
+        return SAMModel(img_size=img_size, mobile=True)
     dim, depth, heads, gidx = _VARIANTS[variant]
     return SAMModel(img_size=img_size, encoder_dim=dim, encoder_depth=depth,
                     encoder_heads=heads, global_idx=gidx)

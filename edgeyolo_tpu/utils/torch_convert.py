@@ -313,3 +313,36 @@ def convert_sam2_state_dict(torch_sd: dict, variables: dict, strict: bool = True
         sd["sam_prompt_encoder.point_embeddings"] = np.concatenate(
             [sd.pop(k) for k in pe_keys], 0)
     return convert_state_dict(sd, variables, strict=strict, key_fn=sam2_torch_key)
+
+
+# MobileSAM TinyViT name mapping (reference models/sam/modules/tiny_encoder.py;
+# our flax layout nn/tinyvit.py).
+TINYVIT_REWRITE_RULES = (
+    (r"image_encoder\.patch_embed\.0\.", "image_encoder.patch_embed.seq.0."),
+    (r"image_encoder\.patch_embed\.1\.", "image_encoder.patch_embed.seq.2."),
+    (r"image_encoder\.s0_mb(\d+)\.", r"image_encoder.layers.0.blocks.\1."),
+    (r"image_encoder\.s0_merge\.", "image_encoder.layers.0.downsample."),
+    (r"image_encoder\.s(\d)_blk(\d+)\.", r"image_encoder.layers.\1.blocks.\2."),
+    (r"image_encoder\.s(\d)_merge\.", r"image_encoder.layers.\1.downsample."),
+    (r"\.mlp_norm\.", ".mlp.norm."),
+    (r"\.mlp_fc(\d)\.", r".mlp.fc\1."),
+    (r"\.attn\.attention_biases$", ".attn.attention_biases"),
+)
+
+
+def mobile_sam_torch_key(path: tuple) -> str:
+    """flax path -> MobileSAM reference state_dict key (TinyViT encoder +
+    the shared SAM prompt/decoder mapping)."""
+    k = sam_torch_key(path)
+    for pat, rep in TINYVIT_REWRITE_RULES:
+        k = re.sub(pat, rep, k)
+    return k
+
+
+def convert_mobile_sam_state_dict(torch_sd: dict, variables: dict, strict: bool = True):
+    """convert_state_dict with the MobileSAM (TinyViT) name mapping."""
+    sd = dict(torch_sd)
+    pe_keys = [f"prompt_encoder.point_embeddings.{i}.weight" for i in range(4)]
+    if all(k in sd for k in pe_keys):
+        sd["prompt_encoder.point_embeddings"] = np.concatenate([sd.pop(k) for k in pe_keys], 0)
+    return convert_state_dict(sd, variables, strict=strict, key_fn=mobile_sam_torch_key)
