@@ -27,6 +27,29 @@ from edgeyolo_tpu.utils import LOGGER, yaml_load
 IMG_FORMATS = {"bmp", "jpeg", "jpg", "png", "tif", "tiff", "webp"}
 
 
+_NATIVE_IO = None
+
+
+def _native_io_enabled() -> bool:
+    """Native C++ JPEG decode+letterbox: auto-on for multi-core hosts, forced
+    with EDGEYOLO_NATIVE_IO=1, off with =0 (single-core boxes keep PIL —
+    libjpeg-turbo's SIMD resize wins there)."""
+    global _NATIVE_IO
+    if _NATIVE_IO is None:
+        mode = os.environ.get("EDGEYOLO_NATIVE_IO", "auto")
+        if mode == "0":
+            _NATIVE_IO = False
+        else:
+            try:
+                from edgeyolo_tpu import native as _native
+
+                cores = len(os.sched_getaffinity(0))
+                _NATIVE_IO = _native.available() and (mode == "1" or cores > 1)
+            except Exception:
+                _NATIVE_IO = False
+    return _NATIVE_IO
+
+
 def img2label_path(img_path: str) -> str:
     sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"
     return sb.join(img_path.rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt"
@@ -266,10 +289,20 @@ class YOLODataset:
 
     def get_item(self, i: int) -> dict:
         """One sample: letterboxed uint8 image + padded normalized-xywh labels."""
-        img0 = load_image_rgb(self.im_files[i])
-        h0, w0 = img0.shape[:2]
         target = self._rect_shape[i] if (self.rect and self._rect_shape) else self.imgsz
-        img, r, (pw, ph) = letterbox(img0, target, scaleup=self.augment)
+        path = self.im_files[i]
+        if (isinstance(target, int) and path.lower().endswith((".jpg", ".jpeg"))
+                and _native_io_enabled()):
+            # native runtime fast path: threaded libjpeg decode + letterbox in
+            # C++ (edgeyolo_tpu/native); pixel-equivalent to the PIL path
+            from edgeyolo_tpu import native as _native
+
+            img, r, (pw, ph), (h0, w0) = _native.decode_letterbox(
+                path, target, scaleup=self.augment)
+        else:
+            img0 = load_image_rgb(path)
+            h0, w0 = img0.shape[:2]
+            img, r, (pw, ph) = letterbox(img0, target, scaleup=self.augment)
         H, W = img.shape[:2]
         lab = self.labels[i]
         cls = lab["cls"].copy()
