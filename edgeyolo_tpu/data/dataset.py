@@ -176,15 +176,18 @@ class YOLODataset:
         self._verify_images()
         cache = self._cache_path()
         sig = [os.path.getmtime(f) if os.path.exists(f) else 0 for f in map(img2label_path, self.im_files)]
-        if cache.exists() and self.task == "detect":
+        if cache.exists():
             try:
                 d = json.loads(cache.read_text())
-                if d.get("sig") == sig:
+                if d.get("sig") == sig and d.get("task") == self.task:
                     K = self.kpt_shape[0]
                     return [
                         {"cls": np.asarray(l["cls"], np.float32),
                          "bboxes": np.asarray(l["bboxes"], np.float32).reshape(-1, 4),
-                         "segments": [], "keypoints": np.zeros((0, K, 3), np.float32)}
+                         "segments": [np.asarray(sg, np.float32).reshape(-1, 2)
+                                      for sg in l.get("segments", [])],
+                         "keypoints": (np.asarray(l["keypoints"], np.float32).reshape(-1, K, 3)
+                                       if l.get("keypoints") else np.zeros((0, K, 3), np.float32))}
                         for l in d["labels"]
                     ]
             except Exception:
@@ -242,7 +245,12 @@ class YOLODataset:
         try:
             cache.write_text(json.dumps({
                 "sig": sig,
-                "labels": [{"cls": l["cls"].tolist(), "bboxes": l["bboxes"].tolist()} for l in labels],
+                "task": self.task,
+                "labels": [{"cls": l["cls"].tolist(), "bboxes": l["bboxes"].tolist(),
+                            "segments": [np.asarray(sg).tolist() for sg in (l["segments"] or [])],
+                            "keypoints": np.asarray(l["keypoints"]).tolist()
+                            if len(l["keypoints"]) else []}
+                           for l in labels],
             }))
         except OSError:
             pass

@@ -147,8 +147,18 @@ class C3k(C3):
 
 
 class C3k2(C2f):
-    """YOLO11 workhorse: C2f whose blocks are C3k stacks or plain bottlenecks."""
+    """YOLO11 workhorse: C2f whose blocks are C3k stacks or plain bottlenecks.
 
+    NOTE the default: the reference C3k2 overrides C2f's shortcut default to
+    True (block.py:860) — every yolo11/v13 C3k2 row relies on it (YAML rows
+    never pass shortcut). Round-2 fix: this was inheriting C2f's False, which
+    silently dropped every Bottleneck residual add in the C3k2 family; the
+    random-init full-model parity check is numerically insensitive to it, but
+    trained-weight cross-framework validation showed a 0.13 mAP50-95 gap.
+    Guarded by the trained-weights micro parity in tests/test_torch_parity.py.
+    """
+
+    shortcut: bool = True
     c3k: bool = False
 
     def make_block(self, c: int, i: int):

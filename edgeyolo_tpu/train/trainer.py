@@ -346,6 +346,21 @@ class DetectionTrainer(CallbackMixin):
                 key, sub = jax.random.split(key)
                 keep = {k: v for k, v in batch.items() if k not in ("meta", "n_real")}
                 sb = shard_batch(keep, self.mesh)
+                # first 3 train-batch mosaics, augmented (reference
+                # trainer.py:407-423 plot_training_samples)
+                if args.plots and epoch == 0 and bi < 3 and geo_aug_ok:
+                    try:
+                        from edgeyolo_tpu.utils.plotting import plot_images
+
+                        a_img, a_cls, a_box, a_msk, *_ = augment_batch(
+                            jnp.asarray(batch["img"]), jnp.asarray(batch["cls"]),
+                            jnp.asarray(batch["bboxes"]), jnp.asarray(batch["mask_gt"]),
+                            sub, imgsz, hyp_dict, mosaic=mosaic_on)
+                        plot_images(np.asarray(a_img), np.asarray(a_cls),
+                                    np.asarray(a_box), np.asarray(a_msk),
+                                    fname=self.save_dir / f"train_batch{bi}.jpg")
+                    except Exception as e:
+                        LOGGER.warning(f"train-batch plot failed: {e}")
                 state, loss, items = train_step(state, sb, sub, mosaic_on)
                 losses.append([float(items.get("box", items.get("l1", 0.0))),
                                float(items.get("cls", 0.0)),

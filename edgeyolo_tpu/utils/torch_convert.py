@@ -346,3 +346,31 @@ def convert_mobile_sam_state_dict(torch_sd: dict, variables: dict, strict: bool 
     if all(k in sd for k in pe_keys):
         sd["prompt_encoder.point_embeddings"] = np.concatenate([sd.pop(k) for k in pe_keys], 0)
     return convert_state_dict(sd, variables, strict=strict, key_fn=mobile_sam_torch_key)
+
+
+def export_state_dict(variables: dict, key_fn=None) -> dict:
+    """Inverse converter: flax variables -> a torch-keyed numpy state_dict.
+
+    Lets the REFERENCE tooling consume models trained here (cross-framework
+    val parity, interop). Layout transforms are the inverse of _to_flax:
+    conv HWIO -> OIHW, linear (in,out) -> (out,in), BN stats to
+    running_mean/var. Scalars/1-D leaves pass through. Note: torch Linear and
+    square conv kernels are disambiguated by rank, exactly as in _to_flax.
+    """
+    import jax
+
+    key_fn = key_fn or flax_path_to_torch_key
+    out: dict[str, np.ndarray] = {}
+    for coll, tree in variables.items():
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            path = tuple(getattr(k, "key", str(k)) for k in kp)
+            tk = key_fn(path)
+            arr = np.asarray(leaf)
+            leafname = path[-1]
+            if leafname == "kernel":
+                if arr.ndim == 4:      # HWIO -> OIHW
+                    arr = arr.transpose(3, 2, 0, 1)
+                elif arr.ndim == 2:    # (in, out) -> (out, in)
+                    arr = arr.T
+            out[tk] = np.ascontiguousarray(arr)
+    return out

@@ -57,3 +57,64 @@ def test_shard_batch_keeps_meta(mesh):
     sb = shard_batch(b, mesh)
     assert sb["meta"] == ["x"] * 8 and sb["n_real"] == 8
     assert len(sb["img"].sharding.device_set) == 8
+
+
+def test_classify_train_step_on_mesh():
+    """Classification training shards over the same data-parallel mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from edgeyolo_tpu.data.augment_device import classify_augment_batch
+    from edgeyolo_tpu.nn.tasks import ClassificationModel
+    from edgeyolo_tpu.parallel.mesh import batch_sharding, get_mesh, replicated
+
+    mesh = get_mesh(8)
+    model = ClassificationModel("yolo11-cls.yaml", nc=4)
+    v = model.init(0, imgsz=32, batch=1)
+    tx = optax.sgd(0.01)
+    opt = tx.init(v["params"])
+
+    @jax.jit
+    def step(params, bs, opt, img_u8, labels, key):
+        x = classify_augment_batch(img_u8, key, {"scale": 0.3, "fliplr": 0.5})
+
+        def lf(p):
+            logits, mut = model.net.apply({"params": p, "batch_stats": bs}, x,
+                                          train=True, mutable=["batch_stats"])
+            lp = jax.nn.log_softmax(logits)
+            return -jnp.take_along_axis(lp, labels[:, None], 1).mean(), mut["batch_stats"]
+
+        (loss, nbs), g = jax.value_and_grad(lf, has_aux=True)(params)
+        u, nopt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), nbs, nopt, loss
+
+    rng = np.random.RandomState(0)
+    bsh = batch_sharding(mesh)
+    img = jax.device_put(rng.randint(0, 255, (16, 32, 32, 3), np.uint8), bsh)
+    lab = jax.device_put(rng.randint(0, 4, (16,)).astype(np.int32), bsh)
+    state = jax.device_put((v["params"], v["batch_stats"], opt), replicated(mesh))
+    p2, bs2, opt2, loss = step(*state, img, lab, jax.random.PRNGKey(0))
+    assert bool(jnp.isfinite(loss))
+
+
+def test_world_forward_on_mesh():
+    """WorldModel text-conditioned forward shards the batch over the mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from edgeyolo_tpu.nn.tasks import WorldModel
+    from edgeyolo_tpu.parallel.mesh import batch_sharding, get_mesh, replicated
+
+    mesh = get_mesh(8)
+    m = WorldModel("yolov8-worldv2.yaml")
+    emb = np.random.RandomState(0).randn(3, 512).astype(np.float32)
+    m.set_classes(emb, names=["a", "b", "c"])
+    v = m.init(0, imgsz=64, batch=1)
+    x = jax.device_put(np.random.RandomState(1).rand(8, 64, 64, 3).astype(np.float32),
+                       batch_sharding(mesh))
+    vr = jax.device_put(v, replicated(mesh))
+    out = jax.jit(lambda vv, xx: m.apply(vv, xx, train=False)["pred"])(vr, x)
+    assert out.shape[0] == 8 and bool(jnp.isfinite(out).all())

@@ -285,3 +285,51 @@ def test_classify_forward_parity():
     pred = o["pred"] if isinstance(o, dict) else o
     probs = np.asarray(jax.nn.softmax(pred, -1))
     assert float(np.abs(probs - z["__pred__"]).max()) < 1e-6
+
+
+def test_c3k2_module_parity_and_shortcut_semantics():
+    """Module-level C3k2 vs torch: the full-model random-init parity is
+    numerically insensitive to the Bottleneck residual adds (their
+    contribution attenuates through downstream BN at init), so this pins the
+    semantics where they are visible. Guards the round-2 fix: reference C3k2
+    defaults shortcut=True (block.py:860) while C2f defaults False."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgeyolo_tpu.nn.modules.block import C3k2
+    from edgeyolo_tpu.nn.tasks import LayerSpec, build_module
+    from edgeyolo_tpu.utils.torch_convert import convert_state_dict, flax_path_to_torch_key
+
+    out = CACHE / "ref_c3k2_micro.npz"
+    if not out.exists():
+        CACHE.mkdir(exist_ok=True)
+        env = dict(os.environ, PYTHONPATH=f"{REPO}/tools/ref_shim:.")
+        code = (
+            "import numpy as np, torch\n"
+            "torch.manual_seed(0)\n"
+            "from ultralytics.nn.modules.block import C3k2\n"
+            "m = C3k2(32, 64, 1, False, 0.25).eval().float()\n"
+            "assert m.m[0].add, 'reference default must carry the residual'\n"
+            "x = torch.from_numpy(np.random.RandomState(1).rand(1,32,8,8).astype(np.float32))\n"
+            "with torch.no_grad(): y = m(x)\n"
+            "sd = {k: v.numpy() for k, v in m.state_dict().items()}\n"
+            f"np.savez(r'{out}', __x__=x.numpy(), __y__=y.numpy(), **sd)\n"
+        )
+        subprocess.run([sys.executable, "-c", code], cwd=REF, env=env, check=True,
+                       capture_output=True, text=True)
+    z = np.load(out)
+    sd = {k: z[k] for k in z.files if not k.startswith("__")}
+    x = jnp.asarray(z["__x__"].transpose(0, 2, 3, 1))
+
+    # the registry-built module (what GraphNet uses) must default shortcut=True
+    spec = LayerSpec(i=0, f=(-1,), n=1, name="C3k2", args=(64, 1, False, 0.25),
+                     kwargs=(), c2=64)
+    built = build_module(spec)
+    assert built.shortcut is True
+
+    m = C3k2(c2=64, n=1, c3k=False, e=0.25)
+    v = m.init(jax.random.PRNGKey(0), x)
+    nv, rep = convert_state_dict(sd, v, strict=True, key_fn=flax_path_to_torch_key)
+    y = m.apply(jax.tree.map(jnp.asarray, nv), x)
+    d = float(np.abs(z["__y__"].transpose(0, 2, 3, 1) - np.asarray(y)).max())
+    assert d < 1e-3, f"C3k2 diverged from torch: {d}"
