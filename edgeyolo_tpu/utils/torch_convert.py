@@ -38,7 +38,11 @@ def flax_path_to_torch_key(path: tuple[str, ...]) -> str:
     key = ".".join(out + [leaf])
     # Proto's upsample is a RAW ConvTranspose2d in the reference (block.py
     # Proto), not the wrapped ConvTranspose module with its .conv_transpose
-    return key.replace("proto.upsample.conv_transpose.", "proto.upsample.")
+    key = key.replace("proto.upsample.conv_transpose.", "proto.upsample.")
+    # GF2 quality mini-head: torch Sequential(conv, ReLU, conv, Sigmoid) puts
+    # the second conv at index 2 (reference head.py:211-219); our flax names
+    # only count parameterized layers (reg_conf_{i}_0 / _1)
+    return re.sub(r"reg_conf\.(\d+)\.1\.", r"reg_conf.\1.2.", key)
 
 
 def _to_flax(arr: np.ndarray, flax_shape: tuple[int, ...], leaf: str) -> np.ndarray | None:

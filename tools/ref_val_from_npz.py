@@ -26,7 +26,7 @@ assert all("dfl" in k for k in missing), f"missing: {missing[:8]}"
 assert not unexpected, f"unexpected: {unexpected[:8]}"
 tm.eval().float()
 
-m = YOLO(model_yaml)
+m = YOLO(model_yaml, task="detect")  # GFLv2 heads aren't in the facade's guess table
 m.model = tm
 m.model.args = m.overrides
 metrics = m.val(data=data_yaml, imgsz=imgsz, device="cpu", plots=False, verbose=False)
