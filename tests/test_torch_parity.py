@@ -31,6 +31,9 @@ CASES = [
     ("yolo11n", "yolo11n.yaml", "yolo11n", 5e-4),
     ("la", "ultralytics/cfg/models/11/yolo11-lineattention.yaml", "yolo11-lineattention", 5e-3),
     ("wav", "ultralytics/cfg/models/11/yolo11-DSC3K2_Wavelet.yaml", "yolo11-dsc3k2-wavelet", 5e-4),
+    # the full EdgeLine flagship (wavelet neck + linear attention + GFLv2
+    # quality head); reference yolo11-test.yaml == our edgeline-yolo
+    ("gf2", "ultralytics/cfg/models/11/yolo11-test.yaml", "edgeline-yolo", 5e-3),
 ]
 
 
