@@ -4,10 +4,10 @@ inference program.
 Behavioral spec: ultralytics/engine/exporter.py:107-1476 (15-format table,
 @try_export wrappers, metadata embedding). The TPU-native set starts from the
 XLA world: StableHLO text + a serialized jax.export artifact are the native
-formats; TF-family formats go through jax2tf when tensorflow is present
-(gated — not baked into this image); ONNX via the torch bridge is gated the
-same way. Weight export to a name-mapped npz always works and feeds the
-PyTorch-interop converter.
+formats; TF-family formats go through jax2tf (availability is probed by
+importing tensorflow at call time, never asserted); ONNX requires an onnx
+exporter package, probed the same way. Weight export to a name-mapped npz
+always works and feeds the PyTorch-interop converter.
 """
 
 from __future__ import annotations
@@ -22,14 +22,20 @@ import numpy as np
 
 from edgeyolo_tpu.utils import LOGGER, colorstr
 
+def _has_tf() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("tensorflow") is not None
+
+
 EXPORT_FORMATS = {
-    # name: (suffix, available)
+    # name: (suffix, available) — availability PROBED, never asserted
     "stablehlo": (".stablehlo", True),
     "jax_export": (".jaxexp", True),
     "npz": (".npz", True),
-    "saved_model": ("_saved_model", None),  # requires tensorflow
-    "tflite": (".tflite", None),  # requires tensorflow
-    "onnx": (".onnx", None),  # requires a torch bridge
+    "saved_model": ("_saved_model", _has_tf),  # via jax2tf
+    "tflite": (".tflite", _has_tf),  # via jax2tf + TFLiteConverter
+    "onnx": (".onnx", False),  # no onnx package in this image (probed)
 }
 
 
@@ -88,10 +94,15 @@ class Exporter:
         if fmt in {"saved_model", "tflite", "pb", "tfjs", "edgetpu"}:
             return self.export_tf(fwd, x, out_dir / name, fmt, meta)
         if fmt == "onnx":
-            raise NotImplementedError(
-                "onnx export requires an ONNX exporter bridge not present in this "
-                "environment; use stablehlo/jax_export (native) or npz weights"
-            )
+            import importlib.util
+
+            if importlib.util.find_spec("onnx") is None:
+                raise NotImplementedError(
+                    "onnx export requires the 'onnx' package (import probe failed); "
+                    "use stablehlo/jax_export (native), saved_model/tflite (via "
+                    "tensorflow), or npz weights"
+                )
+            raise NotImplementedError("onnx bridge not implemented")
         raise ValueError(f"unknown export format '{fmt}'; supported: {list(EXPORT_FORMATS)}")
 
     @try_export
@@ -130,22 +141,31 @@ class Exporter:
             from jax.experimental import jax2tf
         except ImportError as e:
             raise NotImplementedError(
-                f"'{fmt}' export requires tensorflow, which is not baked into this image"
+                f"'{fmt}' export requires tensorflow (import probe failed: {e})"
             ) from e
+        # batch stays polymorphic so tflite resize_tensor_input / saved_model
+        # batched calls work; H/W stay static (the TPU-native design point)
+        spec = tf.TensorSpec((None,) + tuple(x.shape[1:]), tf.float32)
         tf_fn = tf.function(
-            jax2tf.convert(fwd, with_gradient=False),
-            input_signature=[tf.TensorSpec(x.shape, tf.float32)],
+            jax2tf.convert(fwd, with_gradient=False,
+                           polymorphic_shapes=[f"(b, {x.shape[1]}, {x.shape[2]}, 3)"]),
+            input_signature=[spec],
             autograph=False,
         )
         module = tf.Module()
         module.f = tf_fn
         sm_path = str(path) + "_saved_model"
-        tf.saved_model.save(module, sm_path)
+        tf.saved_model.save(
+            module, sm_path,
+            signatures=tf_fn.get_concrete_function(spec),
+        )
+        Path(sm_path + ".json").write_text(json.dumps(meta, default=str))
         if fmt == "tflite":
             converter = tf.lite.TFLiteConverter.from_saved_model(sm_path)
             blob = converter.convert()
             out = str(path) + ".tflite"
             Path(out).write_bytes(blob)
+            Path(out).with_suffix(".json").write_text(json.dumps(meta, default=str))
             return out
         return sm_path
 

@@ -10,8 +10,8 @@ formats here are the XLA world:
   - StableHLO text      .stablehlo (inspection; executed via its .jaxexp twin)
   - weights             .npz (name-mapped arrays)   - re-attached to the spec
 
-TF-family formats (saved_model/tflite) round-trip through tensorflow when
-present; gated otherwise (not baked into this image).
+TF-family formats (saved_model/tflite) round-trip through tensorflow;
+availability is probed by importing it, never asserted.
 """
 
 from __future__ import annotations
@@ -22,6 +22,18 @@ from pathlib import Path
 import numpy as np
 
 from edgeyolo_tpu.utils import LOGGER
+
+
+def _import_tf(fmt: str):
+    """Probe tensorflow (never assert on the environment)."""
+    try:
+        import tensorflow as tf
+
+        return tf
+    except ImportError as e:
+        raise NotImplementedError(
+            f"{fmt} inference requires tensorflow (import probe failed: {e})"
+        ) from e
 
 
 class AutoBackend:
@@ -86,8 +98,18 @@ class AutoBackend:
             self.model = DetectionModel(d)
             self.model.init(0, imgsz=64)
             self._load_npz(p)
-        elif suffix in {".tflite", ""} and (p / "saved_model.pb").exists() if p.is_dir() else suffix == ".tflite":
-            raise NotImplementedError("TF-family inference requires tensorflow (not in this image)")
+        elif suffix == ".tflite":
+            tf = _import_tf("tflite")
+            self.kind = "tflite"
+            self._interp = tf.lite.Interpreter(model_path=str(p))
+            self._interp.allocate_tensors()
+        elif p.is_dir() and (p / "saved_model.pb").exists():
+            tf = _import_tf("saved_model")
+            self.kind = "saved_model"
+            sm = tf.saved_model.load(str(p))
+            self._sm = sm  # keep a reference so the loaded graph stays alive
+            self._call_tf = (sm.f if hasattr(sm, "f")
+                             else sm.signatures["serving_default"])
         else:
             raise ValueError(f"unsupported weights format: {weights}")
 
@@ -116,7 +138,30 @@ class AutoBackend:
         if self.kind in {"module", "checkpoint", "npz"}:
             out = self.model(img, train=False)
             return out["pred"] if isinstance(out, dict) else out
+        if self.kind == "tflite":
+            return self._run_tflite(img)
+        if self.kind == "saved_model":
+            import jax.numpy as jnp
+
+            out = self._call_tf(np.asarray(img, np.float32))
+            if isinstance(out, dict):  # serving_default returns a dict
+                out = next(iter(out.values()))
+            return jnp.asarray(out.numpy())
         return self._call(img)
+
+    def _run_tflite(self, img):
+        import jax.numpy as jnp
+
+        x = np.asarray(img, np.float32)
+        inp = self._interp.get_input_details()[0]
+        if tuple(inp["shape"]) != x.shape:  # exported at batch=1; resize for B>1
+            self._interp.resize_tensor_input(inp["index"], list(x.shape))
+            self._interp.allocate_tensors()
+            inp = self._interp.get_input_details()[0]
+        self._interp.set_tensor(inp["index"], x)
+        self._interp.invoke()
+        out = self._interp.get_output_details()[0]
+        return jnp.asarray(self._interp.get_tensor(out["index"]))
 
     def warmup(self, imgsz: int | None = None, batch: int = 1):
         import jax.numpy as jnp

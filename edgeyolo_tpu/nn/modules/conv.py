@@ -66,7 +66,7 @@ class ConvBN(nn.Module):
             epsilon=BN_EPS,
             dtype=jnp.float32,
             name="bn",
-        )(x)
+        )(x).astype(x.dtype)  # f32 norm math, then back to the compute dtype
         return _apply_act(x, self.act)
 
 
@@ -139,7 +139,7 @@ class DWConv(nn.Module):
                     kernel_dilation=(self.d, self.d), use_bias=False,
                     kernel_init=KERNEL_INIT, dtype=x.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=jnp.float32, name="bn")(x)
+                         epsilon=BN_EPS, dtype=jnp.float32, name="bn")(x).astype(x.dtype)
         return _apply_act(x, self.act)
 
 
@@ -167,7 +167,7 @@ class DSConv(nn.Module):
         x = nn.Conv(self.c2, (1, 1), use_bias=False, kernel_init=KERNEL_INIT,
                     dtype=x.dtype, name="pw")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=jnp.float32, name="bn")(x)
+                         epsilon=BN_EPS, dtype=jnp.float32, name="bn")(x).astype(x.dtype)
         return jax.nn.silu(x)
 
 
@@ -239,7 +239,7 @@ class ConvTranspose(nn.Module):
                              dtype=x.dtype, name="conv_transpose")(x)
         if self.bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                             epsilon=BN_EPS, dtype=jnp.float32, name="bn")(x)
+                             epsilon=BN_EPS, dtype=jnp.float32, name="bn")(x).astype(x.dtype)
         return _apply_act(x, self.act)
 
 

@@ -360,7 +360,7 @@ class RepConv(nn.Module):
         out = a + b
         if self.bn and x.shape[-1] == self.c2 and self.s == 1:
             idn = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                               epsilon=1e-3, dtype=jnp.float32, name="bn")(x)
+                               epsilon=1e-3, dtype=jnp.float32, name="bn")(x).astype(x.dtype)
             out = out + idn
         return _apply_act(out, self.act)
 
@@ -550,7 +550,7 @@ class BottleneckCSP(nn.Module):
         y2 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=KERNEL_INIT, dtype=x.dtype, name="cv2")(x)
         y = jnp.concatenate([y1, y2], axis=-1)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
-                         dtype=jnp.float32, name="bn")(y)
+                         dtype=jnp.float32, name="bn")(y).astype(y.dtype)
         y = jax.nn.silu(y)
         return ConvBN(self.c2, 1, name="cv4")(y, train)
 

@@ -83,6 +83,9 @@ class Detect(nn.Module):
         """
         b = feats[0].shape[0]
         flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1)
+        # decode in f32 regardless of the tower compute dtype: box coords span
+        # [0, imgsz] and bf16's 8-bit mantissa would quantize them to ~2 px
+        flat = flat.astype(jnp.float32)
         box_logits, cls_logits = flat[..., : 4 * self.reg_max], flat[..., 4 * self.reg_max :]
         shapes = [(f.shape[1], f.shape[2]) for f in feats]
         anchors, strides = make_anchors(shapes, self.stride, 0.5)
@@ -147,6 +150,9 @@ class GF2Detect(Detect):
 
     def _quality(self, box_logits, idx: int, prefix: str = ""):
         b, h, w, _ = box_logits.shape
+        # f32: the top-k sweep's 1e-7 tie-break is below bf16 resolution, and
+        # this mini-head (20->64->1 channels) is negligible traffic anyway
+        box_logits = box_logits.astype(jnp.float32)
         prob = jax.nn.softmax(box_logits.reshape(b, h, w, 4, self.reg_max), axis=-1)
         k = min(self.reg_topk, self.reg_max)
         topk = self._topk_small(prob, k)  # (b,h,w,4,k)
@@ -286,6 +292,9 @@ class OBB(Detect):
 
         b = feats[0].shape[0]
         flat = jnp.concatenate([f.reshape(b, -1, self.no) for f in feats], axis=1)
+        # decode in f32 regardless of the tower compute dtype: box coords span
+        # [0, imgsz] and bf16's 8-bit mantissa would quantize them to ~2 px
+        flat = flat.astype(jnp.float32)
         box_logits, cls_logits = flat[..., : 4 * self.reg_max], flat[..., 4 * self.reg_max :]
         shapes = [(f.shape[1], f.shape[2]) for f in feats]
         anchors, strides = make_anchors(shapes, self.stride, 0.5)

@@ -132,7 +132,7 @@ class GlobalSparseAttn(nn.Module):
             # channel-independent learned upsample (ConvTranspose groups=dim)
             out = jnp.repeat(jnp.repeat(out, sr, axis=1), sr, axis=2)
             out = ConvBN(c, 3, 1, 1, g=c, act=False, name="local_prop")(out, train)
-            out = nn.LayerNorm(name="norm")(out)
+            out = nn.LayerNorm(name="norm")(out).astype(out.dtype)
         return out
 
 

@@ -145,7 +145,7 @@ class BNContrastiveHead(nn.Module):
     @nn.compact
     def __call__(self, x, w, train: bool = False):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
-                         dtype=jnp.float32, name="norm")(x)
+                         dtype=jnp.float32, name="norm")(x).astype(x.dtype)
         bias = self.param("bias", lambda k: jnp.asarray([-10.0]))
         logit_scale = self.param("logit_scale", lambda k: jnp.asarray(-1.0))
         wn = w / (jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-12)

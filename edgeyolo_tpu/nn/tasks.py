@@ -438,6 +438,22 @@ class GraphNet(nn.Module):
         return out
 
 
+def amp_cast(tree, dtype=jnp.bfloat16):
+    """Cast floating leaves to the AMP compute dtype (master-weight pattern).
+
+    Params stay f32 at rest (optimizer/EMA masters); cast a copy for the
+    forward so convs/denses run on the MXU in bf16 end-to-end. BatchNorm
+    call sites pin their own math to f32 and cast back (conv.py), the box
+    decode pins f32 (head.py decode), so only the traffic-heavy tower
+    activations ride bf16. Differentiable: grads of a cast accumulate back
+    into the f32 masters. batch_stats must NOT be passed through this (BN
+    running stats stay f32).
+    """
+    return jax.tree.map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, tree
+    )
+
+
 class BaseModel:
     """Host-side handle: spec + flax net + params lifecycle."""
 

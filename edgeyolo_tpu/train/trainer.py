@@ -30,6 +30,7 @@ from flax import serialization
 
 from edgeyolo_tpu.data.augment_device import augment_batch
 from edgeyolo_tpu.data.dataset import YOLODataset, build_dataloader, check_det_dataset
+from edgeyolo_tpu.nn.tasks import amp_cast
 from edgeyolo_tpu.parallel.mesh import get_mesh, replicated, shard_batch
 from edgeyolo_tpu.train.loss import DetectionLoss
 from edgeyolo_tpu.utils import LOGGER, colorstr, yaml_save
@@ -274,8 +275,11 @@ class DetectionTrainer(CallbackMixin):
                 tgt["dn"] = dn
 
             def loss_fn(p):
+                # AMP: bf16 compute copy of the f32 masters; cast-grads
+                # accumulate back to f32 (nn.tasks.amp_cast)
+                pc = amp_cast(p) if use_bf16 else p
                 out, mut = self.model.apply(
-                    {"params": p, "batch_stats": batch_stats}, x, train=True,
+                    {"params": pc, "batch_stats": batch_stats}, x, train=True,
                     mutable=["batch_stats"], **({"dn": dn} if dn is not None else {}),
                 )
                 out = {k: ([f.astype(jnp.float32) for f in v] if isinstance(v, list)
@@ -362,10 +366,13 @@ class DetectionTrainer(CallbackMixin):
                     except Exception as e:
                         LOGGER.warning(f"train-batch plot failed: {e}")
                 state, loss, items = train_step(state, sb, sub, mosaic_on)
-                losses.append([float(items.get("box", items.get("l1", 0.0))),
-                               float(items.get("cls", 0.0)),
-                               float(items.get("dfl", items.get("giou", 0.0)))])
-            mloss = np.mean(losses, axis=0) if losses else np.zeros(3)
+                # keep device scalars; a float() here would block the host on
+                # every step (~25 ms relay RTT per fetch through the tunnel).
+                losses.append((items.get("box", items.get("l1", 0.0)),
+                               items.get("cls", 0.0),
+                               items.get("dfl", items.get("giou", 0.0))))
+            mloss = (np.asarray(jax.device_get(losses), np.float32).mean(axis=0)
+                     if losses else np.zeros(3))
 
             # validation with EMA params
             self.run_callbacks("on_train_epoch_end")

@@ -62,3 +62,46 @@ def test_stablehlo_text_emitted(small_model, tmp_path):
     path = Exporter(args)(small_model, out_dir=tmp_path)
     text = open(path).read(2000)
     assert "stablehlo" in text or "module" in text
+
+
+tf_missing = __import__("importlib.util", fromlist=["util"]).find_spec("tensorflow") is None
+
+
+@pytest.mark.skipif(tf_missing, reason="tensorflow not importable")
+def test_saved_model_roundtrip(small_model, tmp_path):
+    """export -> tf.saved_model -> AutoBackend load -> numerically equal pred.
+
+    Reference surface: exporter.py:1055 (TF family), autobackend.py:145-457
+    (round-trip inference)."""
+    from edgeyolo_tpu.cfg import get_cfg
+    from edgeyolo_tpu.export.exporter import Exporter
+
+    args = get_cfg(overrides={"mode": "export", "format": "saved_model", "imgsz": 64})
+    path = Exporter(args)(small_model, out_dir=tmp_path)
+    ab = AutoBackend(path)
+    assert ab.kind == "saved_model"
+    assert ab.names, "metadata sidecar (names) should round-trip"
+    x = jnp.asarray(np.random.RandomState(2).rand(1, 64, 64, 3), jnp.float32)
+    y_tf = np.asarray(ab(x))
+    y_live = np.asarray(small_model(x, train=False)["pred"])
+    np.testing.assert_allclose(y_tf, y_live, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.skipif(tf_missing, reason="tensorflow not importable")
+def test_tflite_roundtrip(small_model, tmp_path):
+    from edgeyolo_tpu.cfg import get_cfg
+    from edgeyolo_tpu.export.exporter import Exporter
+
+    args = get_cfg(overrides={"mode": "export", "format": "tflite", "imgsz": 64})
+    path = Exporter(args)(small_model, out_dir=tmp_path)
+    assert str(path).endswith(".tflite")
+    ab = AutoBackend(path)
+    assert ab.kind == "tflite"
+    x = jnp.asarray(np.random.RandomState(3).rand(1, 64, 64, 3), jnp.float32)
+    y_tfl = np.asarray(ab(x))
+    y_live = np.asarray(small_model(x, train=False)["pred"])
+    # tflite kernels differ more than pure TF; boxes are O(64) so compare scaled
+    np.testing.assert_allclose(y_tfl, y_live, atol=5e-3, rtol=5e-3)
+    # batched inference via resize_tensor_input
+    xb = jnp.asarray(np.random.RandomState(4).rand(2, 64, 64, 3), jnp.float32)
+    assert np.asarray(ab(xb)).shape[0] == 2
