@@ -257,6 +257,71 @@ class FrameStream:
         self.done = True
 
 
+def open_mjpeg_http(url: str, timeout: float = 5.0):
+    """Frame generator over an MJPEG-over-HTTP network camera stream.
+
+    Pure stdlib (http.client) + PIL: parses a multipart/x-mixed-replace
+    response, yielding each JPEG part as an RGB numpy frame. This is the
+    cv2-free path for the most common network-camera protocol (reference
+    LoadStreams covers it via cv2.VideoCapture, data/loaders.py:51-212);
+    RTSP/RTMP remain gated on cv2.
+    """
+    from io import BytesIO
+    from urllib.parse import urlparse
+
+    import http.client
+
+    from PIL import Image
+
+    u = urlparse(url)
+    conn_cls = http.client.HTTPSConnection if u.scheme == "https" else http.client.HTTPConnection
+    conn = conn_cls(u.hostname, u.port or (443 if u.scheme == "https" else 80),
+                    timeout=timeout)
+    conn.request("GET", (u.path or "/") + (f"?{u.query}" if u.query else ""))
+    resp = conn.getresponse()
+    ctype = resp.getheader("Content-Type", "")
+    if "multipart/x-mixed-replace" not in ctype:
+        conn.close()
+        raise NotImplementedError(
+            f"'{url}' is not an MJPEG stream (Content-Type: {ctype or 'none'}); "
+            "only multipart/x-mixed-replace HTTP cameras are supported without cv2"
+        )
+    boundary = b"--" + next(
+        (part.split("=", 1)[1].strip().strip('"') for part in ctype.split(";")
+         if part.strip().startswith("boundary=")), "frame",
+    ).lstrip("-").encode()
+
+    def gen():
+        buf = b""
+        try:
+            while True:
+                chunk = resp.read(65536)
+                if not chunk:
+                    break
+                buf += chunk
+                while True:
+                    s = buf.find(b"\xff\xd8\xff")  # JPEG SOI
+                    if s < 0:
+                        # keep the tail (possible split marker), drop the rest
+                        buf = buf[-4096:] if len(buf) > 65536 else buf
+                        break
+                    e = buf.find(b"\xff\xd9", s)  # EOI
+                    if e < 0:
+                        break
+                    blob, buf = buf[s : e + 2], buf[e + 2 :]
+                    try:
+                        yield np.asarray(Image.open(BytesIO(blob)).convert("RGB"))
+                    except Exception:
+                        pass
+        finally:
+            conn.close()
+
+    # boundary retained for spec fidelity/debugging; frame extraction is
+    # SOI/EOI-based, which also survives cameras with sloppy part headers
+    gen.boundary = boundary  # type: ignore[attr-defined]
+    return gen()
+
+
 def load_inference_source(source, batch: int = 1):
     """Dispatch any source to a (path, frame) iterator + SourceTypes flags."""
     st = SourceTypes()
@@ -275,10 +340,16 @@ def load_inference_source(source, batch: int = 1):
         st.stream = True
         return FrameStream(source), st
     s = str(source)
-    if s.startswith(("rtsp://", "rtmp://", "http://", "https://")) or s.isnumeric():
+    if s.startswith(("http://", "https://")):
+        # MJPEG network cameras work cv2-free (socket multipart reader);
+        # open_mjpeg_http raises with a clear message for non-MJPEG URLs
+        st.stream = True
+        return FrameStream(open_mjpeg_http(s), name=s), st
+    if s.startswith(("rtsp://", "rtmp://")) or s.isnumeric():
         raise NotImplementedError(
             "webcam/RTSP capture requires cv2, not present in this image; wrap your "
-            "frame source in an iterable and pass it directly (FrameStream handles buffering)"
+            "frame source in an iterable and pass it directly (FrameStream handles "
+            "buffering), or use an MJPEG-over-HTTP camera URL"
         )
     if s == "screen":
         raise NotImplementedError("screenshot capture requires mss/cv2 (not in this image)")

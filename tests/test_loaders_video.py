@@ -95,3 +95,98 @@ def test_track_over_video_file(tmp_path):
     assert len(results) == 4
     for r in results:
         assert hasattr(r, "track_ids")
+
+
+def _mjpeg_server(frames_jpeg, boundary=b"frame"):
+    """In-process MJPEG-over-HTTP server streaming the given JPEG blobs."""
+    import http.server
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             f"multipart/x-mixed-replace; boundary={boundary.decode()}")
+            self.end_headers()
+            for blob in frames_jpeg:
+                self.wfile.write(b"--" + boundary + b"\r\n")
+                self.wfile.write(b"Content-Type: image/jpeg\r\n")
+                self.wfile.write(f"Content-Length: {len(blob)}\r\n\r\n".encode())
+                self.wfile.write(blob + b"\r\n")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}/stream"
+
+
+def _jpeg_blobs(n=3, size=(32, 24)):
+    from io import BytesIO
+
+    from PIL import Image
+
+    blobs = []
+    for i in range(n):
+        buf = BytesIO()
+        arr = np.full((size[1], size[0], 3), i * 40 + 10, np.uint8)
+        Image.fromarray(arr).save(buf, format="JPEG")
+        blobs.append(buf.getvalue())
+    return blobs
+
+
+def test_mjpeg_http_stream():
+    """Socket-level multipart reader: reference LoadStreams network-camera
+    capability (data/loaders.py:51-212) without cv2."""
+    from edgeyolo_tpu.data.loaders import open_mjpeg_http
+
+    srv, url = _mjpeg_server(_jpeg_blobs(3))
+    try:
+        frames = list(open_mjpeg_http(url))
+    finally:
+        srv.shutdown()
+    assert len(frames) == 3
+    assert frames[0].shape == (24, 32, 3)
+    assert frames[2].mean() > frames[0].mean()  # frames arrive in order
+
+
+def test_mjpeg_http_via_inference_source():
+    from edgeyolo_tpu.data.loaders import load_inference_source
+
+    srv, url = _mjpeg_server(_jpeg_blobs(2))
+    try:
+        loader, st = load_inference_source(url)
+        assert st.stream
+        got = [f for _, f in loader]
+    finally:
+        srv.shutdown()
+    assert len(got) == 2 and got[0].shape == (24, 32, 3)
+
+
+def test_mjpeg_http_rejects_non_mjpeg():
+    import http.server
+    import threading
+
+    import pytest
+
+    from edgeyolo_tpu.data.loaders import open_mjpeg_http
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(b"<html></html>")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with pytest.raises(NotImplementedError, match="MJPEG"):
+            open_mjpeg_http(f"http://127.0.0.1:{srv.server_address[1]}/page")
+    finally:
+        srv.shutdown()

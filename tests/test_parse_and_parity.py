@@ -98,11 +98,14 @@ def test_parse_all_bundled_yamls():
     """Every bundled model YAML compiles through the DSL (parse + strides).
 
     Reference configs whose modules do not exist anywhere in the reference
-    source (yolov13-X/HyperACEPlus, yolov13-lsnet/LSBlock) are not shipped —
-    SURVEY 'verified defects' policy: never replicate dead configs. The
-    TorchVision-wrapper config (yolo11-cls-resnet18) is also not shipped: it
-    requires running a torch backbone at inference time, a non-goal for a
-    TPU-native framework (ResNetLayer-based cls configs cover the capability).
+    source are not shipped — SURVEY 'verified defects' policy: never
+    replicate dead configs. Verified dead in the reference as-built:
+    yolov13-lsnet.yaml / yolov13-lsnet-test.yaml reference `LSBlock`, which
+    is defined NOWHERE in the reference source tree (grep confirms), so
+    those configs cannot instantiate there either; yolov13-X references the
+    equally-undefined HyperACEPlus. yolo11-cls-resnet18 (a TorchVision
+    wrapper in the reference) ships as a native ResNetLayer rebuild with the
+    same topology (e=1 BasicBlock expansion, [2,2,2,2] depths).
     """
     from pathlib import Path
 
