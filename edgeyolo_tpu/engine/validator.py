@@ -183,9 +183,18 @@ class DetectionValidator:
 class SegmentationValidator(DetectionValidator):
     """Adds mask-IoU TP matching (reference models/yolo/segment/val.py:71-291).
 
-    Reports box metrics from the shared path plus a mask mAP table computed
-    from per-detection prototype masks at proto resolution.
+    Reports box metrics from the shared path plus a mask mAP table. Mask IoU
+    is computed ON DEVICE at native (input) resolution by default: both the
+    prototype masks and the stored-ratio gt masks are bilinearly upsampled to
+    imgsz before thresholding and intersection counting (reference
+    utils/ops.py:663-738 process_mask upsample + segment/val.py gt
+    interpolate), and only the (gt, det) IoU matrix crosses to the host.
+    `mask_iou_res="proto"` keeps the round-2 proto-resolution comparison.
     """
+
+    def __init__(self, *a, mask_iou_res: str = "native", **kw):
+        super().__init__(*a, **kw)
+        self.mask_iou_res = mask_iou_res
 
     def __call__(self, model, data=None, variables=None, batch_size=None, max_nms=30000):
         args = self.args
@@ -202,10 +211,11 @@ class SegmentationValidator(DetectionValidator):
         loader = self._loader
         variables = variables if variables is not None else model.variables
         nc = model.nc
+        native = self.mask_iou_res == "native"
 
         if self._infer is None:
             @jax.jit
-            def infer(v, img):
+            def infer(v, img, gt_masks):
                 out = model.apply(v, img, train=False)
                 pred = out["pred"]  # (B, A, 4+nc+nm)
                 det, n, aidx = non_max_suppression(
@@ -221,7 +231,25 @@ class SegmentationValidator(DetectionValidator):
                 masks = jax.nn.sigmoid(jnp.einsum("bhwn,bdn->bdhw", out["proto"], coefs))
                 scale = masks.shape[2] / img.shape[1]
                 masks = jax.vmap(box_ops.crop_mask)(masks, det[..., :4] * scale)
-                return det, n, masks
+                S = img.shape[1]
+                D = masks.shape[1]
+                G = gt_masks.shape[1]
+
+                def per_image(mm):
+                    pm, gm = mm
+                    if native:  # upsample both sides to input res, then count
+                        pm = jax.image.resize(pm, (D, S, S), "bilinear")
+                        gm = jax.image.resize(gm, (G, S, S), "bilinear")
+                    pmb = (pm > 0.5).astype(jnp.float32)
+                    gmb = (gm > 0.5).astype(jnp.float32)
+                    inter = jnp.einsum("ghw,dhw->gd", gmb, pmb)
+                    union = (gmb.sum((1, 2))[:, None] + pmb.sum((1, 2))[None, :]
+                             - inter)
+                    return inter / (union + 1e-7)
+
+                # sequential over the batch: bounds the (D,S,S) upsample temp
+                iou_mask = jax.lax.map(per_image, (masks, gt_masks.astype(jnp.float32)))
+                return det, n, iou_mask
 
             self._infer = infer
 
@@ -230,10 +258,13 @@ class SegmentationValidator(DetectionValidator):
         seen = 0
         for batch in loader:
             img = jnp.asarray(batch["img"], jnp.float32) / 255.0
-            det_b, n_b, masks_b = self._infer(variables, img)
+            gtm = jnp.asarray(batch["masks"]) if "masks" in batch else jnp.zeros(
+                (img.shape[0], batch["cls"].shape[1], img.shape[1] // 4, img.shape[2] // 4),
+                jnp.float32)
+            det_b, n_b, iou_b = self._infer(variables, img, gtm)
             det_b = np.asarray(det_b)
             n_b = np.asarray(n_b)
-            masks_b = np.asarray(masks_b) > 0.5
+            iou_b = np.asarray(iou_b)
             for i in range(batch["n_real"]):
                 meta = batch["meta"][i]
                 seen += 1
@@ -251,15 +282,9 @@ class SegmentationValidator(DetectionValidator):
                     gtb = np.concatenate([gtb[:, :2] - gtb[:, 2:] / 2, gtb[:, :2] + gtb[:, 2:] / 2], 1)
                 iou_box = _box_iou_np(gtb, det[:, :4]) if (n and len(gtb)) else np.zeros((len(gtb), n))
                 box_m.update_batch(match_predictions(det[:, 5], gt_cls, iou_box), det[:, 4], det[:, 5], gt_cls)
-                # mask IoU at proto resolution (both in letterbox frame)
                 ngt = int(meta["mask_gt"].sum())
-                gm = meta.get("masks")
-                if gm is not None:
-                    gm = gm[:ngt] > 0.5
-                    pm = masks_b[i, :n]
-                    inter = (gm[:, None] & pm[None]).sum((2, 3)).astype(np.float32)
-                    union = (gm[:, None] | pm[None]).sum((2, 3)).astype(np.float32)
-                    iou_mask = inter / (union + 1e-7)
+                if "masks" in batch and ngt:
+                    iou_mask = iou_b[i, :ngt, :n]
                     mask_m.update_batch(match_predictions(det[:, 5], gt_cls[:ngt], iou_mask),
                                         det[:, 4], det[:, 5], gt_cls[:ngt])
         box_m.process()

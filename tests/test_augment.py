@@ -246,3 +246,40 @@ def test_activations_aglu_telu():
     v = m.init(jax.random.PRNGKey(0), xs)
     out = m.apply(v, xs)
     assert bool(jnp.isfinite(out).all()) and (np.asarray(out) > 0).all()
+
+
+def test_separable_warp_matches_gather():
+    """The MXU (per-axis matmul) warp must reproduce the 2D-gather warp
+    exactly (same key => same map) for the axis-aligned default hyps, for
+    mosaic4, mosaic9 and single-image modes."""
+    imgs, cls, boxes, mask = _batch(3)
+    # HSV off for the strict comparison: its hue-sextant select amplifies
+    # ~1e-3 accumulation-order diffs at a seam pixel into channel swaps
+    base = dict(HYP, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0)
+    forced = dict(base, _force_gather=1)
+    for mode in (True, 9, False):
+        k = jax.random.PRNGKey(11)
+        a_mm = augment_batch(imgs, cls, boxes, mask, k, S, base, mosaic=mode)
+        a_g = augment_batch(imgs, cls, boxes, mask, k, S, forced, mosaic=mode)
+        np.testing.assert_allclose(np.asarray(a_mm[0]), np.asarray(a_g[0]),
+                                   atol=2e-3, err_msg=f"mosaic={mode}")
+        np.testing.assert_allclose(np.asarray(a_mm[2]), np.asarray(a_g[2]), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a_mm[3]), np.asarray(a_g[3]))
+    # full pipeline incl. HSV: identical up to isolated sextant-boundary pixels
+    k = jax.random.PRNGKey(11)
+    f_mm = np.asarray(augment_batch(imgs, cls, boxes, mask, k, S, HYP, mosaic=True)[0])
+    f_g = np.asarray(augment_batch(imgs, cls, boxes, mask, k, S,
+                                   dict(HYP, _force_gather=1), mosaic=True)[0])
+    assert (np.abs(f_mm - f_g) > 2e-3).mean() < 1e-4
+
+
+def test_separable_warp_matches_gather_rotated_falls_back():
+    """Non-zero degrees must keep using the gather path (no silent wrong
+    separable approximation)."""
+    imgs, cls, boxes, mask = _batch(4)
+    hyp_rot = dict(HYP, degrees=10.0)
+    k = jax.random.PRNGKey(5)
+    a1 = augment_batch(imgs, cls, boxes, mask, k, S, hyp_rot, mosaic=True)
+    a2 = augment_batch(imgs, cls, boxes, mask, k, S, dict(hyp_rot, _force_gather=1),
+                       mosaic=True)
+    np.testing.assert_allclose(np.asarray(a1[0]), np.asarray(a2[0]), atol=1e-6)

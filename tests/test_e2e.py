@@ -74,3 +74,32 @@ def test_stream_predict_generator(trained, shapes_ds):
     gen = m.predict(str(img_dir), imgsz=96, stream=True, verbose=False)
     first = next(iter(gen))
     assert first.orig_shape == (96, 96)
+
+
+def test_seg_val_native_and_proto_mask_iou(tmp_path_factory):
+    """SegmentationValidator end-to-end at both mask-IoU resolutions.
+
+    Native-res (default) upsamples pred+gt masks to imgsz on device and
+    ships only the IoU matrix (reference ops.py:663-738 process_mask
+    upsample); proto keeps the round-2 comparison grid. On the synthetic
+    shapes set (big convex masks) the two must broadly agree, and native
+    must not degrade the mask mAP (finer boundaries only help here)."""
+    from edgeyolo_tpu.cfg import get_cfg
+    from edgeyolo_tpu.data.synthetic import generate_dataset
+    from edgeyolo_tpu.engine.validator import SegmentationValidator
+    from edgeyolo_tpu.nn.tasks import SegmentationModel
+
+    root = tmp_path_factory.mktemp("segval")
+    data = generate_dataset(root, n_train=4, n_val=4, imgsz=96, nc=2, task="segment")
+    m = SegmentationModel("yolo11-seg.yaml", nc=2)
+    m.init(0, imgsz=96)
+    vargs = get_cfg(overrides={"mode": "val", "imgsz": 96, "batch": 4, "conf": 0.25,
+                               "iou": 0.7, "max_det": 32, "task": "segment"})
+    res_nat = SegmentationValidator(vargs, save_dir=root / "v1")(m, data=data)
+    res_pro = SegmentationValidator(vargs, save_dir=root / "v2",
+                                    mask_iou_res="proto")(m, data=data)
+    for res in (res_nat, res_pro):
+        assert "metrics/mAP50-95(M)" in res
+        assert np.isfinite(res["metrics/mAP50-95(M)"])
+    # random-init model: both near zero; just require same box metrics
+    assert res_nat["metrics/mAP50-95(B)"] == res_pro["metrics/mAP50-95(B)"]
