@@ -17,16 +17,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from edgeyolo_tpu.data.dataset import YOLODataset, check_det_dataset, build_dataloader
-from edgeyolo_tpu.metrics.metrics import ConfusionMatrix, DetMetrics, match_predictions, _box_iou_np
+from edgeyolo_tpu.metrics.metrics import (
+    ConfusionMatrix,
+    DetMetrics,
+    _box_iou_np,
+    match_predictions,
+    match_predictions_device,
+)
 from edgeyolo_tpu.ops import boxes as box_ops
 from edgeyolo_tpu.ops.nms import nms_rotated, non_max_suppression
+from edgeyolo_tpu.parallel.mesh import batch_sharding, get_mesh, replicated
 from edgeyolo_tpu.utils import LOGGER, colorstr
 
 
 class DetectionValidator:
     """Runs the eval loop and computes detection metrics."""
 
-    def __init__(self, args=None, save_dir: str | Path = "runs/val", names: dict | None = None):
+    def __init__(self, args=None, save_dir: str | Path = "runs/val", names: dict | None = None,
+                 max_devices: int | None = None):
         from edgeyolo_tpu.cfg import get_cfg
 
         self.args = args if args is not None else get_cfg(overrides={"mode": "val"})
@@ -36,6 +44,25 @@ class DetectionValidator:
         self.jdict = []
         self._loader = None  # cached across calls (epoch revalidation)
         self._infer = None
+        self.max_devices = max_devices  # None = all devices that divide bs
+        self._mesh = None
+
+    def _setup_mesh(self, bs: int):
+        """Data-parallel eval mesh (SURVEY §2.9): shard val batches over the
+        largest device count dividing the batch; single-device when that's 1.
+        The reference serializes epoch-val on rank 0 (validator.py:107-206);
+        here the whole eval program — forward, NMS, native-space scaling and
+        TP matching — runs SPMD over the mesh and only per-image TP/conf/cls
+        rows cross to the host for the final 101-pt interpolation."""
+        n_avail = min(len(jax.devices()), self.max_devices or len(jax.devices()))
+        n_dev = max(n for n in range(1, n_avail + 1) if bs % n == 0)
+        if self._mesh is None or self._mesh.devices.size != n_dev:
+            self._mesh = get_mesh(n_dev)
+        return self._mesh
+
+    def _shard(self, *arrays):
+        sh = batch_sharding(self._mesh)
+        return tuple(jax.device_put(a, sh) for a in arrays)
 
     def __call__(self, model, data=None, variables=None, batch_size: int | None = None,
                  max_nms: int = 30000):
@@ -60,11 +87,14 @@ class DetectionValidator:
         variables = variables if variables is not None else model.variables
         nc = model.nc
 
+        mesh = self._setup_mesh(bs)
+        variables = jax.device_put(variables, replicated(mesh))
+
         if self._infer is None:
             is_detr = getattr(model, "head_name", "") == "RTDETRDecoder"
 
             @jax.jit
-            def infer(v, img):
+            def infer(v, img, gtb, gtc, gtv, geom):
                 out = model.apply(v, img, train=False)
                 pred = out["pred"]
                 if is_detr:
@@ -85,11 +115,27 @@ class DetectionValidator:
                         jnp.take_along_axis(cls_ix, ix, axis=1)[..., None],
                     ], axis=-1)
                     det = jnp.where((top > conf)[..., None], det, 0.0)
-                    return det, (top > conf).sum(axis=1).astype(jnp.int32)
-                return non_max_suppression(
-                    pred, conf_thres=conf, iou_thres=float(args.iou), max_det=int(args.max_det),
-                    max_nms=max_nms, multi_label=True, agnostic=bool(args.single_cls), nc=nc,
-                )
+                    nvalid = (top > conf).sum(axis=1).astype(jnp.int32)
+                else:
+                    det, nvalid = non_max_suppression(
+                        pred, conf_thres=conf, iou_thres=float(args.iou),
+                        max_det=int(args.max_det), max_nms=max_nms, multi_label=True,
+                        agnostic=bool(args.single_cls), nc=nc,
+                    )
+                # ---- on-device native-space scaling + TP matching ----------
+                # (SURVEY §2.9 "eval-metric accumulation on device"): undo the
+                # letterbox, clip to native bounds, greedy-match vs gt; only
+                # (det, n, tp) rows cross back to the host
+                r, pw, ph, w0, h0 = (geom[:, i] for i in range(5))
+                shift = jnp.stack([pw, ph, pw, ph], -1)[:, None, :]
+                lim = jnp.stack([w0, h0, w0, h0], -1)[:, None, :]
+                bx = jnp.clip((det[..., :4] - shift) / r[:, None, None], 0.0, lim)
+                D = det.shape[1]
+                dvalid = jnp.arange(D)[None, :] < nvalid[:, None]
+                iou = jax.vmap(box_ops.box_iou)(gtb, bx)  # (B, Mp, D)
+                tp = jax.vmap(match_predictions_device)(
+                    det[..., 5], gtc, gtv > 0, dvalid, iou)
+                return det, nvalid, tp
 
             self._infer = infer
         infer = self._infer
@@ -98,15 +144,19 @@ class DetectionValidator:
         confusion = ConfusionMatrix(nc=len(names))
         seen = 0
         t_pre = t_inf = t_post = 0.0
-        LOGGER.info(f"{colorstr('validating:')} {split} imgsz={imgsz} bs={bs} conf={conf}")
+        LOGGER.info(f"{colorstr('validating:')} {split} imgsz={imgsz} bs={bs} conf={conf} "
+                    f"devices={mesh.devices.size}")
 
         for batch in loader:
             t0 = time.perf_counter()
             img = jnp.asarray(batch["img"], jnp.float32) / 255.0
+            gtb_h, gtc_h, gtv_h, geom_h = self._gt_arrays(batch)
+            img, gtb, gtc, gtv, geom = self._shard(img, gtb_h, gtc_h, gtv_h, geom_h)
             t1 = time.perf_counter()
-            dets, nvalid = infer(variables, img)
+            dets, nvalid, tp_b = infer(variables, img, gtb, gtc, gtv, geom)
             dets = np.asarray(jax.device_get(dets))
             nvalid = np.asarray(nvalid)
+            tp_b = np.asarray(tp_b)
             t2 = time.perf_counter()
 
             for i in range(batch["n_real"]):
@@ -114,25 +164,17 @@ class DetectionValidator:
                 seen += 1
                 n = int(nvalid[i])
                 det = dets[i, :n]  # (n,6) xyxy in letterbox space
-                h0, w0 = meta["ori_shape"]
-                r, (pw, ph) = meta["ratio_pad"]
-                if n:
-                    det = det.copy()
-                    det[:, [0, 2]] = (det[:, [0, 2]] - pw) / r
-                    det[:, [1, 3]] = (det[:, [1, 3]] - ph) / r
-                    det[:, [0, 2]] = det[:, [0, 2]].clip(0, w0)
-                    det[:, [1, 3]] = det[:, [1, 3]].clip(0, h0)
-                # gt in native space
                 gt_cls = meta["ori_cls"]
-                gtb = meta["ori_bboxes"].copy()
-                if len(gtb):
-                    gtb = gtb * np.array([w0, h0, w0, h0], np.float32)
-                    gtb = np.concatenate([gtb[:, :2] - gtb[:, 2:] / 2, gtb[:, :2] + gtb[:, 2:] / 2], 1)
-                iou = _box_iou_np(gtb, det[:, :4]) if (n and len(gtb)) else np.zeros((len(gtb), n))
-                tp = match_predictions(det[:, 5], gt_cls, iou)
-                metrics.update_batch(tp, det[:, 4], det[:, 5], gt_cls)
+                metrics.update_batch(tp_b[i, :n], det[:, 4], det[:, 5], gt_cls)
+                if args.plots or args.save_json:
+                    h0, w0 = meta["ori_shape"]
+                    r, (pw, ph) = meta["ratio_pad"]
+                    det = det.copy()
+                    det[:, [0, 2]] = ((det[:, [0, 2]] - pw) / r).clip(0, w0)
+                    det[:, [1, 3]] = ((det[:, [1, 3]] - ph) / r).clip(0, h0)
                 if args.plots:
-                    confusion.process_batch(det if n else None, gtb, gt_cls)
+                    gtb_i = np.asarray(gtb_h[i, : len(gt_cls)])
+                    confusion.process_batch(det if n else None, gtb_i, gt_cls)
                 if args.save_json:
                     self._to_json(det, meta["im_file"])
             t_pre += t1 - t0
@@ -165,6 +207,34 @@ class DetectionValidator:
                 for k, v in coco.items():
                     metrics.speed[f"coco/{k}"] = v  # surfaced alongside results
         return metrics.results_dict
+
+    @staticmethod
+    def _gt_arrays(batch):
+        """Pad per-image native-space gt (from metas) into fixed arrays for
+        the on-device matcher. Mp rounds up to 32 so at most a handful of
+        XLA programs compile across batches; padded class slots are -1 so
+        they never class-match."""
+        metas = batch["meta"]
+        B = len(metas)
+        mx = max((len(m["ori_cls"]) for m in metas), default=0)
+        Mp = max(32, ((mx + 31) // 32) * 32)
+        gtb = np.zeros((B, Mp, 4), np.float32)
+        gtc = np.full((B, Mp), -1.0, np.float32)
+        gtv = np.zeros((B, Mp), np.float32)
+        geom = np.zeros((B, 5), np.float32)
+        for i, m in enumerate(metas):
+            h0, w0 = m["ori_shape"]
+            r, (pw, ph) = m["ratio_pad"]
+            geom[i] = (r, pw, ph, w0, h0)
+            cls = m["ori_cls"]
+            n = len(cls)
+            if n:
+                b = m["ori_bboxes"] * np.array([w0, h0, w0, h0], np.float32)
+                gtb[i, :n] = np.concatenate(
+                    [b[:, :2] - b[:, 2:] / 2, b[:, :2] + b[:, 2:] / 2], 1)
+                gtc[i, :n] = cls
+                gtv[i, :n] = 1.0
+        return gtb, gtc, gtv, geom
 
     def _to_json(self, det: np.ndarray, im_file: str):
         stem = Path(im_file).stem

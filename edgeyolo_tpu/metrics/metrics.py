@@ -57,6 +57,41 @@ def match_predictions(pred_classes: np.ndarray, true_classes: np.ndarray, iou: n
     return correct
 
 
+def match_predictions_device(pred_classes, true_classes, gt_valid, det_valid, iou):
+    """jnp twin of match_predictions for on-device eval (SURVEY §2.9).
+
+    The host heuristic (mirroring reference validator.py:222-262: sort
+    candidate pairs by IoU desc, np.unique by detection, np.unique by label)
+    vectorizes — absent exact IoU ties — into two chained selections:
+      s1: each detection keeps its best-IoU gt among >=thr class-matched
+          pairs (first np.unique keeps the highest-IoU pair per det)
+      s2: each gt keeps the SMALLEST-DET-INDEX pair among the s1 survivors
+          — after the first np.unique the array is det-id-sorted, so the
+          second np.unique's first-occurrence rule picks by det index, not
+          IoU (the reference's re-sort line is commented out; this quirk is
+          reproduced deliberately for parity)
+    pred_classes (D,), true_classes (M,), gt_valid (M,), det_valid (D,),
+    iou (M, D) -> (D, 10) bool.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ioum = jnp.where(
+        (true_classes[:, None] == pred_classes[None, :])
+        & gt_valid[:, None] & det_valid[None, :], iou, 0.0)
+    M, D = ioum.shape
+
+    def one_thr(thr):
+        m = ioum >= thr
+        g_best = jnp.argmax(ioum, axis=0)                       # (D,)
+        s1 = m & (jnp.arange(M)[:, None] == g_best[None, :])
+        d_first = jnp.argmax(s1, axis=1)                        # (M,) first True
+        s2 = s1 & (jnp.arange(D)[None, :] == d_first[:, None])
+        return jnp.any(s2, axis=0)                              # (D,)
+
+    return jax.vmap(one_thr, out_axes=1)(jnp.asarray(IOUV, jnp.float32))
+
+
 def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
     """Per-class P/R/F1/AP from pooled detections.
 

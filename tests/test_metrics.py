@@ -79,3 +79,32 @@ def test_confusion_matrix_counts():
     assert cm.matrix[0, 0] == 1  # class0 matched
     assert cm.matrix[2, 1] == 1  # class1 gt missed
     assert cm.matrix[1, 2] == 1  # class1 det is FP
+
+
+def test_match_predictions_device_equals_host():
+    """The on-device matcher (argmax-chain) must reproduce the host
+    sorted-unique heuristic on random inputs (validator SURVEY §2.9)."""
+    import jax.numpy as jnp
+
+    from edgeyolo_tpu.metrics.metrics import (
+        match_predictions,
+        match_predictions_device,
+    )
+
+    rng = np.random.RandomState(0)
+    for trial in range(20):
+        M, D = rng.randint(1, 12), rng.randint(1, 20)
+        gt_cls = rng.randint(0, 3, M).astype(np.float32)
+        pd_cls = rng.randint(0, 3, D).astype(np.float32)
+        iou = rng.rand(M, D).astype(np.float32)
+        host = match_predictions(pd_cls, gt_cls, iou * (gt_cls[:, None] == pd_cls[None, :]))
+        dev = np.asarray(match_predictions_device(
+            jnp.asarray(pd_cls), jnp.asarray(gt_cls),
+            jnp.ones(M, bool), jnp.ones(D, bool), jnp.asarray(iou)))
+        np.testing.assert_array_equal(dev, host, err_msg=f"trial {trial}")
+    # padded/invalid slots never match
+    dev = np.asarray(match_predictions_device(
+        jnp.asarray([0.0, 1.0]), jnp.asarray([0.0, -1.0]),
+        jnp.asarray([True, False]), jnp.asarray([True, False]),
+        jnp.asarray([[0.9, 0.9], [0.9, 0.9]])))
+    assert dev[0, 0] and not dev[1].any()

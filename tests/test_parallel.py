@@ -118,3 +118,26 @@ def test_world_forward_on_mesh():
     vr = jax.device_put(v, replicated(mesh))
     out = jax.jit(lambda vv, xx: m.apply(vv, xx, train=False)["pred"])(vr, x)
     assert out.shape[0] == 8 and bool(jnp.isfinite(out).all())
+
+
+def test_data_parallel_val_equals_single_device(tmp_path_factory):
+    """Data-parallel eval (SURVEY §2.9): the validator sharded over the
+    8-device CPU mesh must produce the same mAP as single-device val —
+    the whole matching pipeline runs on device either way, so only the
+    batch sharding differs."""
+    from edgeyolo_tpu.cfg import get_cfg
+    from edgeyolo_tpu.data.synthetic import generate_dataset
+    from edgeyolo_tpu.engine.validator import DetectionValidator
+    from edgeyolo_tpu.nn.tasks import DetectionModel
+
+    root = tmp_path_factory.mktemp("dpval")
+    data = generate_dataset(root, n_train=4, n_val=8, imgsz=96, nc=3)
+    m = DetectionModel("yolo11n.yaml", nc=3)
+    m.init(0, imgsz=96)
+    vargs = get_cfg(overrides={"mode": "val", "imgsz": 96, "batch": 8, "conf": 0.01,
+                               "iou": 0.7, "max_det": 32})
+    r1 = DetectionValidator(vargs, save_dir=root / "v1", max_devices=1)(m, data=data)
+    r8 = DetectionValidator(vargs, save_dir=root / "v8", max_devices=8)(m, data=data)
+    assert len(jax.devices()) == 8
+    for k in r1:
+        np.testing.assert_allclose(r8[k], r1[k], atol=1e-7, err_msg=k)
