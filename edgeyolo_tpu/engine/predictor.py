@@ -68,10 +68,17 @@ class DetectionPredictor:
             self._infer = self._build_infer(model, conf)
         names = getattr(model, "names", {})
 
+        want_int8 = bool(getattr(args, "int8", False))
         for path, img0 in _iter_source(source):
             t0 = time.perf_counter()
             img, r, (pw, ph) = letterbox(img0, imgsz, scaleup=True)
             x = jnp.asarray(img[None], jnp.float32) / 255.0
+            if want_int8 and model.quant is None:
+                # PTQ auto-calibration on the first frame (validator calibrates
+                # on a full val batch; a single stream frame is the best
+                # available representative here)
+                model.quantize(x, variables=variables)
+                LOGGER.info(f"int8: calibrated {len(model.quant.wq)} convs on first frame")
             t1 = time.perf_counter()
             dets, nvalid = self._infer(variables, x)
             dets = np.asarray(jax.device_get(dets))[0]

@@ -55,6 +55,10 @@ class DetectionValidator:
         TP matching — runs SPMD over the mesh and only per-image TP/conf/cls
         rows cross to the host for the final 101-pt interpolation."""
         n_avail = min(len(jax.devices()), self.max_devices or len(jax.devices()))
+        dev_arg = getattr(self.args, "device", None)
+        if self.max_devices is None and dev_arg is not None \
+                and str(dev_arg).isdigit() and int(dev_arg) > 0:
+            n_avail = min(n_avail, int(dev_arg))
         n_dev = max(n for n in range(1, n_avail + 1) if bs % n == 0)
         if self._mesh is None or self._mesh.devices.size != n_dev:
             self._mesh = get_mesh(n_dev)
@@ -86,6 +90,16 @@ class DetectionValidator:
 
         variables = variables if variables is not None else model.variables
         nc = model.nc
+
+        # int8 val mode: auto-calibrate on the first val batch (PTQ absmax —
+        # reference analog: representative-dataset int8, exporter.py:1055);
+        # engines pick the quantized path up through model.apply
+        if bool(getattr(args, "int8", False)) and model.quant is None:
+            first = next(iter(loader))
+            calib = jnp.asarray(first["img"], jnp.float32) / 255.0
+            model.quantize(calib, variables=variables)
+            LOGGER.info(f"{colorstr('int8:')} calibrated {len(model.quant.wq)} convs "
+                        f"on one val batch ({calib.shape[0]} imgs)")
 
         mesh = self._setup_mesh(bs)
         variables = jax.device_put(variables, replicated(mesh))

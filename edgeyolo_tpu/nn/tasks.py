@@ -477,6 +477,7 @@ class BaseModel:
         self.net = GraphNet(self.spec, self.save, head_stride=self.stride)
         self.names = {i: f"{i}" for i in range(self.nc)}
         self.variables = None  # {"params": ..., "batch_stats": ...}
+        self.quant = None  # QuantState: int8 inference when set (nn/quant.py)
 
     # -- lifecycle ------------------------------------------------------------
     def init(self, rng: jax.Array | int = 0, imgsz: int = 640, batch: int = 1):
@@ -493,7 +494,35 @@ class BaseModel:
         """
         if mutable is None:
             mutable = ["batch_stats"] if train else False
-        return self.net.apply(variables, x, train=train, mutable=mutable, **kw)
+        return self._net_apply(variables, x, train=train, mutable=mutable, **kw)
+
+    def _net_apply(self, variables, x, **kw):
+        """net.apply, routed through the int8 interceptor when quantized.
+
+        Training always runs full precision; quantization is inference-only
+        (PTQ — reference analog: int8 export calibration, exporter.py:879)."""
+        if self.quant is not None and not kw.get("train", False):
+            from edgeyolo_tpu.nn.quant import quant_ctx
+
+            with quant_ctx(self.quant):
+                return self.net.apply(variables, x, **kw)
+        return self.net.apply(variables, x, **kw)
+
+    def quantize(self, calib_images, skip=(), variables=None, apply_kwargs=None):
+        """Calibrate + enable int8 inference on this handle.
+
+        calib_images: array/list of model-space inputs (B, H, W, 3) float in
+        [0, 1] — e.g. a few val batches. Engines pick the int8 path up
+        automatically since they route through model.apply."""
+        from edgeyolo_tpu.nn.quant import calibrate, quantize
+
+        v = variables or self.variables
+        assert v is not None, "call .init() or load weights first"
+        if hasattr(calib_images, "ndim"):
+            calib_images = [calib_images]
+        scales = calibrate(self.net, v, calib_images, apply_kwargs=apply_kwargs)
+        self.quant = quantize(v, scales, skip=skip)
+        return self.quant
 
     def __call__(self, x, train: bool = False):
         assert self.variables is not None, "call .init() first"
@@ -574,7 +603,7 @@ class WorldModel(DetectionModel):
             mutable = ["batch_stats"] if train else False
         b = x.shape[0]
         text = jnp.broadcast_to(self.text, (b, *self.text.shape[1:]))
-        return self.net.apply(variables, x, train=train, text=text, mutable=mutable, **kw)
+        return self._net_apply(variables, x, train=train, text=text, mutable=mutable, **kw)
 
     def init(self, rng=0, imgsz: int = 640, batch: int = 1):
         rng = jax.random.PRNGKey(rng) if isinstance(rng, int) else rng

@@ -219,10 +219,15 @@ class DetectionTrainer(CallbackMixin):
         geo_aug_ok = task in ("detect", "pose", "segment", "obb")
         hyp_dict = {k: v for k, v in vars(args).items() if isinstance(v, (int, float))}
         use_bf16 = bool(args.amp)
-        # data-parallel mesh over the largest device count that divides the batch
+        # data-parallel mesh over the largest device count that divides the batch;
+        # args.device accepts an int to cap the mesh (cfg/default.yaml "mesh axis
+        # sizes"), e.g. device=1 forces a single-device run
         import jax as _jax
 
         n_avail = len(_jax.devices())
+        dev_arg = getattr(args, "device", None)
+        if dev_arg is not None and str(dev_arg).isdigit() and int(dev_arg) > 0:
+            n_avail = min(n_avail, int(dev_arg))
         n_dev = max(n for n in range(1, n_avail + 1) if bs % n == 0)
         if n_dev < n_avail:
             LOGGER.warning(f"batch {bs} not divisible by {n_avail} devices; using {n_dev}-device mesh")

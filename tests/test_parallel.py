@@ -120,6 +120,50 @@ def test_world_forward_on_mesh():
     assert out.shape[0] == 8 and bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.slow
+def test_multichip_training_converges_and_matches_single_device(tmp_path_factory):
+    """Multi-chip convergence proof (VERDICT r2 #8): a short training run on
+    the 8-device mesh must (a) decrease the loss and (b) land on the same
+    loss trajectory and final metrics as a single-device run at the same
+    seed — the DDP grad-mean == full-batch-grad contract (reference
+    trainer.py:382-383), upgraded from one step to an actual run."""
+    import csv as csv_mod
+
+    from edgeyolo_tpu import YOLO
+    from edgeyolo_tpu.data.synthetic import generate_dataset
+    from edgeyolo_tpu.nn.tasks import DetectionModel
+
+    root = tmp_path_factory.mktemp("conv")
+    data = generate_dataset(root, n_train=16, n_val=4, imgsz=96, nc=3)
+    runs = tmp_path_factory.mktemp("runs")
+
+    def run(tag, n_dev):
+        m = YOLO("yolo11n.yaml")
+        m.model = DetectionModel("yolo11n.yaml", nc=3)
+        m.train(data=str(data), epochs=4, imgsz=96, batch=8, nbs=8, val=False,
+                plots=False, close_mosaic=0, amp=False, mosaic=0.0,
+                warmup_epochs=0, lr0=0.01, optimizer="SGD", seed=3,
+                project=str(runs), name=tag, device=str(n_dev), patience=10)
+        with open(runs / tag / "results.csv") as f:
+            rows = list(csv_mod.DictReader(f))
+        tot = [sum(float(r[k]) for k in
+                   ("train/box_loss", "train/cls_loss", "train/dfl_loss"))
+               for r in rows]
+        res = m.val(data=str(data), imgsz=96, batch=4, plots=False, device="1")
+        return tot, res, m
+
+    tot8, res8, _ = run("mesh8", 8)
+    tot1, res1, _ = run("mesh1", 1)
+
+    # (a) converges: last-epoch loss below first-epoch loss on the mesh run
+    assert tot8[-1] < tot8[0], f"no loss decrease on 8-dev mesh: {tot8}"
+    # (b) sharding is semantics-free: same per-epoch losses as single-device
+    # (fp32 on CPU; only reduction order differs)
+    np.testing.assert_allclose(tot8, tot1, rtol=2e-3, err_msg="loss trajectory")
+    for k in ("metrics/mAP50-95(B)", "metrics/mAP50(B)"):
+        np.testing.assert_allclose(res8[k], res1[k], atol=5e-3, err_msg=k)
+
+
 def test_data_parallel_val_equals_single_device(tmp_path_factory):
     """Data-parallel eval (SURVEY §2.9): the validator sharded over the
     8-device CPU mesh must produce the same mAP as single-device val —

@@ -1,0 +1,111 @@
+"""int8 PTQ tests (nn/quant.py): conv-level math, engagement proof, and the
+VERDICT r2 #2 acceptance — trained-model val mAP within tolerance of fp32.
+
+Reference analog: int8 export calibration (ultralytics/engine/exporter.py:879
+TensorRT calibrator, :1055 tflite representative dataset); here quantization
+is a functional interception of the same jitted XLA program."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from edgeyolo_tpu.nn import quant as Q
+from edgeyolo_tpu.nn.modules.conv import ConvBN
+from edgeyolo_tpu.nn.tasks import DetectionModel
+
+
+def test_quantized_conv_matches_manual_dequant():
+    """The intercepted conv must equal the hand-computed int8 pipeline:
+    quantize input per-tensor, int8 conv w/ int32 accumulate, per-cout
+    dequant."""
+    m = ConvBN(8, k=3, act=False)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 16, 4).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+
+    scales = Q.calibrate(m, v, [x])
+    assert len(scales) == 1
+    (path, absmax), = scales.items()
+    np.testing.assert_allclose(absmax, float(jnp.abs(x).max()), rtol=1e-6)
+
+    qs = Q.quantize({"params": v["params"]}, scales)
+    with Q.quant_ctx(qs):
+        y_q = m.apply(v, x)
+
+    # manual: BN at init is near-identity (mean 0, var 1), so compare the conv
+    k = np.asarray(v["params"]["conv"]["kernel"], np.float32)
+    sw = np.abs(k).max(axis=(0, 1, 2)) / 127.0
+    wq = np.clip(np.rint(k / sw), -127, 127).astype(np.int8)
+    sx = absmax / 127.0
+    xq = np.clip(np.rint(np.asarray(x) / sx), -127, 127).astype(np.int8)
+    y_ref = jax.lax.conv_general_dilated(
+        jnp.asarray(xq), jnp.asarray(wq), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (sx * sw)
+    # y_q passed through BN(eps) — undo with the init-state BN transform
+    bn = v["params"]["bn"]
+    y_expect = (y_ref - 0.0) / np.sqrt(1.0 + 1e-3) * np.asarray(bn["scale"]) + np.asarray(bn["bias"])
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_expect), atol=1e-5)
+
+
+def test_quantization_engages_and_is_bounded():
+    """int8 forward must differ from fp (not a silent no-op) yet stay within
+    quantization-level error at each conv. Random init attenuates activations
+    to ~0 through BN (the C3k2 lesson), which would mask any difference — so
+    de-attenuate by shifting every BN bias to 0.5 before comparing."""
+    m = DetectionModel("yolo11n.yaml", nc=3)
+    m.init(0, imgsz=64)
+
+    def debias(path, p):
+        return jnp.full_like(p, 0.5) if path[-2:] == ("bn", "bias") else p
+
+    m.variables = dict(m.variables)
+    m.variables["params"] = jax.tree_util.tree_map_with_path(
+        lambda kp, p: debias(tuple(getattr(k, "key", k) for k in kp), p),
+        m.variables["params"])
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32))
+    feats_fp = m.apply(m.variables, x, train=False)["feats"]
+    m.quantize(x)
+    assert len(m.quant.wq) > 50  # the whole conv zoo quantized
+    feats_q = m.apply(m.variables, x, train=False)["feats"]
+    rels = [float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
+            for a, b in zip(feats_fp, feats_q)]
+    assert max(rels) > 1e-5, "quantized path identical to fp — interceptor dead"
+    assert max(rels) < 0.25, f"unbounded quant error {rels}"
+
+
+def test_skip_list_respected():
+    m = DetectionModel("yolo11n.yaml", nc=3)
+    m.init(0, imgsz=64)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    m.quantize(x, skip=("l0_",))
+    assert not any("l0_" in p for p in m.quant.wq)
+
+
+@pytest.mark.slow
+def test_trained_val_int8_within_tolerance(tmp_path_factory):
+    """Train on synthetic shapes, then val fp32 vs int8 through the public
+    facade: mAP50-95 must agree within 0.1 (VERDICT r2 #2 acceptance)."""
+    from edgeyolo_tpu import YOLO
+    from edgeyolo_tpu.data.synthetic import generate_dataset
+
+    root = tmp_path_factory.mktemp("q")
+    data = generate_dataset(root, n_train=16, n_val=8, imgsz=96, nc=3)
+    runs = tmp_path_factory.mktemp("runs")
+    m = YOLO("yolo11n.yaml")
+    m.model = DetectionModel("yolo11n.yaml", nc=3)
+    m.train(data=str(data), epochs=3, imgsz=96, batch=8, nbs=8, val=False,
+            plots=False, close_mosaic=0, amp=False, mosaic=0.0, warmup_epochs=0,
+            lr0=0.01, optimizer="SGD", seed=0, project=str(runs), name="q")
+
+    r_fp = m.val(data=str(data), imgsz=96, batch=8, plots=False)
+    assert m.model.quant is None
+    r_q = m.val(data=str(data), imgsz=96, batch=8, plots=False, int8=True)
+    assert m.model.quant is not None and len(m.model.quant.wq) > 50
+    d = abs(r_q["metrics/mAP50-95(B)"] - r_fp["metrics/mAP50-95(B)"])
+    assert d < 0.1, (f"int8 mAP drift {d:.3f}: fp={r_fp['metrics/mAP50-95(B)']:.3f} "
+                     f"int8={r_q['metrics/mAP50-95(B)']:.3f}")
+    m.model.quant = None  # leave the handle fp for any later use
