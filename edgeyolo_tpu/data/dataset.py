@@ -362,20 +362,41 @@ class YOLODataset:
         return item
 
     def _rasterize_masks(self, segments, n, w0, h0, r, pw, ph, H=None, W=None):
-        """Polygons (normalized, original space) -> (max_gt, H/ratio, W/ratio)."""
+        """Polygons (normalized, original space) -> (max_gt, H/ratio, W/ratio).
+
+        Mirrors the reference's polygon2mask (data/utils.py:250-271): fill at
+        FULL input resolution with int-truncated coords, then downsample with
+        cv2's INTER_LINEAR — which at an integer ratio is a 2x2 (even ratio)
+        or 1-tap (odd) sample pattern, not an area average. Direct low-res
+        rasterization (round 2) shifted boundary pixels enough to move mask
+        IoUs at the high thresholds (PARITY.md seg table)."""
         from PIL import Image, ImageDraw
 
         H = H or self.imgsz
         W = W or self.imgsz
-        sh, sw = H // self.mask_ratio, W // self.mask_ratio
+        rr = self.mask_ratio
+        sh, sw = H // rr, W // rr
         out = np.zeros((self.max_gt, sh, sw), np.float32)
         for j, poly in enumerate(segments[:n]):
             pts = poly.copy()
-            pts[:, 0] = (pts[:, 0] * w0 * r + pw) / W * sw
-            pts[:, 1] = (pts[:, 1] * h0 * r + ph) / H * sh
-            im = Image.new("L", (sw, sh), 0)
+            pts[:, 0] = pts[:, 0] * w0 * r + pw
+            pts[:, 1] = pts[:, 1] * h0 * r + ph
+            pts = pts.astype(np.int32)  # reference truncates (np.int32 cast)
+            im = Image.new("L", (W, H), 0)
             ImageDraw.Draw(im).polygon([tuple(p) for p in pts.tolist()], fill=1)
-            out[j] = np.asarray(im, np.float32)
+            full = np.asarray(im, np.float32)
+            if rr == 1:
+                out[j] = full[:sh * rr, :sw * rr]
+                continue
+            c = (rr - 1) / 2.0  # src offset of dst pixel 0 under INTER_LINEAR
+            lo = int(np.floor(c))
+            if c == lo:  # odd ratio: exact single-tap sampling
+                out[j] = full[lo::rr, lo::rr][:sh, :sw]
+            else:  # even ratio: 2x2 average, cv2 fixed-point rounds .5 up
+                s = (full[lo::rr, lo::rr][:sh, :sw] + full[lo + 1::rr, lo::rr][:sh, :sw]
+                     + full[lo::rr, lo + 1::rr][:sh, :sw]
+                     + full[lo + 1::rr, lo + 1::rr][:sh, :sw])
+                out[j] = (s >= 2.0).astype(np.float32)
         return out
 
 

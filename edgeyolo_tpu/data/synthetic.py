@@ -46,10 +46,36 @@ def generate_dataset(
                 c = int(rng.randint(0, nc))
                 w = rng.uniform(0.15, 0.4) * imgsz
                 h = rng.uniform(0.15, 0.4) * imgsz
+                color = PALETTE[c % len(PALETTE)]
+                S = imgsz
+                if task == "obb":
+                    # truly rotated instances — exercises probiou matching and
+                    # rotated NMS, not just the angle=0 degenerate case
+                    theta = rng.uniform(-np.pi / 3, np.pi / 3)
+                    r = float(np.hypot(w, h)) / 2
+                    cx = rng.uniform(r + 2, imgsz - r - 2)
+                    cy = rng.uniform(r + 2, imgsz - r - 2)
+                    ct, st = np.cos(theta), np.sin(theta)
+                    rot = lambda dx, dy: (cx + dx * ct - dy * st, cy + dx * st + dy * ct)
+                    corners = [rot(-w / 2, -h / 2), rot(w / 2, -h / 2),
+                               rot(w / 2, h / 2), rot(-w / 2, h / 2)]
+                    if c % 3 == 0:
+                        draw.polygon(corners, fill=color, outline=(255, 255, 255))
+                    elif c % 3 == 1:
+                        mids = [rot(0, -h / 2), rot(w / 2, 0), rot(0, h / 2), rot(-w / 2, 0)]
+                        draw.polygon(corners, outline=(255, 255, 255))
+                        draw.polygon(mids, fill=color)
+                    else:
+                        draw.line([rot(-w / 2, 0), rot(w / 2, 0)], fill=color,
+                                  width=max(3, int(h / 5)))
+                        draw.line([rot(0, -h / 2), rot(0, h / 2)], fill=color,
+                                  width=max(3, int(w / 5)))
+                    pts = " ".join(f"{v/S:.6f}" for xy in corners for v in xy)
+                    lines.append(f"{c} {pts}")
+                    continue
                 cx = rng.uniform(w / 2 + 2, imgsz - w / 2 - 2)
                 cy = rng.uniform(h / 2 + 2, imgsz - h / 2 - 2)
                 x1, y1, x2, y2 = cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2
-                color = PALETTE[c % len(PALETTE)]
                 if c % 3 == 0:
                     draw.rectangle([x1, y1, x2, y2], fill=color, outline=(255, 255, 255))
                 elif c % 3 == 1:
@@ -57,8 +83,7 @@ def generate_dataset(
                 else:
                     draw.line([x1, cy, x2, cy], fill=color, width=max(3, int(h / 5)))
                     draw.line([cx, y1, cx, y2], fill=color, width=max(3, int(w / 5)))
-                S = imgsz
-                if task in ("segment", "obb"):
+                if task == "segment":
                     corners = [x1, y1, x2, y1, x2, y2, x1, y2]
                     pts = " ".join(f"{v/S:.6f}" for v in corners)
                     lines.append(f"{c} {pts}")
@@ -72,7 +97,12 @@ def generate_dataset(
             (root / "labels" / split / f"{split}_{i:04d}.txt").write_text("\n".join(lines) + "\n")
     yaml_path = root / "dataset.yaml"
     names = "\n".join(f"  {i}: {n}" for i, n in enumerate(["rectangle", "ellipse", "cross"][:nc]))
+    extra = ""
+    if task == "pose":
+        # corners (TL,TR,BR,BL) + center; lr-flip swaps TL<->TR and BL<->BR
+        # (reference pose datasets carry kpt_shape/flip_idx in the data yaml)
+        extra = "kpt_shape: [5, 3]\nflip_idx: [1, 0, 3, 2, 4]\n"
     yaml_path.write_text(
-        f"path: {root}\ntrain: images/train\nval: images/val\nnc: {nc}\nnames:\n{names}\n"
+        f"path: {root}\ntrain: images/train\nval: images/val\nnc: {nc}\nnames:\n{names}\n{extra}"
     )
     return yaml_path

@@ -319,9 +319,24 @@ class SegmentationValidator(DetectionValidator):
                 D = masks.shape[1]
                 G = gt_masks.shape[1]
 
+                overlap = bool(getattr(args, "overlap_mask", True))
+
                 def per_image(mm):
                     pm, gm = mm
+                    if overlap:
+                        # reference overlap_mask=True semantics: gt instances
+                        # are EXCLUSIVE — an overlapped pixel belongs to the
+                        # smallest-area instance (polygons2masks_overlap
+                        # draws area-descending and clips, data/utils.py:257;
+                        # val re-extracts per-instance masks from that index
+                        # map, segment/val.py _process_batch overlap=True)
+                        areas = gm.sum((1, 2))
+                        a = jnp.where(gm > 0.5, areas[:, None, None], jnp.inf)
+                        gm = gm * (a <= a.min(axis=0, keepdims=True))
                     if native:  # upsample both sides to input res, then count
+                        # (both bilinear + 0.5: reference process_mask
+                        # upsample ops.py:695 and gt F.interpolate "bilinear"
+                        # + gt_(0.5), segment/val.py _process_batch)
                         pm = jax.image.resize(pm, (D, S, S), "bilinear")
                         gm = jax.image.resize(gm, (G, S, S), "bilinear")
                     pmb = (pm > 0.5).astype(jnp.float32)

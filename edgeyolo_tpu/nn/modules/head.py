@@ -86,7 +86,11 @@ class Detect(nn.Module):
         # decode in f32 regardless of the tower compute dtype: box coords span
         # [0, imgsz] and bf16's 8-bit mantissa would quantize them to ~2 px
         flat = flat.astype(jnp.float32)
-        box_logits, cls_logits = flat[..., : 4 * self.reg_max], flat[..., 4 * self.reg_max :]
+        # lax.slice_in_dim, not flat[..., :k]: ellipsis indexing lowers to a
+        # dynamic gather under a jax2tf polymorphic batch dim, which the
+        # TFLite vhlo legalizer rejects (tflite export path, exporter.py)
+        box_logits = jax.lax.slice_in_dim(flat, 0, 4 * self.reg_max, axis=2)
+        cls_logits = jax.lax.slice_in_dim(flat, 4 * self.reg_max, flat.shape[-1], axis=2)
         shapes = [(f.shape[1], f.shape[2]) for f in feats]
         anchors, strides = make_anchors(shapes, self.stride, 0.5)
         dist = dfl_decode(box_logits, self.reg_max)
@@ -295,7 +299,11 @@ class OBB(Detect):
         # decode in f32 regardless of the tower compute dtype: box coords span
         # [0, imgsz] and bf16's 8-bit mantissa would quantize them to ~2 px
         flat = flat.astype(jnp.float32)
-        box_logits, cls_logits = flat[..., : 4 * self.reg_max], flat[..., 4 * self.reg_max :]
+        # lax.slice_in_dim, not flat[..., :k]: ellipsis indexing lowers to a
+        # dynamic gather under a jax2tf polymorphic batch dim, which the
+        # TFLite vhlo legalizer rejects (tflite export path, exporter.py)
+        box_logits = jax.lax.slice_in_dim(flat, 0, 4 * self.reg_max, axis=2)
+        cls_logits = jax.lax.slice_in_dim(flat, 4 * self.reg_max, flat.shape[-1], axis=2)
         shapes = [(f.shape[1], f.shape[2]) for f in feats]
         anchors, strides = make_anchors(shapes, self.stride, 0.5)
         dist = dfl_decode(box_logits, self.reg_max)

@@ -62,8 +62,14 @@ def task_aligned_assign(
     # --- top-k anchors per gt -------------------------------------------------
     k = min(topk, A)
     topk_vals, topk_idx = jax.lax.top_k(align, k)  # (B,M,k)
-    onehot = jax.nn.one_hot(topk_idx, A, dtype=jnp.float32)  # (B,M,k,A)
-    mask_topk = jnp.sum(onehot * mask_gt_f[..., None], axis=2)  # (B,M,A)
+    # accumulate k iota-compares instead of one_hot(topk_idx, A): the
+    # (B,M,k,A) one-hot is a 6.9 GB f32 temporary at b128/640px; the unrolled
+    # sum keeps the peak at one (B,M,A) buffer and XLA fuses the k compares
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, A), 2)
+    mask_topk = jnp.zeros((B, M, A), jnp.float32)
+    for j in range(k):
+        mask_topk = mask_topk + (topk_idx[:, :, j:j + 1] == iota)
+    mask_topk = mask_topk * mask_gt_f
     mask_topk = jnp.where(mask_topk > 1, 0.0, mask_topk)  # mirror dup filter
     mask_pos = mask_topk * mask_in_gts * mask_gt_f  # (B,M,A)
 
@@ -126,8 +132,13 @@ def rotated_task_aligned_assign(
 
     k = min(topk, A)
     _, topk_idx = jax.lax.top_k(align, k)
-    onehot = jax.nn.one_hot(topk_idx, A, dtype=jnp.float32)
-    mask_topk = jnp.sum(onehot * mask_gt_f[..., None], axis=2)
+    # iota-compare accumulation — no (B,M,k,A) one-hot temporary (see
+    # task_aligned_assign above)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, A), 2)
+    mask_topk = jnp.zeros((B, M, A), jnp.float32)
+    for j in range(k):
+        mask_topk = mask_topk + (topk_idx[:, :, j:j + 1] == iota)
+    mask_topk = mask_topk * mask_gt_f
     mask_topk = jnp.where(mask_topk > 1, 0.0, mask_topk)
     mask_pos = mask_topk * mask_in * mask_gt_f
 

@@ -56,13 +56,26 @@ def _decay_mask(params):
 
 
 def build_optimizer(params, name: str, lr: float, momentum: float, decay: float,
-                    schedule, momentum_schedule=None) -> optax.GradientTransformation:
+                    schedule, momentum_schedule=None,
+                    flat_mask=None) -> optax.GradientTransformation:
     """momentum_schedule: optional step->momentum fn for warmup interpolation
     (reference trainer.py:366-376 interpolates group momentum from
     warmup_momentum to momentum over the warmup window; torch only warms
     groups exposing a `momentum` key, i.e. SGD/RMSProp — Adam's betas are not
-    touched — so the same gating applies here)."""
-    wd = optax.masked(optax.add_decayed_weights(decay), _decay_mask(params))
+    touched — so the same gating applies here).
+
+    flat_mask: when given, `params` is a single raveled vector and weight
+    decay applies through this 0/1 vector instead of a per-leaf optax mask —
+    the fused-optimizer path (one momentum buffer, ~10 vector ops per update
+    instead of ~6 ops x n_leaves; see PERF.md §training)."""
+    if flat_mask is not None:
+        def _flat_wd_update(updates, state, params):
+            return updates + decay * flat_mask * params, state
+
+        wd = optax.GradientTransformation(
+            lambda params: optax.EmptyState(), _flat_wd_update)
+    else:
+        wd = optax.masked(optax.add_decayed_weights(decay), _decay_mask(params))
     if name in {"SGD", "sgd"}:
         if momentum_schedule is not None:
             sgd = optax.inject_hyperparams(optax.sgd, static_args=("nesterov",))(
@@ -201,10 +214,25 @@ class DetectionTrainer(CallbackMixin):
         variables = self.model.variables
         params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
-        tx_inner = build_optimizer(params, opt_name, lr0, momentum, decay, lr_at,
-                                   momentum_schedule=momentum_at if warmup_steps else None)
+        # fused-optimizer state: params/EMA/momentum live as single raveled
+        # vectors on device, so optimizer + EMA are ~10 whole-model vector ops
+        # per step instead of ~6 ops per leaf (the per-leaf op storm was a
+        # fixed ~40 ms/step on TPU — PERF.md §training). The gradient flows
+        # through unravel: d(unravel)/d(flat) is just the inverse ravel, which
+        # XLA fuses. Pytrees reappear only at epoch boundaries (val/ckpt).
+        from jax.flatten_util import ravel_pytree
+
+        p_flat, unravel = ravel_pytree(params)
+        self._unravel = unravel
+        mask_flat, _ = ravel_pytree(jax.tree.map(
+            lambda p, mb: jnp.full_like(p, 1.0 if mb else 0.0),
+            params, _decay_mask(params)))
+
+        tx_inner = build_optimizer(p_flat, opt_name, lr0, momentum, decay, lr_at,
+                                   momentum_schedule=momentum_at if warmup_steps else None,
+                                   flat_mask=mask_flat)
         tx = optax.MultiSteps(tx_inner, every_k_schedule=accumulate)
-        opt_state = tx.init(params)
+        opt_state = tx.init(p_flat)
         LOGGER.info(
             f"{colorstr('optimizer:')} {opt_name}(lr={lr0}, momentum={momentum}) "
             f"decay={decay:.5g} accumulate={accumulate} warmup_steps={warmup_steps}"
@@ -235,7 +263,7 @@ class DetectionTrainer(CallbackMixin):
 
         @partial(jax.jit, static_argnames=("mosaic",), donate_argnums=(0,))
         def train_step(state, batch_dev, key, mosaic):
-            params, batch_stats, opt_state, ema, step = state
+            p_flat, batch_stats, opt_state, ema_flat, step = state
             images, cls, bboxes, mask = (
                 batch_dev["img"], batch_dev["cls"], batch_dev["bboxes"], batch_dev["mask_gt"]
             )
@@ -279,9 +307,10 @@ class DetectionTrainer(CallbackMixin):
                                     self.model.nc, jax.random.fold_in(key, 7))
                 tgt["dn"] = dn
 
-            def loss_fn(p):
+            def loss_fn(pf):
                 # AMP: bf16 compute copy of the f32 masters; cast-grads
                 # accumulate back to f32 (nn.tasks.amp_cast)
+                p = unravel(pf)
                 pc = amp_cast(p) if use_bf16 else p
                 out, mut = self.model.apply(
                     {"params": pc, "batch_stats": batch_stats}, x, train=True,
@@ -297,9 +326,9 @@ class DetectionTrainer(CallbackMixin):
                     loss, items = criterion(out["feats"], tgt, q)
                 return loss, (items, mut["batch_stats"])
 
-            (loss, (items, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, new_opt = tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
+            (loss, (items, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(p_flat)
+            updates, new_opt = tx.update(grads, opt_state, p_flat)
+            new_pflat = p_flat + updates
             # EMA advances only on completed optimizer updates: MultiSteps
             # emits a real update every `accumulate` micro-steps (mini_step
             # wraps to 0), matching the reference's optimizer_step-gated
@@ -309,30 +338,34 @@ class DetectionTrainer(CallbackMixin):
             upd = step + did
             d = 0.9999 * (1 - jnp.exp(-upd / 2000.0))
             d = jnp.where(did == 1, d, 1.0)
-            new_ema = jax.tree.map(lambda e, p: e * d + (1 - d) * p, ema, new_params)
-            return (new_params, new_bs, new_opt, new_ema, upd), loss, items
+            new_ema = ema_flat * d + (1 - d) * new_pflat
+            return (new_pflat, new_bs, new_opt, new_ema, upd), loss, items
 
-        ema = jax.tree.map(jnp.copy, params)
+        ema_flat = jnp.copy(p_flat)
         start_epoch = 0
         if args.resume:
             ck_path = Path(args.resume if isinstance(args.resume, str) else self.save_dir / "last.msgpack")
             if ck_path.exists():
                 template = {"params": params, "batch_stats": batch_stats,
-                            "ema": ema, "updates": 0,
+                            "ema": params, "updates": 0,
                             "epoch": 0, "best_fitness": 0.0}
                 ck = serialization.from_bytes(template, ck_path.read_bytes())
-                params, batch_stats, ema = ck["params"], ck["batch_stats"], ck["ema"]
-                opt_path = ck_path.with_suffix("").with_suffix("")  # strip .msgpack
+                p_flat, _ = ravel_pytree(ck["params"])
+                ema_flat, _ = ravel_pytree(ck["ema"])
+                batch_stats = ck["batch_stats"]
                 opt_path = ck_path.parent / (ck_path.stem + ".opt.msgpack")
                 if opt_path.exists():
-                    opt_state = serialization.from_bytes(opt_state, opt_path.read_bytes())
+                    try:
+                        opt_state = serialization.from_bytes(opt_state, opt_path.read_bytes())
+                    except Exception as e:  # pre-flat-optimizer sidecar
+                        LOGGER.warning(f"optimizer sidecar incompatible ({e}); fresh optimizer")
                 start_epoch = int(ck["epoch"]) + 1
                 self.best_fitness = float(ck["best_fitness"])
                 LOGGER.info(f"resumed from {ck_path} at epoch {start_epoch} "
                             f"(best fitness {self.best_fitness:.4f})")
             else:
                 LOGGER.warning(f"resume requested but {ck_path} not found; starting fresh")
-        state = (params, batch_stats, opt_state, ema,
+        state = (p_flat, batch_stats, opt_state, ema_flat,
                  jnp.asarray(start_epoch * nb // max(accumulate, 1), jnp.int32))
         state = jax.device_put(state, replicated(self.mesh))
 
@@ -426,7 +459,9 @@ class DetectionTrainer(CallbackMixin):
                 break
 
         # adopt final (EMA) weights into the model handle
-        params_f, batch_stats_f, _, ema_f, _ = jax.device_get(state)
+        params_f = jax.device_get(self._unravel(state[0]))
+        ema_f = jax.device_get(self._unravel(state[3]))
+        batch_stats_f = jax.device_get(state[1])
         self.model.variables = {"params": ema_f, "batch_stats": batch_stats_f}
         self.raw_variables = {"params": params_f, "batch_stats": batch_stats_f}
         self.run_callbacks("on_train_end")
@@ -470,7 +505,8 @@ class DetectionTrainer(CallbackMixin):
             SegmentationValidator,
         )
 
-        params, batch_stats, _, ema, _ = state
+        _, batch_stats, _, ema_flat, _ = state
+        ema = self._unravel(ema_flat)
         if not hasattr(self, "_validator"):
             vargs = get_cfg(overrides={
                 "mode": "val", "data": self.args.data, "imgsz": self.args.imgsz,
@@ -485,7 +521,10 @@ class DetectionTrainer(CallbackMixin):
                                batch_size=int(self.args.batch), max_nms=4096)
 
     def _save_ckpt(self, state, epoch: int, name: str):
-        params, batch_stats, opt_state, ema, step = jax.device_get(state)
+        p_flat, batch_stats, opt_state, ema_flat, step = state
+        params = jax.device_get(self._unravel(p_flat))
+        ema = jax.device_get(self._unravel(ema_flat))
+        batch_stats, opt_state, step = jax.device_get((batch_stats, opt_state, step))
         ckpt = {
             "params": params,
             "batch_stats": batch_stats,

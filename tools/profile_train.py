@@ -87,11 +87,21 @@ def main():
     use_bf16 = args.amp
     M = 16  # max targets/img
 
+    from jax.flatten_util import ravel_pytree
+
+    from edgeyolo_tpu.train.trainer import _decay_mask
+
     model = DetectionModel(args.model, nc=args.nc)
     v = model.init(0, imgsz=imgsz, batch=1)
     crit = DetectionLoss(model, hyp={"box": 7.5, "cls": 0.5, "dfl": 1.5})
-    tx = build_optimizer(v["params"], "SGD", 0.01, 0.937, 5e-4, lambda s: 0.01)
-    opt_state = tx.init(v["params"])
+    # fused flat-vector optimizer state, mirroring trainer.py
+    p_flat0, unravel = ravel_pytree(v["params"])
+    mask_flat, _ = ravel_pytree(jax.tree.map(
+        lambda p, mb: jnp.full_like(p, 1.0 if mb else 0.0),
+        v["params"], _decay_mask(v["params"])))
+    tx = build_optimizer(p_flat0, "SGD", 0.01, 0.937, 5e-4, lambda s: 0.01,
+                         flat_mask=mask_flat)
+    opt_state = tx.init(p_flat0)
     hyp = {"hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4, "degrees": 0.0,
            "translate": 0.1, "scale": 0.5, "fliplr": 0.5, "flipud": 0.0,
            "mosaic": 1.0, "mixup": 0.0, "shear": 0.0, "perspective": 0.0}
@@ -162,27 +172,29 @@ def main():
 
         emit("fwd_loss", timeit(s_loss, v["batch_stats"]), B)
 
-        # 4. + backward
+        # 4. + backward (flat grads, like the trainer)
         @jax.jit
         def s_grad(st, salt):
-            (loss, nbs), g = jax.value_and_grad(loss_of, has_aux=True)(
-                v["params"], st, x0, tgt)
-            return nbs, loss + sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g)[:1])
+            (loss, nbs), g = jax.value_and_grad(
+                lambda pfl, b, x, t: loss_of(unravel(pfl), b, x, t),
+                has_aux=True)(p_flat0, st, x0, tgt)
+            return nbs, loss + jnp.sum(jnp.abs(g[:8]))
 
         emit("grad", timeit(s_grad, v["batch_stats"]), B)
 
         # 5. full step without aug (opt+EMA delta = this minus grad)
         @jax.jit
         def s_full(st, salt):
-            params, bs, os_, ema = st
-            (loss, nbs), g = jax.value_and_grad(loss_of, has_aux=True)(params, bs, x0, tgt)
-            u, nos = tx.update(g, os_, params)
-            np_ = optax.apply_updates(params, u)
-            nema = jax.tree.map(lambda e, p: e * 0.999 + 0.001 * p, ema, np_)
-            return (np_, nbs, nos, nema), loss
+            pf, bs, os_, ema = st
+            (loss, nbs), g = jax.value_and_grad(
+                lambda pfl, b, x, t: loss_of(unravel(pfl), b, x, t),
+                has_aux=True)(pf, bs, x0, tgt)
+            u, nos = tx.update(g, os_, pf)
+            npf = pf + u
+            nema = ema * 0.999 + 0.001 * npf
+            return (npf, nbs, nos, nema), loss
 
-        st0 = (v["params"], v["batch_stats"], opt_state,
-               jax.tree.map(jnp.copy, v["params"]))
+        st0 = (p_flat0, v["batch_stats"], opt_state, jnp.copy(p_flat0))
         emit("full_noaug", timeit(s_full, st0), B)
 
     # ---------------- batch sweep: the real trainer step (aug included) ------
@@ -192,20 +204,22 @@ def main():
 
         @jax.jit
         def t_step(st, salt, img=img, cls=cls, bboxes=bboxes, mask=mask):
-            params, bs, os_, ema, i = st
+            pf, bs, os_, ema, i = st
             k = jax.random.fold_in(key, i)
             img01, acls, aboxes, amask = augment_batch(
                 img, cls, bboxes, mask, k, imgsz, hyp, mosaic=True)[:4]
             x = img01.astype(dt)
             tgt = {"cls": acls, "bboxes": aboxes, "mask_gt": amask}
-            (loss, nbs), g = jax.value_and_grad(loss_of, has_aux=True)(params, bs, x, tgt)
-            u, nos = tx.update(g, os_, params)
-            np_ = optax.apply_updates(params, u)
-            nema = jax.tree.map(lambda e, p: e * 0.999 + 0.001 * p, ema, np_)
-            return (np_, nbs, nos, nema, i + 1), loss
+            (loss, nbs), g = jax.value_and_grad(
+                lambda pfl, b, xx, t: loss_of(unravel(pfl), b, xx, t),
+                has_aux=True)(pf, bs, x, tgt)
+            u, nos = tx.update(g, os_, pf)
+            npf = pf + u
+            nema = ema * 0.999 + 0.001 * npf
+            return (npf, nbs, nos, nema, i + 1), loss
 
-        st0 = (v["params"], v["batch_stats"], tx.init(v["params"]),
-               jax.tree.map(jnp.copy, v["params"]), jnp.int32(0))
+        st0 = (p_flat0, v["batch_stats"], tx.init(p_flat0),
+               jnp.copy(p_flat0), jnp.int32(0))
         try:
             per = timeit(t_step, st0, n_big=4)
             emit(f"train_b{B}", per, B)
