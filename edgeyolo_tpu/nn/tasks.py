@@ -209,7 +209,11 @@ def parse_spec(d: dict, ch: int = 3, verbose: bool = False):
     if verbose:
         LOGGER.info(f"{'':>3}{'from':>20}{'n':>3}  {'module':<30}{'arguments':<30}")
     for i, (f, n, name, args) in enumerate(d["backbone"] + d["head"]):
-        args = [(_literal(a) if a != "nc" else nc) for a in args]
+        # yaml-level variables resolve like the reference parse_model
+        # (tasks.py:986): "nc" and "kpt_shape" by name
+        args = [nc if a == "nc"
+                else d.get("kpt_shape", [17, 3]) if a == "kpt_shape"
+                else _literal(a) for a in args]
         n_scaled = max(round(n * depth), 1) if n > 1 else n
         kwargs: dict[str, Any] = {}
         f_list = [f] if isinstance(f, int) else list(f)
@@ -303,7 +307,9 @@ def parse_spec(d: dict, ch: int = 3, verbose: bool = False):
             if name == "Segment" and len(args) > 2:
                 args[2] = make_divisible(min(args[2], max_channels) * width, 8)  # npr
             if name == "Pose" and len(args) > 1 and isinstance(args[1], (list, tuple)):
-                args[1] = tuple(args[1])  # kpt_shape hashable
+                # a model/data-level kpt_shape overrides the yaml literal
+                # (reference PoseModel.__init__ data_kpt_shape, tasks.py:443-448)
+                args[1] = tuple(d.get("kpt_shape", args[1]))
             c2 = sum(kwargs["ch"])
         elif name in {"nn.Upsample", "Upsample"}:
             c2 = ch_list[f_list[0]]

@@ -129,8 +129,15 @@ class DetectionLoss:
         fg = fg_mask.astype(jnp.float32)  # (B,A)
         weight = jnp.sum(target_scores, axis=-1) * fg  # (B,A)
         tb_grid = target_bboxes / stride_tensor[None]  # grid units
-        iou = bbox_iou(pred_bboxes, tb_grid, xywh=False, CIoU=True)[..., 0]  # (B,A)
-        loss_iou = jnp.sum((1.0 - iou) * weight) / target_scores_sum
+        # zero-gt images put degenerate (0,0,0,0) targets on every anchor;
+        # CIoU's arctan(w/h) is 0/0 = NaN there and multiply-masking cannot
+        # stop it (0 x NaN = NaN). The reference never sees them (fg boolean
+        # indexing, loss.py:244); dense formulation needs a safe dummy +
+        # where-mask. Identical bits for every real-target anchor.
+        dummy = jnp.asarray([0.0, 0.0, 1.0, 1.0], jnp.float32)
+        safe_tb = jnp.where(fg[..., None] > 0, tb_grid, dummy)
+        iou = bbox_iou(pred_bboxes, safe_tb, xywh=False, CIoU=True)[..., 0]  # (B,A)
+        loss_iou = jnp.sum(jnp.where(fg > 0, (1.0 - iou) * weight, 0.0)) / target_scores_sum
 
         target_ltrb = bbox2dist(anchor_points[None], tb_grid, reg_max - 1)  # (B,A,4)
         dl = df_loss(pred_dist.reshape(B, A, 4, reg_max), target_ltrb, reg_max)  # (B,A)
@@ -360,8 +367,15 @@ class OBBLoss(DetectionLoss):
         tb_grid = jnp.concatenate(
             [target_rboxes[..., :4] / stride_tensor[None], target_rboxes[..., 4:5]], axis=-1
         )
-        iou = probiou(pred_rboxes_g, tb_grid)[..., 0]
-        loss_iou = jnp.sum((1.0 - iou) * weight) / target_scores_sum
+        # degenerate (padded, w=h=0) targets reach probiou on non-fg anchors
+        # in this dense formulation — the reference only evaluates the fg
+        # subset (loss.py:784 boolean indexing). sqrt(det)' is infinite at 0,
+        # and 0-weight x inf-grad = NaN, so substitute a unit dummy box and
+        # where-mask the sum (multiply-masking does NOT stop the NaN).
+        dummy = jnp.asarray([0.0, 0.0, 1.0, 1.0, 0.0], jnp.float32)
+        safe_tb = jnp.where(fg[..., None] > 0, tb_grid, dummy)
+        iou = probiou(pred_rboxes_g, safe_tb)[..., 0]
+        loss_iou = jnp.sum(jnp.where(fg > 0, (1.0 - iou) * weight, 0.0)) / target_scores_sum
 
         # DFL on the axis-aligned ltrb of the rotated target (reference
         # converts xywhr->xyxy of the unrotated extent for dist targets)

@@ -81,6 +81,45 @@ def test_loss_empty_image_no_nan():
     assert float(items["box"]) == 0.0  # no positives -> no box loss
 
 
+def test_loss_empty_image_gradient_finite():
+    """Gradient regression for the dense-masking NaN (round-3 fix): an image
+    with ZERO gt puts degenerate (0,0,0,0) targets on every anchor; CIoU's
+    arctan(0/0) and probiou's sqrt(det)' are NaN/inf there and 0-weight
+    multiply-masking does NOT stop the NaN in the backward (0 x NaN = NaN).
+    The reference never sees those pairs (fg boolean indexing); our dense
+    formulation must where-guard. The OBB twin lives below."""
+    feats, batch, _ = _setup()
+    empty = {k: jnp.zeros_like(v) for k, v in batch.items()}
+    crit = DetectionLoss(nc=NC, reg_max=REG_MAX, stride=STRIDES)
+
+    def f(feats):
+        return crit(feats, empty)[0]
+
+    grads = jax.grad(f)(feats)
+    for g in grads:
+        assert bool(jnp.all(jnp.isfinite(g))), "NaN grad on empty-gt image"
+
+
+def test_obb_loss_empty_image_gradient_finite():
+    from edgeyolo_tpu.train.loss import OBBLoss
+
+    no = NC + 4 * REG_MAX
+    rng = np.random.RandomState(11)
+    feats = [jnp.asarray(np.transpose(rng.randn(B, no, h, w).astype(np.float32) * 0.5,
+                                      (0, 2, 3, 1))) for h, w in SHAPES]
+    angle = jnp.asarray(rng.randn(B, sum(h * w for h, w in SHAPES), 1).astype(np.float32) * 0.1)
+    empty = {"cls": jnp.zeros((B, 3)), "bboxes": jnp.zeros((B, 3, 5)),
+             "mask_gt": jnp.zeros((B, 3))}
+    crit = OBBLoss(nc=NC, reg_max=REG_MAX, stride=STRIDES)
+
+    def f(feats, angle):
+        return crit({"feats": feats, "angle": angle}, empty)[0]
+
+    grads = jax.grad(f, argnums=(0, 1))(feats, angle)
+    for g in jax.tree.leaves(grads):
+        assert bool(jnp.all(jnp.isfinite(g))), "NaN grad on empty-gt OBB image"
+
+
 def test_tal_fg_anchors_inside_their_gt():
     rng = np.random.RandomState(3)
     A, M = 64, 4
