@@ -588,9 +588,27 @@ class WorldModel(DetectionModel):
     nn/tasks.py:633-652 calls clip; any embedding source of matching width
     plugs in here)."""
 
-    def set_classes(self, embeddings, names=None):
+    def set_classes(self, embeddings, names=None, clip_npz=None, bpe_path=None):
+        """embeddings: (K, 512) array, or a list of class-name STRINGS when
+        clip_npz + bpe_path point at a ViT-B/32 text-tower dump and the public
+        BPE merges file (weights-ready CLIP, nn/clip_text.py — reference
+        set_classes encodes strings the same way, nn/tasks.py:633-652)."""
         import numpy as _np
 
+        if isinstance(embeddings, (list, tuple)) and embeddings \
+                and isinstance(embeddings[0], str):
+            texts = list(embeddings)
+            if not (clip_npz and bpe_path):
+                raise ValueError(
+                    "set_classes(strings) needs clip_npz= (ViT-B/32 text npz) and "
+                    "bpe_path= (bpe_simple_vocab_16e6.txt.gz) — neither ships in "
+                    "this image; pass precomputed (K, 512) embeddings instead")
+            from edgeyolo_tpu.nn.clip_text import ClipBPETokenizer, load_clip_text
+
+            tok = ClipBPETokenizer(bpe_path)
+            model, variables = load_clip_text(clip_npz)
+            embeddings = model.apply(variables, jnp.asarray(tok.tokenize(texts)))
+            names = names or texts
         self.text = jnp.asarray(_np.asarray(embeddings), jnp.float32)[None]
         if names:
             self.names = dict(enumerate(names))
