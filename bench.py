@@ -80,9 +80,40 @@ def main():
     per_batch = (tn - t1) / 8
     imgs_per_sec = batch / per_batch
 
+    # int8 PTQ pipeline (nn/quant.py): calibrate on one batch, re-jit the
+    # identical step — the interceptor swaps every conv to int8 MXU + int8
+    # inter-layer tensors. Loud failure, like the train metric.
+    model.quantize(img[:8].astype(jnp.float32) / 255.0)
+
+    @jax.jit
+    def stepq(v, img_u8, salt):
+        x = (img_u8.astype(dt_in) + salt) / 255.0
+        out = model.apply(v, x, train=False)
+        det, n = non_max_suppression(
+            out["pred"].astype(jnp.float32), conf_thres=0.25, iou_thres=0.7,
+            max_det=300, max_nms=1024, multi_label=False, method="matrix",
+        )
+        return jnp.sum(det) + n.sum()
+
+    def run_q(n_iters: int) -> float:
+        t0 = time.perf_counter()
+        salt = jnp.float32(0.0)
+        for _ in range(n_iters):
+            salt = stepq(v, img, salt * 1e-12)
+        float(salt)
+        return time.perf_counter() - t0
+
+    run_q(1)
+    run_q(1)
+    tq1 = min(run_q(1), run_q(1))
+    tqn = min(run_q(9), run_q(9))
+    int8_ips = batch / ((tqn - tq1) / 8)
+    model.quant = None
+
     # train metric fails LOUDLY: a broken train step must show in the bench
     # artifact, not silently report as a string (VERDICT r2 "weak")
-    extras = {"train_imgs_per_sec": round(_train_step_throughput(model, imgsz, on_tpu), 1)}
+    extras = {"int8_imgs_per_sec": round(int8_ips, 1),
+              "train_imgs_per_sec": round(_train_step_throughput(model, imgsz, on_tpu), 1)}
 
     print(json.dumps({
         "metric": f"edgeline-yolo-n 640px e2e imgs/sec/chip (fwd+decode+NMS, bf16, b{batch})",
