@@ -87,14 +87,23 @@ def benchmark(model, imgsz: int = 640, batch: int = 1, iters: int = 30, data=Non
 
     from edgeyolo_tpu.cfg import get_cfg
 
-    fmts = formats or ["native", *EXPORT_FORMATS]
+    fmts = formats or ["native", "native-int8", *EXPORT_FORMATS]
     rows = []
     for fmt in fmts:
-        if fmt != "native" and EXPORT_FORMATS.get(fmt, (None, None))[1] is None:
-            rows.append({"format": fmt, "status": "gated (backend not in image)"})
-            continue
+        if fmt not in ("native", "native-int8"):
+            avail = EXPORT_FORMATS.get(fmt, (None, False))[1]
+            if not (avail() if callable(avail) else avail):
+                rows.append({"format": fmt, "status": "gated (backend not in image)"})
+                continue
         try:
             if fmt == "native":
+                backend_apply = lambda x: handle.apply(handle.variables, x, train=False)["pred"]
+                m_for_val = handle
+            elif fmt == "native-int8":
+                # int8 PTQ row (reference int8 export rows, exporter.py:879,
+                # :1055): calibrate once on the bench image, route through the
+                # quantized interceptor (nn/quant.py)
+                handle.quantize(img.astype(jnp.float32) / 255.0)
                 backend_apply = lambda x: handle.apply(handle.variables, x, train=False)["pred"]
                 m_for_val = handle
             else:
@@ -114,6 +123,9 @@ def benchmark(model, imgsz: int = 640, batch: int = 1, iters: int = 30, data=Non
             rows.append(row)
         except Exception as e:
             rows.append({"format": fmt, "status": f"error: {str(e)[:60]}"})
+        finally:
+            if fmt == "native-int8":
+                handle.quant = None  # later rows must run fp
 
     if verbose:
         hdr = f"{'format':<14}{'status':<28}{'ms/img':>10}{'imgs/s':>10}" + (

@@ -1,0 +1,39 @@
+"""Benchmark-table harness (utils/benchmarks.py — reference
+utils/benchmarks.py:50-179): native + int8 + exported formats timed and
+val'd through AutoBackend, gated formats reported honestly."""
+
+import numpy as np
+import pytest
+
+from edgeyolo_tpu import YOLO
+from edgeyolo_tpu.nn.tasks import DetectionModel
+from edgeyolo_tpu.utils.benchmarks import benchmark
+
+
+@pytest.mark.slow
+def test_benchmark_table_with_int8_row(tmp_path):
+    from edgeyolo_tpu.data.synthetic import generate_dataset
+
+    data = generate_dataset(tmp_path / "ds", n_train=4, n_val=4, imgsz=64, nc=3)
+    m = YOLO("yolo11n.yaml")
+    m.model = DetectionModel("yolo11n.yaml", nc=3)
+    rows = benchmark(m, imgsz=64, batch=2, iters=3, data=str(data),
+                     formats=["native", "native-int8", "npz"],
+                     out_dir=tmp_path / "exp", verbose=False)
+    by_fmt = {r["format"]: r for r in rows}
+    assert by_fmt["native"]["status"] == "ok"
+    assert by_fmt["native-int8"]["status"] == "ok", by_fmt["native-int8"]
+    assert by_fmt["npz"]["status"] == "ok"
+    for f in ("native", "native-int8", "npz"):
+        assert by_fmt[f]["imgs/s"] > 0
+        assert "mAP50-95" in by_fmt[f]
+    # the int8 row must leave the handle fp for later rows (npz ran after)
+    assert m.model.quant is None
+
+
+def test_benchmark_reports_gated_formats():
+    m = YOLO("yolo11n.yaml")
+    m.model = DetectionModel("yolo11n.yaml", nc=3)
+    rows = benchmark(m, imgsz=64, batch=1, iters=2,
+                     formats=["onnx"], verbose=False)
+    assert rows[0]["status"].startswith("gated")
