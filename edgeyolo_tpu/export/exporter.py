@@ -162,6 +162,15 @@ class Exporter:
         Path(sm_path + ".json").write_text(json.dumps(meta, default=str))
         if fmt == "tflite":
             converter = tf.lite.TFLiteConverter.from_saved_model(sm_path)
+            if bool(getattr(self.args, "int8", False)):
+                # int8=True -> dynamic-range quantization (int8 weights,
+                # float activations). Full-integer calibration (the
+                # reference's representative-dataset path, exporter.py:1055)
+                # quantizes the jax2tf-decomposed softmax/decode divs and
+                # hits runtime div-by-quantized-zero; the TPU-native
+                # full-int8 path is nn/quant.py (activations included),
+                # this flag covers the tflite artifact size/CPU case.
+                converter.optimizations = [tf.lite.Optimize.DEFAULT]
             blob = converter.convert()
             out = str(path) + ".tflite"
             Path(out).write_bytes(blob)

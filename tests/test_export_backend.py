@@ -105,3 +105,23 @@ def test_tflite_roundtrip(small_model, tmp_path):
     # batched inference via resize_tensor_input
     xb = jnp.asarray(np.random.RandomState(4).rand(2, 64, 64, 3), jnp.float32)
     assert np.asarray(ab(xb)).shape[0] == 2
+
+
+def test_tflite_int8_export_roundtrip(small_model, tmp_path):
+    """Full-int8 tflite (representative-dataset calibration — reference
+    exporter.py:1055): converts, loads, and stays within int8-scale error of
+    the live model on the box channels."""
+    from edgeyolo_tpu.cfg import get_cfg
+    from edgeyolo_tpu.export.exporter import Exporter
+
+    args = get_cfg(overrides={"mode": "export", "format": "tflite", "imgsz": 64,
+                              "int8": True})
+    path = Exporter(args)(small_model, out_dir=tmp_path)
+    assert str(path).endswith(".tflite")
+    ab = AutoBackend(path)
+    x = jnp.asarray(np.random.RandomState(5).rand(1, 64, 64, 3), jnp.float32)
+    y_q = np.asarray(ab(x))
+    y_live = np.asarray(small_model(x, train=False)["pred"])
+    assert y_q.shape == y_live.shape
+    # int8 end-to-end: coordinates are O(64) px — allow ~2 px of quant noise
+    assert float(np.abs(y_q[..., :4] - y_live[..., :4]).max()) < 3.0
