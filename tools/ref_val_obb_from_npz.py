@@ -27,6 +27,11 @@ tm.eval().float()
 m = YOLO(model_yaml, task="obb")
 m.model = tm
 m.model.args = m.overrides
+# the reference's own OBB print_results trips a %-format mismatch (its pf
+# string carries an extra mAP75 column); metrics are computed before printing
+from ultralytics.models.yolo.detect.val import DetectionValidator as _DV
+
+_DV.print_results = lambda self: None
 metrics = m.val(data=data_yaml, imgsz=imgsz, device="cpu", plots=False, verbose=False)
 json.dump({
     "map50_95": float(metrics.box.map),
