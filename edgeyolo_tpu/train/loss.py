@@ -48,9 +48,14 @@ def df_loss(pred_dist, target, reg_max: int = 16):
     wl = tr.astype(target.dtype) - target
     wr = 1.0 - wl
     logp = jax.nn.log_softmax(pred_dist, axis=-1)
-    ce_l = -jnp.take_along_axis(logp, tl[..., None], axis=-1)[..., 0]
-    ce_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, reg_max - 1)[..., None], axis=-1)[..., 0]
-    return jnp.mean(ce_l * wl + ce_r * wr, axis=-1)
+    # gather-free: take_along_axis over the (B,A,4,R) logp was 135 ms/b128 on
+    # TPU (dynamic gather runs on the scatter unit); an iota-compare weight
+    # mask fuses into the log_softmax and reduces in one pass (PERF.md
+    # §training, tools/profile_loss.py)
+    bins = jax.lax.broadcasted_iota(jnp.int32, logp.shape, logp.ndim - 1)
+    w = (wl[..., None] * (bins == tl[..., None])
+         + wr[..., None] * (bins == jnp.clip(tr, 0, reg_max - 1)[..., None]))
+    return jnp.mean(-jnp.sum(logp * w, axis=-1), axis=-1)
 
 
 class DetectionLoss:
