@@ -5,9 +5,12 @@ Behavioral spec: ultralytics/data/loaders.py — SourceTypes:25, LoadStreams
 LoadImagesAndVideos:284, LoadPilAndNumpy:451, LoadTensor:516 and the
 dispatcher build.py:182-215.
 
-This environment has no cv2/ffmpeg: video decode and RTSP/webcam capture are
-gated with clear errors; images, dirs, globs, PIL/numpy arrays, tensors and
-pre-decoded frame iterables stream through the same interface.
+Video decode and RTSP/webcam capture use cv2 when importable (probed, never
+asserted — round-2's "no cv2 in this image" was a false gate); pure-python
+decoders (PIL animated, MJPEG-AVI scanner, imageio) and the socket MJPEG-HTTP
+reader keep every source working without it. Images, dirs, globs, PIL/numpy
+arrays, tensors and pre-decoded frame iterables stream through the same
+interface either way.
 """
 
 from __future__ import annotations
@@ -130,7 +133,33 @@ def _mjpeg_avi_decoder(path: str):
     return gen()
 
 
-VIDEO_DECODERS += [_pil_decoder, _mjpeg_avi_decoder, _imageio_decoder]
+def _cv2_decoder(path: str):
+    """cv2.VideoCapture catch-all — mp4/mov/mkv/webm and whatever the local
+    ffmpeg build handles (the reference's only video path, loaders.py:284).
+    Probed import: absence falls through to the pure-python decoders."""
+    try:
+        import cv2
+    except ImportError:
+        return None
+    cap = cv2.VideoCapture(str(path))
+    if not cap.isOpened():
+        cap.release()
+        return None
+
+    def gen():
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                yield frame[..., ::-1]  # BGR -> RGB
+        finally:
+            cap.release()
+
+    return gen()
+
+
+VIDEO_DECODERS += [_pil_decoder, _mjpeg_avi_decoder, _cv2_decoder, _imageio_decoder]
 
 
 def open_video(path: str):
@@ -140,9 +169,9 @@ def open_video(path: str):
         if it is not None:
             return it
     raise NotImplementedError(
-        f"no registered decoder handles '{path}' (cv2/ffmpeg are not in this "
-        "image). Built-ins cover animated GIF/WebP/TIFF (PIL), MJPEG AVI and "
-        "imageio-readable formats; register_video_decoder() plugs in others."
+        f"no registered decoder handles '{path}'. Built-ins cover cv2-readable "
+        "formats (when cv2 imports), animated GIF/WebP/TIFF (PIL), MJPEG AVI "
+        "and imageio-readable formats; register_video_decoder() plugs in others."
     )
 
 
@@ -322,6 +351,70 @@ def open_mjpeg_http(url: str, timeout: float = 5.0):
     return gen()
 
 
+class LoadStreams:
+    """cv2-backed live capture: webcam index, rtsp/rtmp URL, or any spec
+    cv2.VideoCapture opens (including video files, which makes this testable
+    headless). One daemon reader thread + bounded queue per source with
+    latest-wins dropping — the reference's LoadStreams ring-buffer semantics
+    (loaders.py:51-212) without the torch backend.
+
+    Multiple sources: pass a list or a '|'-separated string; iteration
+    interleaves (source, frame) round-robin until every stream ends.
+    """
+
+    def __init__(self, sources, buffer_size: int = 30):
+        import cv2
+
+        self.sources = (sources.split("|") if isinstance(sources, str)
+                        else [str(s) for s in sources])
+        self.running = True
+        self._caps, self._queues = [], []
+        for src in self.sources:
+            spec = int(src) if str(src).isnumeric() else src
+            cap = cv2.VideoCapture(spec)
+            if not cap.isOpened():
+                cap.release()
+                self.close()
+                raise ConnectionError(f"failed to open stream {src!r}")
+            q: queue_mod.Queue = queue_mod.Queue(maxsize=buffer_size)
+            threading.Thread(target=self._reader, args=(cap, q), daemon=True).start()
+            self._caps.append(cap)
+            self._queues.append(q)
+        LOGGER.info(f"LoadStreams: {len(self.sources)} source(s) open")
+
+    def _reader(self, cap, q):
+        while self.running:
+            ok, frame = cap.read()
+            if not ok:
+                q.put(None)  # end-of-stream sentinel
+                break
+            if q.full():
+                try:  # latest-wins: drop the oldest buffered frame
+                    q.get_nowait()
+                except queue_mod.Empty:
+                    pass
+            q.put(np.ascontiguousarray(frame[..., ::-1]))  # BGR -> RGB
+        cap.release()
+
+    def __iter__(self):
+        live = [True] * len(self._queues)
+        while any(live):
+            for i, q in enumerate(self._queues):
+                if not live[i]:
+                    continue
+                frame = q.get()
+                if frame is None:
+                    live[i] = False
+                    continue
+                yield f"{self.sources[i]}", frame
+
+    def close(self):
+        self.running = False
+
+    def __del__(self):
+        self.close()
+
+
 def load_inference_source(source, batch: int = 1):
     """Dispatch any source to a (path, frame) iterator + SourceTypes flags."""
     st = SourceTypes()
@@ -346,11 +439,19 @@ def load_inference_source(source, batch: int = 1):
         st.stream = True
         return FrameStream(open_mjpeg_http(s), name=s), st
     if s.startswith(("rtsp://", "rtmp://")) or s.isnumeric():
-        raise NotImplementedError(
-            "webcam/RTSP capture requires cv2, not present in this image; wrap your "
-            "frame source in an iterable and pass it directly (FrameStream handles "
-            "buffering), or use an MJPEG-over-HTTP camera URL"
-        )
+        # live capture via cv2 when importable (reference LoadStreams,
+        # loaders.py:51-212); the import is PROBED, never asserted
+        try:
+            import cv2  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "webcam/RTSP capture needs cv2 (import probe failed: "
+                f"{e}); wrap your frame source in an iterable and pass it "
+                "directly (FrameStream buffers it), or use an MJPEG-over-HTTP "
+                "camera URL") from e
+        st.stream = True
+        return LoadStreams(s), st
     if s == "screen":
-        raise NotImplementedError("screenshot capture requires mss/cv2 (not in this image)")
+        raise NotImplementedError(
+            "screenshot capture needs mss (import probe: not installed)")
     return LoadImages(source, batch), st

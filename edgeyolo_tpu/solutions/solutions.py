@@ -300,3 +300,97 @@ class ParkingManagement(RegionCounter):
     @property
     def occupancy(self):
         return {name: c > 0 for name, c in self.region_counts.items()}
+
+
+class ParkingPtsSelection:
+    """Parking-zone point picker (reference solutions/parking_management.py:14
+    ParkingPtsSelection — tkinter UI to click 4-point regions on an image and
+    save them to bounding_boxes.json).
+
+    tkinter IS importable in this image, but a display usually is not, so the
+    point/box state machine and the JSON format live UI-free on this class
+    (headless-testable); `launch()` builds the actual Tk window and binds
+    clicks, raising a clean error when no display is available.
+    """
+
+    def __init__(self):
+        self.rg_data: list[list[tuple[int, int]]] = []  # finished 4-pt boxes
+        self.current_box: list[tuple[int, int]] = []
+        self.imgw = self.imgh = 0
+        self.canvas_w = self.canvas_h = 1
+
+    # -- UI-free core (reference on_canvas_click / remove_last / save) -------
+    def add_point(self, x: int, y: int) -> bool:
+        """Add one click; returns True when it completes a 4-point box."""
+        self.current_box.append((int(x), int(y)))
+        if len(self.current_box) == 4:
+            self.rg_data.append(self.current_box.copy())
+            self.current_box.clear()
+            return True
+        return False
+
+    def remove_last_bounding_box(self):
+        if self.rg_data:
+            self.rg_data.pop()
+
+    def to_json(self):
+        """Canvas -> image coordinate scaling + the reference's JSON schema
+        ([{"points": [(x, y) x4]}] — parking_management.py save_to_json)."""
+        sw = self.imgw / max(self.canvas_w, 1)
+        sh = self.imgh / max(self.canvas_h, 1)
+        return [{"points": [(int(x * sw), int(y * sh)) for x, y in box]}
+                for box in self.rg_data]
+
+    def save_to_json(self, path="bounding_boxes.json"):
+        import json as _json
+
+        Path(path).write_text(_json.dumps(self.to_json(), indent=4))
+        return path
+
+    # -- Tk shell ------------------------------------------------------------
+    def launch(self, image_path=None, canvas_max=(1280, 720)):
+        """Open the Tk picker window (requires a display)."""
+        import tkinter as tk
+        from tkinter import filedialog, messagebox
+
+        try:
+            master = tk.Tk()
+        except tk.TclError as e:
+            raise RuntimeError(f"no display available for the Tk picker: {e}") from e
+        from PIL import Image, ImageTk
+
+        master.title("Parking Zones Points Selector")
+        canvas = tk.Canvas(master, bg="white")
+        canvas.pack(side=tk.BOTTOM)
+
+        def upload(path=None):
+            path = path or filedialog.askopenfilename()
+            img = Image.open(path)
+            self.imgw, self.imgh = img.size
+            ar = self.imgw / self.imgh
+            cw = min(canvas_max[0], self.imgw) if ar > 1 else int(canvas_max[1] * ar)
+            ch = int(cw / ar)
+            self.canvas_w, self.canvas_h = cw, ch
+            canvas.config(width=cw, height=ch)
+            self._tkimg = ImageTk.PhotoImage(img.resize((cw, ch)))
+            canvas.create_image(0, 0, image=self._tkimg, anchor="nw")
+
+        def on_click(ev):
+            canvas.create_oval(ev.x - 3, ev.y - 3, ev.x + 3, ev.y + 3, fill="red")
+            if self.add_point(ev.x, ev.y):
+                box = self.rg_data[-1]
+                for i in range(4):
+                    canvas.create_line(box[i], box[(i + 1) % 4], fill="blue", width=2)
+
+        canvas.bind("<Button-1>", on_click)
+        frame = tk.Frame(master)
+        frame.pack(side=tk.TOP)
+        tk.Button(frame, text="Upload Image", command=upload).pack(side=tk.LEFT)
+        tk.Button(frame, text="Remove Last Box",
+                  command=self.remove_last_bounding_box).pack(side=tk.LEFT)
+        tk.Button(frame, text="Save",
+                  command=lambda: (self.save_to_json(),
+                                   messagebox.showinfo("Success", "saved"))).pack(side=tk.LEFT)
+        if image_path:
+            upload(image_path)
+        master.mainloop()

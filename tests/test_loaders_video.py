@@ -190,3 +190,54 @@ def test_mjpeg_http_rejects_non_mjpeg():
             open_mjpeg_http(f"http://127.0.0.1:{srv.server_address[1]}/page")
     finally:
         srv.shutdown()
+
+
+def _write_mp4(path, n=6, size=64):
+    import cv2
+
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 5, (size, size))
+    for i in range(n):
+        w.write(np.full((size, size, 3), i * 40, np.uint8))
+    w.release()
+
+
+def test_mp4_decodes_through_cv2_registry(tmp_path):
+    """cv2 is importable in this image (round-2 'no cv2' was a false gate);
+    the registry's probed cv2 decoder handles real mp4 files."""
+    from edgeyolo_tpu.data.loaders import open_video
+
+    p = tmp_path / "clip.mp4"
+    _write_mp4(p)
+    frames = list(open_video(p))
+    assert len(frames) == 6
+    assert frames[0].shape == (64, 64, 3)
+    # frame 3 is the BGR->RGB converted constant 120 plate
+    assert abs(int(frames[3].mean()) - 120) <= 10  # mp4v is lossy
+
+
+def test_load_streams_over_file_source(tmp_path):
+    """LoadStreams (reference loaders.py:51-212): daemon reader + bounded
+    queue; a video file stands in for the camera so the path tests headless."""
+    from edgeyolo_tpu.data.loaders import LoadStreams
+
+    p = tmp_path / "cam.mp4"
+    _write_mp4(p, n=5)
+    ls = LoadStreams(str(p), buffer_size=4)
+    got = list(ls)
+    ls.close()
+    assert 1 <= len(got) <= 5  # latest-wins dropping may shed frames
+    src, frame = got[0]
+    assert src == str(p) and frame.shape == (64, 64, 3)
+
+
+def test_predict_streams_mp4(tmp_path):
+    """End-to-end: facade predict over an mp4 through the cv2 decoder."""
+    from edgeyolo_tpu import YOLO
+    from edgeyolo_tpu.nn.tasks import DetectionModel
+
+    p = tmp_path / "pred.mp4"
+    _write_mp4(p, n=3)
+    m = YOLO("yolo11n.yaml")
+    m.model = DetectionModel("yolo11n.yaml", nc=3)
+    res = m.predict(str(p), imgsz=64, conf=0.5, verbose=False)
+    assert len(res) == 3

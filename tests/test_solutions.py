@@ -93,3 +93,26 @@ def test_aigym_counts_reps():
         k[2] = [np.cos(rad), np.sin(rad)]
         count = gym.update(k)
     assert count == 2
+
+
+def test_parking_pts_selection_state_machine(tmp_path):
+    """ParkingPtsSelection (reference parking_management.py:14): 4 clicks
+    complete a box, last-box removal, canvas->image scaling in the JSON."""
+    import json
+
+    from edgeyolo_tpu.solutions.solutions import ParkingPtsSelection
+
+    s = ParkingPtsSelection()
+    s.imgw, s.imgh = 1280, 720
+    s.canvas_w, s.canvas_h = 640, 360
+    for i, (x, y) in enumerate([(10, 10), (50, 10), (50, 40), (10, 40)]):
+        done = s.add_point(x, y)
+        assert done == (i == 3)
+    assert len(s.rg_data) == 1 and not s.current_box
+    for x, y in [(100, 100), (120, 100), (120, 120), (100, 120)]:
+        s.add_point(x, y)
+    s.remove_last_bounding_box()
+    assert len(s.rg_data) == 1
+    p = s.save_to_json(tmp_path / "boxes.json")
+    data = json.loads((tmp_path / "boxes.json").read_text())
+    assert data == [{"points": [[20, 20], [100, 20], [100, 80], [20, 80]]}]
