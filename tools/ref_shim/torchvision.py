@@ -38,3 +38,113 @@ class ops:  # torchvision.ops namespace
 
 class _BatchedNMSModule:
     pass
+
+
+# ---------------------------------------------------------------------------
+# datasets.ImageFolder + transforms — enough surface for the reference's
+# ClassificationDataset (data/dataset.py:391-470) and classify_transforms
+# (data/augment.py:2340-2400). PIL-backed, matching torchvision's PIL
+# semantics for Resize (shortest edge, BILINEAR) / CenterCrop / ToTensor /
+# Normalize.
+# ---------------------------------------------------------------------------
+import sys as _sys
+import types as _types
+from pathlib import Path as _Path
+
+_IMG_EXT = {".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tif", ".tiff"}
+
+
+class _ImageFolder:
+    def __init__(self, root, allow_empty=True):
+        root = _Path(root)
+        self.classes = sorted(d.name for d in root.iterdir() if d.is_dir())
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        self.samples = [
+            (str(f), self.class_to_idx[c])
+            for c in self.classes
+            for f in sorted((root / c).rglob("*"))
+            if f.suffix.lower() in _IMG_EXT
+        ]
+        self.root = str(root)
+
+
+datasets = _types.ModuleType("torchvision.datasets")
+datasets.ImageFolder = _ImageFolder
+_sys.modules["torchvision.datasets"] = datasets
+
+
+class _InterpolationMode:
+    NEAREST = "nearest"
+    BILINEAR = "bilinear"
+    BICUBIC = "bicubic"
+
+
+_PIL_INTERP = {"nearest": 0, "bilinear": 2, "bicubic": 3}
+
+
+class _Resize:
+    def __init__(self, size, interpolation="bilinear"):
+        self.size = size
+        self.interp = _PIL_INTERP.get(str(interpolation).lower().split(".")[-1], 2)
+
+    def __call__(self, im):
+        if isinstance(self.size, int):  # shortest-edge mode
+            w, h = im.size
+            if w <= h:
+                nw, nh = self.size, max(1, round(h * self.size / w))
+            else:
+                nh, nw = self.size, max(1, round(w * self.size / h))
+        else:
+            nh, nw = self.size
+        return im.resize((nw, nh), self.interp)
+
+
+class _CenterCrop:
+    def __init__(self, size):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+
+    def __call__(self, im):
+        th, tw = self.size
+        w, h = im.size
+        left = int(round((w - tw) / 2.0))
+        top = int(round((h - th) / 2.0))
+        return im.crop((left, top, left + tw, top + th))
+
+
+class _ToTensor:
+    def __call__(self, im):
+        import numpy as _np
+
+        a = _np.asarray(im, _np.float32) / 255.0
+        if a.ndim == 2:
+            a = a[..., None]
+        return torch.from_numpy(a.transpose(2, 0, 1).copy())
+
+
+class _Normalize:
+    def __init__(self, mean, std):
+        self.mean = torch.as_tensor(mean, dtype=torch.float32).view(-1, 1, 1)
+        self.std = torch.as_tensor(std, dtype=torch.float32).view(-1, 1, 1)
+
+    def __call__(self, t):
+        return (t - self.mean) / self.std
+
+
+class _Compose:
+    def __init__(self, ts):
+        self.transforms = list(ts)
+
+    def __call__(self, x):
+        for t in self.transforms:
+            x = t(x)
+        return x
+
+
+transforms = _types.ModuleType("torchvision.transforms")
+transforms.InterpolationMode = _InterpolationMode
+transforms.Resize = _Resize
+transforms.CenterCrop = _CenterCrop
+transforms.ToTensor = _ToTensor
+transforms.Normalize = _Normalize
+transforms.Compose = _Compose
+_sys.modules["torchvision.transforms"] = transforms
