@@ -30,7 +30,7 @@ CFG_FRACTION_KEYS = frozenset({
 })
 CFG_INT_KEYS = frozenset({
     "epochs", "patience", "workers", "seed", "close_mosaic", "mask_ratio", "max_det",
-    "vid_stride", "line_width", "nbs", "save_period", "opset",
+    "vid_stride", "line_width", "nbs", "save_period", "opset", "fsdp",
 })
 CFG_BOOL_KEYS = frozenset({
     "save", "exist_ok", "verbose", "deterministic", "single_cls", "rect", "cos_lr",

@@ -5,6 +5,15 @@ torch.distributed.run + NCCL allreduce (SURVEY.md §2.9, trainer.py:197-228,
 dist.py:26-68). Here: a jax.sharding.Mesh over ICI, batch sharded on axis
 "data", params/optimizer state replicated; XLA inserts the gradient psums.
 Multi-slice (DCN) reuses the same named axis.
+
+Beyond the reference's DDP: an optional second "fsdp" mesh axis shards the
+trainer's FLAT param/momentum/EMA vectors (ZeRO-style). Because the fused
+optimizer already operates on one raveled vector, sharding that vector over
+"fsdp" makes GSPMD emit exactly the ZeRO collective pattern: ONE all-gather
+of the parameter vector per step (forward), one reduce-scatter of the flat
+gradient (backward), with all optimizer/EMA arithmetic running on 1/n-sized
+shards. The batch shards over BOTH axes, so every device still does data
+work; "fsdp" only subdivides parameter-state residency.
 """
 
 from __future__ import annotations
@@ -14,15 +23,42 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def get_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+def get_mesh(n_devices: int | None = None, axis: str = "data", fsdp: int = 1) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if fsdp > 1:
+        assert n % fsdp == 0, f"{n} devices not divisible by fsdp={fsdp}"
+        return Mesh(np.asarray(devs[:n]).reshape(n // fsdp, fsdp), (axis, "fsdp"))
     return Mesh(np.asarray(devs[:n]).reshape(n), (axis,))
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Leading-dim sharding for input batches."""
-    return NamedSharding(mesh, P(axis))
+    """Leading-dim sharding for input batches (over ALL mesh axes, so a
+    ("data", "fsdp") mesh still data-parallelizes every device)."""
+    names = mesh.axis_names
+    return NamedSharding(mesh, P(names if len(names) > 1 else axis))
+
+
+def flat_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for the trainer's raveled 1-D state vectors: split over the
+    "fsdp" axis when the mesh has one, replicated otherwise."""
+    if "fsdp" in mesh.axis_names:
+        return NamedSharding(mesh, P("fsdp"))
+    return NamedSharding(mesh, P())
+
+
+def shard_flat_state(state, mesh: Mesh, flat_len: int):
+    """Place a trainer state tuple: 1-D leaves of length `flat_len` (params /
+    momentum / EMA raveled vectors) get flat_sharding; everything else
+    (batch_stats, counters) is replicated."""
+    fsh, rep = flat_sharding(mesh), replicated(mesh)
+
+    def put(x):
+        if getattr(x, "ndim", None) == 1 and x.shape[0] == flat_len:
+            return jax.device_put(x, fsh)
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(put, state)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -31,7 +31,13 @@ from flax import serialization
 from edgeyolo_tpu.data.augment_device import augment_batch
 from edgeyolo_tpu.data.dataset import YOLODataset, build_dataloader, check_det_dataset
 from edgeyolo_tpu.nn.tasks import amp_cast
-from edgeyolo_tpu.parallel.mesh import get_mesh, replicated, shard_batch
+from edgeyolo_tpu.parallel.mesh import (
+    flat_sharding,
+    get_mesh,
+    replicated,
+    shard_batch,
+    shard_flat_state,
+)
 from edgeyolo_tpu.train.loss import DetectionLoss
 from edgeyolo_tpu.utils import LOGGER, colorstr, yaml_save
 
@@ -214,6 +220,28 @@ class DetectionTrainer(CallbackMixin):
         variables = self.model.variables
         params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
+        # data-parallel mesh over the largest device count that divides the batch;
+        # args.device accepts an int to cap the mesh (cfg/default.yaml "mesh axis
+        # sizes"), e.g. device=1 forces a single-device run
+        n_avail = len(jax.devices())
+        dev_arg = getattr(args, "device", None)
+        if dev_arg is not None and str(dev_arg).isdigit() and int(dev_arg) > 0:
+            n_avail = min(n_avail, int(dev_arg))
+        n_dev = max(n for n in range(1, n_avail + 1) if bs % n == 0)
+        if n_dev < n_avail:
+            LOGGER.warning(f"batch {bs} not divisible by {n_avail} devices; using {n_dev}-device mesh")
+        # optional ZeRO-style axis: args.fsdp shards the flat param/momentum/
+        # EMA vectors over an "fsdp" sub-axis of the mesh (parallel/mesh.py).
+        # The batch still shards over all devices; beyond the reference's DDP,
+        # which always replicates optimizer state (SURVEY §2.9).
+        fsdp = int(getattr(args, "fsdp", 0) or 0)
+        if fsdp > 1 and n_dev % fsdp != 0:
+            LOGGER.warning(f"fsdp={fsdp} does not divide the {n_dev}-device mesh; disabling fsdp")
+            fsdp = 0
+        self.mesh = get_mesh(n_dev, fsdp=max(fsdp, 1))
+        fsdp_on = "fsdp" in self.mesh.axis_names
+        rep_sh, flat_sh = replicated(self.mesh), flat_sharding(self.mesh)
+
         # fused-optimizer state: params/EMA/momentum live as single raveled
         # vectors on device, so optimizer + EMA are ~10 whole-model vector ops
         # per step instead of ~6 ops per leaf (the per-leaf op storm was a
@@ -222,11 +250,21 @@ class DetectionTrainer(CallbackMixin):
         # XLA fuses. Pytrees reappear only at epoch boundaries (val/ckpt).
         from jax.flatten_util import ravel_pytree
 
-        p_flat, unravel = ravel_pytree(params)
+        p_flat, unravel0 = ravel_pytree(params)
+        flat_len = int(p_flat.size)
+        # fsdp: device_put (unlike GSPMD inside jit) refuses uneven shards, so
+        # pad the raveled vectors to a multiple of the fsdp axis; pad lanes
+        # carry zeros through optimizer/EMA and are sliced off before unravel
+        pad = (-flat_len) % self.mesh.shape.get("fsdp", 1)
+        unravel = (lambda pf: unravel0(pf[:flat_len])) if pad else unravel0
+        if pad:
+            p_flat = jnp.pad(p_flat, (0, pad))
         self._unravel = unravel
         mask_flat, _ = ravel_pytree(jax.tree.map(
             lambda p, mb: jnp.full_like(p, 1.0 if mb else 0.0),
             params, _decay_mask(params)))
+        if pad:
+            mask_flat = jnp.pad(mask_flat, (0, pad))
 
         tx_inner = build_optimizer(p_flat, opt_name, lr0, momentum, decay, lr_at,
                                    momentum_schedule=momentum_at if warmup_steps else None,
@@ -247,19 +285,6 @@ class DetectionTrainer(CallbackMixin):
         geo_aug_ok = task in ("detect", "pose", "segment", "obb")
         hyp_dict = {k: v for k, v in vars(args).items() if isinstance(v, (int, float))}
         use_bf16 = bool(args.amp)
-        # data-parallel mesh over the largest device count that divides the batch;
-        # args.device accepts an int to cap the mesh (cfg/default.yaml "mesh axis
-        # sizes"), e.g. device=1 forces a single-device run
-        import jax as _jax
-
-        n_avail = len(_jax.devices())
-        dev_arg = getattr(args, "device", None)
-        if dev_arg is not None and str(dev_arg).isdigit() and int(dev_arg) > 0:
-            n_avail = min(n_avail, int(dev_arg))
-        n_dev = max(n for n in range(1, n_avail + 1) if bs % n == 0)
-        if n_dev < n_avail:
-            LOGGER.warning(f"batch {bs} not divisible by {n_avail} devices; using {n_dev}-device mesh")
-        self.mesh = get_mesh(n_dev)
 
         @partial(jax.jit, static_argnames=("mosaic",), donate_argnums=(0,))
         def train_step(state, batch_dev, key, mosaic):
@@ -310,6 +335,11 @@ class DetectionTrainer(CallbackMixin):
             def loss_fn(pf):
                 # AMP: bf16 compute copy of the f32 masters; cast-grads
                 # accumulate back to f32 (nn.tasks.amp_cast)
+                if fsdp_on:
+                    # ZeRO forward: ONE all-gather of the raveled vector; the
+                    # constraint's transpose makes the flat gradient arrive as
+                    # a reduction of the per-device cotangents
+                    pf = jax.lax.with_sharding_constraint(pf, rep_sh)
                 p = unravel(pf)
                 pc = amp_cast(p) if use_bf16 else p
                 out, mut = self.model.apply(
@@ -327,8 +357,14 @@ class DetectionTrainer(CallbackMixin):
                 return loss, (items, mut["batch_stats"])
 
             (loss, (items, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(p_flat)
+            if fsdp_on:
+                # ZeRO backward: land the flat grad sharded (reduce-scatter),
+                # so momentum/update math runs on 1/n-sized shards
+                grads = jax.lax.with_sharding_constraint(grads, flat_sh)
             updates, new_opt = tx.update(grads, opt_state, p_flat)
             new_pflat = p_flat + updates
+            if fsdp_on:
+                new_pflat = jax.lax.with_sharding_constraint(new_pflat, flat_sh)
             # EMA advances only on completed optimizer updates: MultiSteps
             # emits a real update every `accumulate` micro-steps (mini_step
             # wraps to 0), matching the reference's optimizer_step-gated
@@ -352,6 +388,9 @@ class DetectionTrainer(CallbackMixin):
                 ck = serialization.from_bytes(template, ck_path.read_bytes())
                 p_flat, _ = ravel_pytree(ck["params"])
                 ema_flat, _ = ravel_pytree(ck["ema"])
+                if pad:
+                    p_flat = jnp.pad(p_flat, (0, pad))
+                    ema_flat = jnp.pad(ema_flat, (0, pad))
                 batch_stats = ck["batch_stats"]
                 opt_path = ck_path.parent / (ck_path.stem + ".opt.msgpack")
                 if opt_path.exists():
@@ -367,7 +406,7 @@ class DetectionTrainer(CallbackMixin):
                 LOGGER.warning(f"resume requested but {ck_path} not found; starting fresh")
         state = (p_flat, batch_stats, opt_state, ema_flat,
                  jnp.asarray(start_epoch * nb // max(accumulate, 1), jnp.int32))
-        state = jax.device_put(state, replicated(self.mesh))
+        state = shard_flat_state(state, self.mesh, int(p_flat.size))
 
         key = jax.random.PRNGKey(int(args.seed))
         stopper = EarlyStopping(int(args.patience))

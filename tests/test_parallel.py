@@ -185,3 +185,58 @@ def test_data_parallel_val_equals_single_device(tmp_path_factory):
     assert len(jax.devices()) == 8
     for k in r1:
         np.testing.assert_allclose(r8[k], r1[k], atol=1e-7, err_msg=k)
+
+
+def test_fsdp_mesh_and_shardings():
+    """The ("data", "fsdp") mesh: batch shards over all 8 devices, flat
+    vectors shard over the fsdp axis only."""
+    from edgeyolo_tpu.parallel.mesh import flat_sharding, shard_flat_state
+
+    mesh = get_mesh(8, fsdp=4)
+    assert mesh.axis_names == ("data", "fsdp") and mesh.devices.shape == (2, 4)
+    x = jax.device_put(np.zeros((16, 4, 4, 3), np.float32), batch_sharding(mesh))
+    assert x.addressable_shards[0].data.shape[0] == 2  # 16 / (2*4)
+    flat = jnp.arange(32.0)
+    st = shard_flat_state((flat, {"bn": jnp.ones((3,))}, jnp.int32(0)), mesh, 32)
+    # the flat vector is split 4-way (replicated over "data"), bn replicated
+    assert st[0].sharding == flat_sharding(mesh)
+    assert st[0].addressable_shards[0].data.shape[0] == 8
+    assert st[1]["bn"].sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_fsdp_training_matches_data_parallel(tmp_path_factory):
+    """ZeRO-style fsdp=4 over the 8-device mesh is semantics-free: the loss
+    trajectory and final metrics must match the plain data-parallel run at
+    the same seed (only the collective schedule differs — params all-gather
+    forward, grads reduce-scatter backward, optimizer math on shards)."""
+    import csv as csv_mod
+
+    from edgeyolo_tpu import YOLO
+    from edgeyolo_tpu.data.synthetic import generate_dataset
+    from edgeyolo_tpu.nn.tasks import DetectionModel
+
+    root = tmp_path_factory.mktemp("fsdp")
+    data = generate_dataset(root, n_train=16, n_val=4, imgsz=96, nc=3)
+    runs = tmp_path_factory.mktemp("runs")
+
+    def run(tag, fsdp):
+        m = YOLO("yolo11n.yaml")
+        m.model = DetectionModel("yolo11n.yaml", nc=3)
+        m.train(data=str(data), epochs=3, imgsz=96, batch=8, nbs=8, val=False,
+                plots=False, close_mosaic=0, amp=False, mosaic=0.0,
+                warmup_epochs=0, lr0=0.01, optimizer="SGD", seed=3,
+                project=str(runs), name=tag, patience=10, fsdp=fsdp)
+        with open(runs / tag / "results.csv") as f:
+            rows = list(csv_mod.DictReader(f))
+        tot = [sum(float(r[k]) for k in
+                   ("train/box_loss", "train/cls_loss", "train/dfl_loss"))
+               for r in rows]
+        res = m.val(data=str(data), imgsz=96, batch=4, plots=False, device="1")
+        return tot, res
+
+    tot_f, res_f = run("fsdp4", 4)
+    tot_d, res_d = run("dp8", 0)
+    np.testing.assert_allclose(tot_f, tot_d, rtol=2e-3, err_msg="loss trajectory")
+    for k in ("metrics/mAP50-95(B)", "metrics/mAP50(B)"):
+        np.testing.assert_allclose(res_f[k], res_d[k], atol=5e-3, err_msg=k)
