@@ -39,6 +39,17 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(names if len(names) > 1 else axis))
 
 
+def spatial_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the image HEIGHT dim of an NHWC batch across the mesh —
+    sequence/context-parallel inference for large imgsz (SURVEY §2.9 stretch
+    goal). GSPMD inserts the conv halo exchanges and the psums for global
+    reductions (SPPF pools, C2PSA linear-attention KV moments) automatically;
+    tests/test_parallel.py proves bit-equality with the replicated forward.
+    Use when one image is too large (or too latency-critical) for one chip —
+    e.g. batch=1 4K frames — where batch sharding has nothing to split."""
+    return NamedSharding(mesh, P(None, axis))
+
+
 def flat_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for the trainer's raveled 1-D state vectors: split over the
     "fsdp" axis when the mesh has one, replicated otherwise."""

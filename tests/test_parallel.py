@@ -240,3 +240,26 @@ def test_fsdp_training_matches_data_parallel(tmp_path_factory):
     np.testing.assert_allclose(tot_f, tot_d, rtol=2e-3, err_msg="loss trajectory")
     for k in ("metrics/mAP50-95(B)", "metrics/mAP50(B)"):
         np.testing.assert_allclose(res_f[k], res_d[k], atol=5e-3, err_msg=k)
+
+
+def test_spatial_partitioned_forward_matches_replicated():
+    """Sequence/context-parallel inference (SURVEY §2.9 stretch goal): the
+    image H axis sharded 8-way through the FULL detect network — conv halo
+    exchanges, SPPF pools and C2PSA attention psums all inserted by GSPMD —
+    must reproduce the replicated forward exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    from edgeyolo_tpu.nn.tasks import DetectionModel
+    from edgeyolo_tpu.parallel.mesh import spatial_sharding
+
+    mesh = get_mesh(8)
+    m = DetectionModel("yolo11n.yaml", nc=3)
+    v = m.init(0, imgsz=256, batch=1)
+    x = np.random.RandomState(0).rand(1, 256, 256, 3).astype(np.float32)
+    f = jax.jit(lambda vv, xx: m.net.apply(vv, xx, train=False)["pred"])
+    vr = jax.device_put(v, replicated(mesh))
+    sp = spatial_sharding(mesh)
+    assert sp.spec == P(None, "data")
+    ys = f(vr, jax.device_put(x, sp))
+    yr = f(vr, jax.device_put(x, replicated(mesh)))
+    np.testing.assert_array_equal(np.asarray(ys), np.asarray(yr))
