@@ -204,6 +204,80 @@ class YOLO:
 
         return bench_fn(self, **kwargs)
 
+    # -- Hugging Face Hub interop ---------------------------------------------
+    # The reference fork bases its facade on PyTorchModelHubMixin
+    # (engine/model.py:11,31) for save_pretrained/from_pretrained/push_to_hub.
+    # Same surface here, natively: the snapshot layout is the trainer
+    # checkpoint schema (model.msgpack + model.json sidecar, so
+    # YOLO('<dir>/model.msgpack') loads it too) plus an HF config.json and a
+    # minimal model card. Network paths use huggingface_hub primitives when
+    # the package is importable (probed, never assumed).
+
+    def save_pretrained(self, save_directory: str | Path, card: bool = True) -> Path:
+        """Write an HF-Hub-layout snapshot of this model to a local directory."""
+        import json
+
+        from flax import serialization
+
+        save_dir = Path(save_directory)
+        save_dir.mkdir(parents=True, exist_ok=True)
+        self._ensure_init()
+        v = self.model.variables
+        ckpt = {"params": v["params"], "batch_stats": v.get("batch_stats", {}),
+                "ema": v["params"], "updates": 0, "epoch": 0, "best_fitness": 0.0}
+        (save_dir / "model.msgpack").write_bytes(serialization.to_bytes(ckpt))
+        meta = {"model_yaml": self.model.yaml.get("yaml_file", "") or str(self.model_name),
+                "scale": getattr(self.model, "scale", ""), "nc": self.model.nc,
+                "names": self.model.names, "task": self.task}
+        (save_dir / "model.json").write_text(json.dumps(meta, default=str))
+        (save_dir / "config.json").write_text(
+            json.dumps({"library_name": "edgeyolo_tpu", **meta}, default=str))
+        if card and not (save_dir / "README.md").exists():
+            (save_dir / "README.md").write_text(
+                f"---\nlibrary_name: edgeyolo_tpu\npipeline_tag: object-detection\n"
+                f"tags:\n- {self.task}\n- jax\n---\n\n"
+                f"# {Path(str(self.model_name)).stem}\n\n"
+                f"edgeyolo_tpu {self.task} model ({self.model.nc} classes). Load with\n"
+                f"`YOLO.from_pretrained(\"<repo-or-dir>\")`.\n")
+        return save_dir
+
+    @classmethod
+    def from_pretrained(cls, repo_id: str, task: str | None = None,
+                        revision: str | None = None, **download_kwargs) -> "YOLO":
+        """Load from a local save_pretrained dir or a Hub repo id."""
+        import json
+
+        p = Path(repo_id)
+        if not p.is_dir():
+            try:
+                from huggingface_hub import snapshot_download
+            except ImportError as e:
+                raise ImportError(
+                    "from_pretrained with a repo id requires the huggingface_hub "
+                    "package (probed, not importable); pass a local directory instead"
+                ) from e
+            p = Path(snapshot_download(repo_id, revision=revision, **download_kwargs))
+        cfg_p = p / "config.json"
+        cfg = json.loads(cfg_p.read_text()) if cfg_p.exists() else {}
+        return cls(str(p / "model.msgpack"), task=task or cfg.get("task"))
+
+    def push_to_hub(self, repo_id: str, private: bool = True, token: str | None = None,
+                    commit_message: str = "Upload edgeyolo_tpu model"):
+        """save_pretrained into a temp dir, then upload it as a Hub repo."""
+        try:
+            from huggingface_hub import HfApi
+        except ImportError as e:
+            raise ImportError("push_to_hub requires the huggingface_hub package "
+                              "(probed, not importable)") from e
+        import tempfile
+
+        api = HfApi(token=token)
+        repo = api.create_repo(repo_id, private=private, exist_ok=True)
+        with tempfile.TemporaryDirectory() as td:
+            self.save_pretrained(td)
+            return api.upload_folder(repo_id=repo.repo_id, folder_path=td,
+                                     commit_message=commit_message)
+
     def tune(self, iterations: int = 10, **kwargs):
         """Evolutionary hyperparameter search (reference Model.tune:817)."""
         from edgeyolo_tpu.engine.tuner import Tuner

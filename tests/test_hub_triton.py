@@ -66,3 +66,32 @@ def test_integrations_registry():
     assert set(status) == set(enabled)
     # none of the externals are baked in; tensorboard may or may not be
     assert not any(status[k] for k in ("wandb", "comet", "mlflow", "clearml", "dvc", "neptune"))
+
+
+def test_hf_hub_save_from_pretrained_roundtrip(tmp_path):
+    """The facade's HF-Hub surface (reference fork: PyTorchModelHubMixin base,
+    engine/model.py:31): save_pretrained emits a loadable snapshot and
+    from_pretrained reproduces the exact forward, all local (the network
+    paths are probed huggingface_hub calls, untestable offline)."""
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from edgeyolo_tpu import YOLO
+
+    m = YOLO("yolo11n.yaml")
+    m.model.init(0, imgsz=64)
+    m.model.names = {0: "person"}
+    out_dir = m.save_pretrained(tmp_path / "snap")
+    assert (out_dir / "model.msgpack").exists() and (out_dir / "model.json").exists()
+    cfg = json.loads((out_dir / "config.json").read_text())
+    assert cfg["library_name"] == "edgeyolo_tpu" and cfg["task"] == "detect"
+    assert "edgeyolo_tpu" in (out_dir / "README.md").read_text()
+
+    m2 = YOLO.from_pretrained(str(out_dir))
+    assert m2.task == "detect" and m2.model.names[0] == "person"
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    y1 = m.model(x, train=False)["pred"]
+    y2 = m2.model(x, train=False)["pred"]
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
