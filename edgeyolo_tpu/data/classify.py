@@ -48,10 +48,14 @@ def check_cls_dataset(data: str | Path) -> dict:
 
 def _resize_center_crop(img: np.ndarray, size: int) -> np.ndarray:
     """Shortest-edge resize then center crop to (size, size) — the reference
-    eval transform at crop_fraction=1.0 (augment.py:2378-2399)."""
+    eval transform at crop_fraction=1.0 (augment.py:2378-2399, which is
+    torchvision Resize + CenterCrop; torchvision's
+    _compute_resized_output_size TRUNCATES the long side with int())."""
     h, w = img.shape[:2]
-    r = size / min(h, w)
-    nw, nh = max(round(w * r), size), max(round(h * r), size)
+    if h <= w:
+        nh, nw = size, max(int(size * w / h), size)
+    else:
+        nw, nh = size, max(int(size * h / w), size)
     if (nw, nh) != (w, h):
         img = np.asarray(Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
     top = (nh - size) // 2

@@ -428,6 +428,31 @@ class DataLoader:
             rng.shuffle(idx)
         return idx
 
+    def _collate(self, chunk: list[int]) -> dict:
+        # pad final batch by repeating its last item (masked via n_real;
+        # repeating keeps rect batches shape-homogeneous)
+        n_real = len(chunk)
+        chunk = chunk + [chunk[-1]] * (self.bs - len(chunk))
+        items = [self.dataset.get_item(j) for j in chunk]
+        batch = {
+            "img": np.stack([it["img"] for it in items]),
+            "cls": np.stack([it["cls"] for it in items]),
+            "bboxes": np.stack([it["bboxes"] for it in items]),
+            "mask_gt": np.stack([it["mask_gt"] for it in items]),
+            "n_real": n_real,
+            "meta": items,
+        }
+        for extra in ("masks", "keypoints", "rboxes"):
+            if extra in items[0]:
+                batch[extra] = np.stack([it[extra] for it in items])
+        return batch
+
+    def first_batch(self) -> dict:
+        """Materialize batch 0 synchronously — no prefetch thread, no epoch
+        advance. For one-shot consumers (int8 calibration) that would
+        otherwise strand a producer thread blocked on the queue."""
+        return self._collate(self._indices()[: self.bs])
+
     def __iter__(self):
         idx = self._indices()
         self.epoch += 1
@@ -438,24 +463,7 @@ class DataLoader:
                 chunk = idx[start : start + self.bs]
                 if self.drop_last and len(chunk) < self.bs:
                     break
-                # pad final batch by repeating its last item (masked via
-                # n_real; repeating keeps rect batches shape-homogeneous)
-                n_real = len(chunk)
-                while len(chunk) < self.bs:
-                    chunk.append(chunk[-1])
-                items = [self.dataset.get_item(j) for j in chunk]
-                batch = {
-                    "img": np.stack([it["img"] for it in items]),
-                    "cls": np.stack([it["cls"] for it in items]),
-                    "bboxes": np.stack([it["bboxes"] for it in items]),
-                    "mask_gt": np.stack([it["mask_gt"] for it in items]),
-                    "n_real": n_real,
-                    "meta": items,
-                }
-                for extra in ("masks", "keypoints", "rboxes"):
-                    if extra in items[0]:
-                        batch[extra] = np.stack([it[extra] for it in items])
-                q.put(batch)
+                q.put(self._collate(chunk))
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)

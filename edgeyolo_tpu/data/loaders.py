@@ -386,7 +386,19 @@ class LoadStreams:
         while self.running:
             ok, frame = cap.read()
             if not ok:
-                q.put(None)  # end-of-stream sentinel
+                # end-of-stream sentinel: same drop-oldest discipline as the
+                # frame path — a blocking put here would wedge this thread
+                # forever (skipping cap.release) if the consumer stopped
+                # draining, and close() cannot unblock a blocked put
+                if q.full():
+                    try:
+                        q.get_nowait()
+                    except queue_mod.Empty:
+                        pass
+                try:
+                    q.put_nowait(None)
+                except queue_mod.Full:
+                    pass
                 break
             if q.full():
                 try:  # latest-wins: drop the oldest buffered frame

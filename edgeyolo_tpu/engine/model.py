@@ -88,7 +88,9 @@ class YOLO:
         cls = self.task_map[self.task]["model"]
         from edgeyolo_tpu.nn.tasks import yaml_model_load
 
-        d = yaml_model_load(model_yaml)
+        # save_pretrained embeds the yaml dict when the model wasn't built
+        # from a named yaml (e.g. torch .pt imports)
+        d = dict(meta["model_cfg"]) if meta.get("model_cfg") else yaml_model_load(model_yaml)
         if meta.get("scale"):
             d["scale"] = meta["scale"]
         if meta.get("nc"):
@@ -226,7 +228,14 @@ class YOLO:
         ckpt = {"params": v["params"], "batch_stats": v.get("batch_stats", {}),
                 "ema": v["params"], "updates": 0, "epoch": 0, "best_fitness": 0.0}
         (save_dir / "model.msgpack").write_bytes(serialization.to_bytes(ckpt))
-        meta = {"model_yaml": self.model.yaml.get("yaml_file", "") or str(self.model_name),
+        yaml_name = self.model.yaml.get("yaml_file", "") or str(self.model_name)
+        if not yaml_name.endswith((".yaml", ".yml")):
+            # torch-imported models carry only the embedded yaml dict; a .pt
+            # path is useless to yaml_model_load on reload, so embed the dict
+            yaml_name = ""
+        meta = {"model_yaml": yaml_name,
+                "model_cfg": None if yaml_name else
+                {k: v for k, v in self.model.yaml.items() if k != "yaml_file"},
                 "scale": getattr(self.model, "scale", ""), "nc": self.model.nc,
                 "names": self.model.names, "task": self.task}
         (save_dir / "model.json").write_text(json.dumps(meta, default=str))

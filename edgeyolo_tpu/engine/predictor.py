@@ -69,6 +69,12 @@ class DetectionPredictor:
         names = getattr(model, "names", {})
 
         want_int8 = bool(getattr(args, "int8", False))
+        # per-call int8 semantics (mirror of validator.py): int8=False stashes
+        # any active QuantState so this call runs full precision
+        if want_int8 and model.quant is None:
+            model.quant = getattr(model, "_quant_stash", None)
+        elif not want_int8 and model.quant is not None:
+            model._quant_stash, model.quant = model.quant, None
         for path, img0 in _iter_source(source):
             t0 = time.perf_counter()
             img, r, (pw, ph) = letterbox(img0, imgsz, scaleup=True)

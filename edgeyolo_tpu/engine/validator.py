@@ -92,14 +92,23 @@ class DetectionValidator:
         nc = model.nc
 
         # int8 val mode: auto-calibrate on the first val batch (PTQ absmax —
-        # reference analog: representative-dataset int8, exporter.py:1055);
-        # engines pick the quantized path up through model.apply
-        if bool(getattr(args, "int8", False)) and model.quant is None:
-            first = next(iter(loader))
-            calib = jnp.asarray(first["img"], jnp.float32) / 255.0
-            model.quantize(calib, variables=variables)
-            LOGGER.info(f"{colorstr('int8:')} calibrated {len(model.quant.wq)} convs "
-                        f"on one val batch ({calib.shape[0]} imgs)")
+        # reference analog: representative-dataset int8, exporter.py:1055).
+        # The per-call flag is authoritative: int8=False stashes any active
+        # QuantState so this call runs full precision (and a later int8=True
+        # reuses the stashed calibration) — a prior int8 call must not
+        # silently contaminate subsequent full-precision calls on the handle.
+        if bool(getattr(args, "int8", False)):
+            if model.quant is None:
+                model.quant = getattr(model, "_quant_stash", None)
+            if model.quant is None:
+                first = loader.first_batch()
+                calib = jnp.asarray(first["img"], jnp.float32) / 255.0
+                model.quantize(calib, variables=variables)
+                LOGGER.info(f"{colorstr('int8:')} calibrated {len(model.quant.wq)} convs "
+                            f"on one val batch ({calib.shape[0]} imgs)")
+        elif getattr(model, "quant", None) is not None:
+            # model may be a backend adapter with no quant attribute at all
+            model._quant_stash, model.quant = model.quant, None
 
         mesh = self._setup_mesh(bs)
         variables = jax.device_put(variables, replicated(mesh))
@@ -333,17 +342,30 @@ class SegmentationValidator(DetectionValidator):
                         areas = gm.sum((1, 2))
                         a = jnp.where(gm > 0.5, areas[:, None, None], jnp.inf)
                         gm = gm * (a <= a.min(axis=0, keepdims=True))
-                    if native:  # upsample both sides to input res, then count
-                        # (both bilinear + 0.5: reference process_mask
-                        # upsample ops.py:695 and gt F.interpolate "bilinear"
-                        # + gt_(0.5), segment/val.py _process_batch)
-                        pm = jax.image.resize(pm, (D, S, S), "bilinear")
+                    if native:  # upsample gt to input res (bilinear + 0.5:
+                        # reference gt F.interpolate "bilinear" + gt_(0.5),
+                        # segment/val.py _process_batch; pred upsample below)
                         gm = jax.image.resize(gm, (G, S, S), "bilinear")
-                    pmb = (pm > 0.5).astype(jnp.float32)
                     gmb = (gm > 0.5).astype(jnp.float32)
-                    inter = jnp.einsum("ghw,dhw->gd", gmb, pmb)
-                    union = (gmb.sum((1, 2))[:, None] + pmb.sum((1, 2))[None, :]
-                             - inter)
+                    # chunk the prediction slots: upsampling all max_det
+                    # (default 300) masks to (D, S, S) at once is a ~0.5 GB
+                    # fp32 temp; 64-slot chunks bound it at ~100 MB with
+                    # identical results (resize is per-mask independent)
+                    C = min(D, 64)
+                    nch = -(-D // C)
+                    pmc = jnp.pad(pm, ((0, nch * C - D), (0, 0), (0, 0)))
+                    pmc = pmc.reshape(nch, C, pm.shape[1], pm.shape[2])
+
+                    def chunk(pc):
+                        if native:  # reference process_mask upsample ops.py:695
+                            pc = jax.image.resize(pc, (C, S, S), "bilinear")
+                        pcb = (pc > 0.5).astype(jnp.float32)
+                        return jnp.einsum("ghw,dhw->gd", gmb, pcb), pcb.sum((1, 2))
+
+                    inter_c, psum_c = jax.lax.map(chunk, pmc)
+                    inter = inter_c.transpose(1, 0, 2).reshape(G, nch * C)[:, :D]
+                    psum = psum_c.reshape(nch * C)[:D]
+                    union = gmb.sum((1, 2))[:, None] + psum[None, :] - inter
                     return inter / (union + 1e-7)
 
                 # sequential over the batch: bounds the (D,S,S) upsample temp

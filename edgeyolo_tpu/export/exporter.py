@@ -94,15 +94,12 @@ class Exporter:
         if fmt in {"saved_model", "tflite", "pb", "tfjs", "edgetpu"}:
             return self.export_tf(fwd, x, out_dir / name, fmt, meta)
         if fmt == "onnx":
-            import importlib.util
-
-            if importlib.util.find_spec("onnx") is None:
-                raise NotImplementedError(
-                    "onnx export requires the 'onnx' package (import probe failed); "
-                    "use stablehlo/jax_export (native), saved_model/tflite (via "
-                    "tensorflow), or npz weights"
-                )
-            raise NotImplementedError("onnx bridge not implemented")
+            raise NotImplementedError(
+                "onnx export is not implemented in this build (no jax->onnx "
+                "bridge exists without the onnx/tf2onnx toolchain, absent in "
+                "this image); use stablehlo/jax_export (native), "
+                "saved_model/tflite (via tensorflow), or npz weights"
+            )
         raise ValueError(f"unknown export format '{fmt}'; supported: {list(EXPORT_FORMATS)}")
 
     @try_export

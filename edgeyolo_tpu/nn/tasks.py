@@ -518,8 +518,10 @@ class BaseModel:
         """Calibrate + enable int8 inference on this handle.
 
         calib_images: array/list of model-space inputs (B, H, W, 3) float in
-        [0, 1] — e.g. a few val batches. Engines pick the int8 path up
-        automatically since they route through model.apply."""
+        [0, 1] — e.g. a few val batches. Raw model.apply honors the active
+        QuantState; the val/predict ENGINES treat their per-call int8 flag as
+        authoritative (int8=False stashes the QuantState for the duration, a
+        later int8=True reuses it), so pass int8=True to engine calls."""
         from edgeyolo_tpu.nn.quant import calibrate, quantize
 
         v = variables or self.variables

@@ -76,12 +76,15 @@ def benchmark(model, imgsz: int = 640, batch: int = 1, iters: int = 30, data=Non
             )
         return pipeline
 
-    def val_map(m_handle):
+    def val_map(m_handle, int8=False):
         from edgeyolo_tpu.cfg import get_cfg
         from edgeyolo_tpu.engine.validator import DetectionValidator
 
+        # the validator's per-call int8 flag is authoritative (it stashes any
+        # active QuantState otherwise), so the int8 row must say so
         vargs = get_cfg(overrides={"mode": "val", "data": data, "imgsz": imgsz,
-                                   "batch": max(batch, 8), "plots": False})
+                                   "batch": max(batch, 8), "plots": False,
+                                   "int8": int8})
         res = DetectionValidator(vargs)(m_handle, data=data)
         return round(res.get("metrics/mAP50-95(B)", 0.0), 4)
 
@@ -119,7 +122,7 @@ def benchmark(model, imgsz: int = 640, batch: int = 1, iters: int = 30, data=Non
             row = {"format": fmt, "status": "ok", "compile_s": round(compile_s, 1),
                    "ms/img": round(ms_per_img, 3), "imgs/s": round(1000 / ms_per_img, 1)}
             if data is not None:
-                row["mAP50-95"] = val_map(m_for_val)
+                row["mAP50-95"] = val_map(m_for_val, int8=(fmt == "native-int8"))
             rows.append(row)
         except Exception as e:
             rows.append({"format": fmt, "status": f"error: {str(e)[:60]}"})

@@ -108,4 +108,11 @@ def test_trained_val_int8_within_tolerance(tmp_path_factory):
     d = abs(r_q["metrics/mAP50-95(B)"] - r_fp["metrics/mAP50-95(B)"])
     assert d < 0.1, (f"int8 mAP drift {d:.3f}: fp={r_fp['metrics/mAP50-95(B)']:.3f} "
                      f"int8={r_q['metrics/mAP50-95(B)']:.3f}")
-    m.model.quant = None  # leave the handle fp for any later use
+
+    # per-call flag is authoritative: a plain val AFTER an int8 val must run
+    # full precision again (the int8 calibration must not contaminate the
+    # handle) and reproduce the fp metrics exactly
+    r_fp2 = m.val(data=str(data), imgsz=96, batch=8, plots=False)
+    assert m.model.quant is None and m.model._quant_stash is not None
+    assert r_fp2["metrics/mAP50-95(B)"] == r_fp["metrics/mAP50-95(B)"], (
+        "int8 QuantState leaked into a subsequent full-precision val")

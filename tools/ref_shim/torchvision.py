@@ -89,11 +89,13 @@ class _Resize:
 
     def __call__(self, im):
         if isinstance(self.size, int):  # shortest-edge mode
+            # real torchvision (_compute_resized_output_size) TRUNCATES the
+            # long side: new_long = int(size * long / short)
             w, h = im.size
             if w <= h:
-                nw, nh = self.size, max(1, round(h * self.size / w))
+                nw, nh = self.size, max(1, int(self.size * h / w))
             else:
-                nh, nw = self.size, max(1, round(w * self.size / h))
+                nh, nw = self.size, max(1, int(self.size * w / h))
         else:
             nh, nw = self.size
         return im.resize((nw, nh), self.interp)
