@@ -16,6 +16,9 @@ import numpy as np
 
 IOUV = np.linspace(0.5, 0.95, 10)
 
+# numpy < 2.0 has no np.trapezoid (the reference's np.trapz is deprecated in 2.x)
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+
 
 def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
     """Box-filter smoothing with edge padding (fraction f of curve length)."""
@@ -31,7 +34,7 @@ def compute_ap(recall, precision):
     mpre = np.concatenate(([1.0], precision, [0.0]))
     mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
     x = np.linspace(0, 1, 101)
-    ap = np.trapezoid(np.interp(x, mrec, mpre), x)
+    ap = _trapezoid(np.interp(x, mrec, mpre), x)
     return ap, mpre, mrec
 
 

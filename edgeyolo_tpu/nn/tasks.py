@@ -476,6 +476,9 @@ class BaseModel:
         strides = derive_strides(self.spec)
         head_sp = self.spec[-1]
         self.head_name = head_sp.name
+        # head DFL bin count, for criteria that must match the head geometry
+        # (reference v8DetectionLoss reads m.reg_max, loss.py:310)
+        self.reg_max = int(dict(head_sp.kwargs).get("reg_max", 16))
         if head_sp.name in _HEADS:
             self.stride = tuple(int(strides[j]) for j in head_sp.f)
         else:

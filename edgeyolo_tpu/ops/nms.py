@@ -85,9 +85,12 @@ def _greedy_nms_matrix(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float
 
     valid0 = scores > 0.0
 
+    # after k sweeps the first k score-ranks are final, so n sweeps always
+    # reach the greedy fixed point — the bound is a backstop, not a truncation
+    # (real scenes converge in single digits and exit on `changed`)
     def cond(state):
         alive, changed, it = state
-        return changed & (it < 64)
+        return changed & (it < n)
 
     def body(state):
         alive, _, it = state
@@ -203,9 +206,11 @@ def nms_rotated(pred: jnp.ndarray, conf_thres: float = 0.25, iou_thres: float = 
         sup_edge = higher & (iou > iou_thres) & same_cls
         valid0 = cand_sc > 0.0
 
+        # bound = n_cand: after k sweeps the first k ranks are final (see
+        # _greedy_nms_matrix); real scenes exit on `changed` in single digits
         def cond(state):
             alive, changed, it = state
-            return changed & (it < 64)
+            return changed & (it < n_cand)
 
         def body(state):
             alive, _, it = state

@@ -12,7 +12,7 @@ into the train step.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +20,15 @@ import jax.numpy as jnp
 from edgeyolo_tpu.nn.modules.block import dfl_decode
 from edgeyolo_tpu.ops.boxes import bbox2dist, bbox_iou, crop_mask, dist2bbox, make_anchors, xywh2xyxy
 from edgeyolo_tpu.train.tal import task_aligned_assign
+
+
+def _hyp_get(hyp, key: str, default: float) -> float:
+    """Gain lookup honoring explicit zeros (a user setting box/cls/dfl to 0.0
+    disables that term; `or`-chaining would silently restore the default)."""
+    if hyp is None:
+        return float(default)
+    v = hyp.get(key, default) if isinstance(hyp, dict) else getattr(hyp, key, default)
+    return float(default if v is None else v)
 
 
 def bce_logits(logits, targets):
@@ -70,24 +79,25 @@ class DetectionLoss:
         if model is not None:
             nc = model.nc
             stride = model.stride
+            reg_max = int(getattr(model, "reg_max", reg_max))  # reference v8DetectionLoss reads m.reg_max
         self.nc = nc
         self.reg_max = reg_max
         self.stride = tuple(stride)
         self.tal_topk = tal_topk
-        hyp = hyp or {}
-        self.box_gain = float(getattr(hyp, "box", None) or (hyp.get("box", 7.5) if isinstance(hyp, dict) else 7.5))
-        self.cls_gain = float(getattr(hyp, "cls", None) or (hyp.get("cls", 0.5) if isinstance(hyp, dict) else 0.5))
-        self.dfl_gain = float(getattr(hyp, "dfl", None) or (hyp.get("dfl", 1.5) if isinstance(hyp, dict) else 1.5))
+        self.box_gain = _hyp_get(hyp, "box", 7.5)
+        self.cls_gain = _hyp_get(hyp, "cls", 0.5)
+        self.dfl_gain = _hyp_get(hyp, "dfl", 1.5)
 
-    def __call__(self, feats: Sequence[jnp.ndarray], batch: dict, quality: Sequence[jnp.ndarray] | None = None):
-        """feats: per-level (B,H,W,4*reg_max+nc) NHWC maps. Returns
-        (total_loss scalar, dict of detached components)."""
+    def _prepare(self, feats: Sequence[jnp.ndarray], batch: dict) -> dict:
+        """Shared geometry + TAL assignment, computed ONCE per step — the
+        detection terms and the seg/pose extra terms both consume this (the
+        assigner is the most expensive loss component; subclasses used to
+        recompute it)."""
         nc, reg_max = self.nc, self.reg_max
         no = nc + 4 * reg_max
         B = feats[0].shape[0]
         flat = jnp.concatenate([f.reshape(B, -1, no) for f in feats], axis=1)
         pred_dist, pred_scores = flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
-        A = flat.shape[1]
 
         shapes = [(f.shape[1], f.shape[2]) for f in feats]
         anchor_points, stride_tensor = make_anchors(shapes, self.stride, 0.5)
@@ -106,7 +116,7 @@ class DetectionLoss:
         dist = dfl_decode(pred_dist, reg_max)  # (B,A,4)
         pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False)  # grid units
 
-        _, target_bboxes, target_scores, fg_mask, _ = task_aligned_assign(
+        _, target_bboxes, target_scores, fg_mask, target_gt_idx = task_aligned_assign(
             jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
             jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
             anchor_points * stride_tensor,
@@ -119,7 +129,30 @@ class DetectionLoss:
             beta=6.0,
         )
 
-        target_scores_sum = jnp.maximum(jnp.sum(target_scores), 1.0)
+        return {
+            "B": B, "A": flat.shape[1], "img_h": img_h, "img_w": img_w,
+            "pred_dist": pred_dist, "pred_scores": pred_scores,
+            "anchor_points": anchor_points, "stride_tensor": stride_tensor,
+            "pred_bboxes": pred_bboxes,
+            "target_bboxes": target_bboxes, "target_scores": target_scores,
+            "fg_mask": fg_mask, "target_gt_idx": target_gt_idx,
+            "target_scores_sum": jnp.maximum(jnp.sum(target_scores), 1.0),
+        }
+
+    def __call__(self, feats: Sequence[jnp.ndarray], batch: dict, quality: Sequence[jnp.ndarray] | None = None):
+        """feats: per-level (B,H,W,4*reg_max+nc) NHWC maps. Returns
+        (total_loss scalar, dict of detached components)."""
+        return self._det_terms(self._prepare(feats, batch), quality)
+
+    def _det_terms(self, prep: dict, quality: Sequence[jnp.ndarray] | None = None):
+        nc, reg_max = self.nc, self.reg_max
+        B, A = prep["B"], prep["A"]
+        pred_dist, pred_scores = prep["pred_dist"], prep["pred_scores"]
+        anchor_points, stride_tensor = prep["anchor_points"], prep["stride_tensor"]
+        pred_bboxes = prep["pred_bboxes"]
+        target_bboxes, target_scores = prep["target_bboxes"], prep["target_scores"]
+        fg_mask = prep["fg_mask"]
+        target_scores_sum = prep["target_scores_sum"]
 
         # --- classification: quality-joint BCE when the head emits qualities ---
         if quality is not None:
@@ -187,42 +220,22 @@ class SegmentationLoss(DetectionLoss):
         if not isinstance(out, dict):
             return super().__call__(out, batch, quality)
         feats, mc, proto = out["feats"], out["mask_coefs"], out["proto"]
-        total, items = super().__call__(feats, batch, out.get("quality"))
+        prep = self._prepare(feats, batch)
+        total, items = self._det_terms(prep, out.get("quality"))
         masks = batch.get("masks")  # (B, M, mh, mw) float 0/1
         if masks is None:
             return total, items
 
-        nc, reg_max = self.nc, self.reg_max
-        no = nc + 4 * reg_max
-        B = feats[0].shape[0]
-        flat = jnp.concatenate([f.reshape(B, -1, no) for f in feats], axis=1)
-        pred_dist, pred_scores = flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
-        shapes = [(f.shape[1], f.shape[2]) for f in feats]
-        anchor_points, stride_tensor = make_anchors(shapes, self.stride, 0.5)
-        img_h = feats[0].shape[1] * self.stride[0]
-        img_w = feats[0].shape[2] * self.stride[0]
-        scale = jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32)
-        gt_bboxes = xywh2xyxy(batch["bboxes"] * scale)
-        mask_gt = batch.get("mask_gt", (jnp.sum(batch["bboxes"], -1) > 0).astype(jnp.float32))
+        B = prep["B"]
+        img_h, img_w = prep["img_h"], prep["img_w"]
+        target_bboxes, fg_mask = prep["target_bboxes"], prep["fg_mask"]
+        target_gt_idx = prep["target_gt_idx"]
 
-        from edgeyolo_tpu.nn.modules.block import dfl_decode
-        dist = dfl_decode(pred_dist, reg_max)
-        pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False)
-        _, target_bboxes, target_scores, fg_mask, target_gt_idx = task_aligned_assign(
-            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
-            jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
-            anchor_points * stride_tensor,
-            batch["cls"].astype(jnp.int32), gt_bboxes, mask_gt,
-            topk=self.tal_topk, num_classes=nc, alpha=0.5, beta=6.0,
-        )
-        target_scores_sum = jnp.maximum(jnp.sum(target_scores), 1.0)
-
-        mh, mw = masks.shape[2], masks.shape[3]
         # per-anchor target mask and box (normalized to proto grid)
         tgt_masks = jnp.take_along_axis(masks, target_gt_idx[:, :, None, None], axis=1)  # (B,A,mh,mw)
         # pred masks: proto (B,ph,pw,nm) @ coefs (B,A,nm) -> (B,A,ph,pw)
         pm_logits = jnp.einsum("bhwn,ban->bahw", proto, mc)
-        # resize target masks to proto resolution if needed (expects equal here)
+        # target masks expected at proto resolution (dataset downsamples)
         xyxyn = target_bboxes / jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32)
         box_p = xyxyn * jnp.asarray([pm_logits.shape[3], pm_logits.shape[2]] * 2, jnp.float32)
         area = jnp.clip((xyxyn[..., 2] - xyxyn[..., 0]) * (xyxyn[..., 3] - xyxyn[..., 1]), 1e-3, None)
@@ -232,7 +245,10 @@ class SegmentationLoss(DetectionLoss):
         cropped = crop_mask(bce.reshape(Bsz * A, *bce.shape[2:]), box_p.reshape(Bsz * A, 4))
         per_anchor = cropped.reshape(Bsz, A, -1).mean(-1) / area  # (B,A)
         w = fg_mask.astype(jnp.float32)
-        loss_seg = jnp.sum(per_anchor * w) / target_scores_sum * self.box_gain
+        # reference normalizes the mask term by the POSITIVE COUNT
+        # (calculate_segmentation_loss returns loss / fg_mask.sum(),
+        # loss.py:570), not target_scores_sum
+        loss_seg = jnp.sum(per_anchor * w) / jnp.maximum(jnp.sum(w), 1.0) * self.box_gain
         items = dict(items)
         items["seg"] = jax.lax.stop_gradient(loss_seg)
         return total + loss_seg * B, items
@@ -262,36 +278,17 @@ class PoseLoss(DetectionLoss):
         if not isinstance(out, dict):
             return super().__call__(out, batch, quality)
         feats, kpts_raw = out["feats"], out["kpts_raw"]
-        total, items = super().__call__(feats, batch, out.get("quality"))
+        prep = self._prepare(feats, batch)
+        total, items = self._det_terms(prep, out.get("quality"))
         gt_kpts = batch.get("keypoints")  # (B, M, K, 3) pixel coords + vis
         if gt_kpts is None:
             return total, items
 
-        nc, reg_max = self.nc, self.reg_max
-        no = nc + 4 * reg_max
-        B = feats[0].shape[0]
+        B = prep["B"]
         K, D = self.kpt_shape
-        flat = jnp.concatenate([f.reshape(B, -1, no) for f in feats], axis=1)
-        pred_dist, pred_scores = flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
-        shapes = [(f.shape[1], f.shape[2]) for f in feats]
-        anchor_points, stride_tensor = make_anchors(shapes, self.stride, 0.5)
-        img_h = feats[0].shape[1] * self.stride[0]
-        img_w = feats[0].shape[2] * self.stride[0]
-        scale = jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32)
-        gt_bboxes = xywh2xyxy(batch["bboxes"] * scale)
-        mask_gt = batch.get("mask_gt", (jnp.sum(batch["bboxes"], -1) > 0).astype(jnp.float32))
-
-        from edgeyolo_tpu.nn.modules.block import dfl_decode
-        dist = dfl_decode(pred_dist, reg_max)
-        pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False)
-        _, target_bboxes, target_scores, fg_mask, target_gt_idx = task_aligned_assign(
-            jax.lax.stop_gradient(jax.nn.sigmoid(pred_scores)),
-            jax.lax.stop_gradient(pred_bboxes * stride_tensor[None]),
-            anchor_points * stride_tensor,
-            batch["cls"].astype(jnp.int32), gt_bboxes, mask_gt,
-            topk=self.tal_topk, num_classes=nc, alpha=0.5, beta=6.0,
-        )
-        target_scores_sum = jnp.maximum(jnp.sum(target_scores), 1.0)
+        anchor_points, stride_tensor = prep["anchor_points"], prep["stride_tensor"]
+        target_bboxes, fg_mask = prep["target_bboxes"], prep["fg_mask"]
+        target_gt_idx = prep["target_gt_idx"]
 
         A = kpts_raw.shape[1]
         y = kpts_raw.reshape(B, A, K, D)

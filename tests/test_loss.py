@@ -155,3 +155,36 @@ def test_qfl_modulation():
     l = quality_focal_loss(logits, target)
     # positive with sigma=0.5: bce*|1-0.5|^2; negative: bce*0.5^2 -> equal here
     np.testing.assert_allclose(np.asarray(l)[0], np.asarray(l)[1], rtol=1e-6)
+
+
+def test_zero_gains_disable_loss_terms():
+    """Regression: attribute-style hyp with box/cls/dfl = 0.0 used to fall
+    through an `or`-chain back to the defaults, silently training a loss the
+    user turned off."""
+    from types import SimpleNamespace
+
+    feats, batch, _ = _setup()
+    crit = DetectionLoss(nc=NC, reg_max=REG_MAX, stride=STRIDES,
+                         hyp=SimpleNamespace(box=0.0, cls=0.0, dfl=0.0))
+    assert crit.box_gain == crit.cls_gain == crit.dfl_gain == 0.0
+    total, items = crit(feats, batch)
+    assert float(total) == 0.0
+
+
+def test_seg_pose_share_one_assignment_with_det_terms():
+    """The seg/pose extra terms must consume the same TAL assignment as the
+    detection terms (single _prepare): det items equal plain DetectionLoss."""
+    from edgeyolo_tpu.train.loss import SegmentationLoss
+
+    feats, batch, _ = _setup()
+    det_total, det_items = DetectionLoss(nc=NC, reg_max=REG_MAX, stride=STRIDES)(feats, batch)
+    A = sum(h * w for h, w in SHAPES)
+    rng = np.random.RandomState(3)
+    out = {"feats": feats,
+           "mask_coefs": jnp.asarray(rng.randn(B, A, 8).astype(np.float32) * 0.1),
+           "proto": jnp.asarray(rng.randn(B, 16, 16, 8).astype(np.float32) * 0.1)}
+    sbatch = dict(batch, masks=jnp.asarray((rng.rand(B, 3, 16, 16) > 0.5).astype(np.float32)))
+    seg_total, seg_items = SegmentationLoss(nc=NC, reg_max=REG_MAX, stride=STRIDES)(out, sbatch)
+    for k in det_items:
+        np.testing.assert_allclose(float(seg_items[k]), float(det_items[k]), rtol=1e-6)
+    assert float(seg_items["seg"]) > 0 and bool(jnp.isfinite(seg_total))

@@ -103,3 +103,22 @@ def test_filter_banks_match_pywt_published_values():
         assert abs(float(np.sum(lo)) - np.sqrt(2)) < 1e-9  # DC gain
         assert abs(float(np.sum(lo**2)) - 1.0) < 1e-9  # orthonormal
         assert abs(float(np.sum(hi))) < 1e-9  # high-pass kills DC
+
+
+def test_nms_matrix_matches_scan_on_long_suppression_chain():
+    """Regression: the matrix fixed-point used to cap at 64 sweeps; a
+    staircase of boxes each overlapping only its neighbor needs ~chain-length
+    sweeps, so deep chains exited with stale suppression state. The bound is
+    now the candidate count (sweep k finalizes the first k ranks)."""
+    from edgeyolo_tpu.ops.nms import _greedy_nms_matrix, _greedy_nms_scan
+
+    n, L, s = 200, 10.0, 2.0  # consecutive IoU 8/12 > 0.5; skip IoU 6/14 < 0.5
+    x0 = np.arange(n, dtype=np.float32) * s
+    boxes = jnp.asarray(np.stack([x0, np.zeros(n, np.float32), x0 + L,
+                                  np.full(n, 5.0, np.float32)], 1))
+    scores = jnp.asarray(np.linspace(1.0, 0.5, n, dtype=np.float32))  # sorted desc
+    km, vm = _greedy_nms_matrix(boxes, scores, 0.5, n)
+    ks, vs = _greedy_nms_scan(boxes, scores, 0.5, n)
+    kept_m = sorted(np.asarray(km)[np.asarray(vm)].tolist())
+    kept_s = sorted(np.asarray(ks)[np.asarray(vs)].tolist())
+    assert kept_m == kept_s == list(range(0, n, 2))
