@@ -6,7 +6,7 @@ Public API mirrors the reference surface: `YOLO(model).train/val/predict/...`.
 
 __version__ = "0.1.0"
 
-__all__ = ["YOLO", "SAM", "RTDETR", "NAS", "__version__"]
+__all__ = ["YOLO", "YOLOWorld", "SAM", "FastSAM", "RTDETR", "NAS", "__version__"]
 
 
 def __getattr__(name):
@@ -22,6 +22,17 @@ def __getattr__(name):
         from edgeyolo_tpu.engine.nas import NAS
 
         return NAS
+    if name == "FastSAM":
+        from edgeyolo_tpu.engine.fastsam import FastSAM
+
+        return FastSAM
+    if name == "YOLOWorld":
+        from edgeyolo_tpu.engine.model import YOLO
+
+        def YOLOWorld(model="yolov8-worldv2.yaml", **kw):
+            return YOLO(model, **kw)
+
+        return YOLOWorld
     if name == "RTDETR":
         from edgeyolo_tpu.engine.model import YOLO
 

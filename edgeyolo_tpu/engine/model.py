@@ -49,7 +49,12 @@ class YOLO:
     @property
     def task_map(self):
         from edgeyolo_tpu.engine.classify import ClassificationPredictor, ClassificationValidator
-        from edgeyolo_tpu.engine.predictor import DetectionPredictor
+        from edgeyolo_tpu.engine.predictor import (
+            DetectionPredictor,
+            OBBPredictor,
+            PosePredictor,
+            SegmentationPredictor,
+        )
         from edgeyolo_tpu.engine.validator import (
             DetectionValidator,
             OBBValidator,
@@ -67,11 +72,11 @@ class YOLO:
                 "predictor": DetectionPredictor,
             },
             "segment": {"model": SegmentationModel, "trainer": DetectionTrainer,
-                        "validator": SegmentationValidator, "predictor": DetectionPredictor},
+                        "validator": SegmentationValidator, "predictor": SegmentationPredictor},
             "pose": {"model": PoseModel, "trainer": DetectionTrainer,
-                     "validator": PoseValidator, "predictor": DetectionPredictor},
+                     "validator": PoseValidator, "predictor": PosePredictor},
             "obb": {"model": OBBModel, "trainer": DetectionTrainer,
-                    "validator": OBBValidator, "predictor": DetectionPredictor},
+                    "validator": OBBValidator, "predictor": OBBPredictor},
             "classify": {"model": ClassificationModel, "trainer": ClassificationTrainer,
                          "validator": ClassificationValidator, "predictor": ClassificationPredictor},
         }

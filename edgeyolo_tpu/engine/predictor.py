@@ -58,6 +58,23 @@ class DetectionPredictor:
 
         return infer
 
+    @staticmethod
+    def _unletterbox_boxes(det: np.ndarray, r: float, pw: float, ph: float,
+                           orig_shape: tuple[int, int]) -> np.ndarray:
+        h0, w0 = orig_shape
+        det[:, [0, 2]] = ((det[:, [0, 2]] - pw) / r).clip(0, w0)
+        det[:, [1, 3]] = ((det[:, [1, 3]] - ph) / r).clip(0, h0)
+        return det
+
+    def _to_results(self, outs, img0, path, names, r, pads, speed) -> Results:
+        """Convert one frame's device outputs to a Results (task hook)."""
+        dets, nvalid = outs
+        n = int(np.asarray(nvalid)[0])
+        det = np.asarray(jax.device_get(dets))[0][:n].copy()
+        if n:
+            det = self._unletterbox_boxes(det, r, *pads, img0.shape[:2])
+        return Results(img0, path, names, boxes=det, speed=speed)
+
     def stream(self, model, source, variables=None):
         """Generator over Results (one per frame)."""
         args = self.args
@@ -86,22 +103,13 @@ class DetectionPredictor:
                 model.quantize(x, variables=variables)
                 LOGGER.info(f"int8: calibrated {len(model.quant.wq)} convs on first frame")
             t1 = time.perf_counter()
-            dets, nvalid = self._infer(variables, x)
-            dets = np.asarray(jax.device_get(dets))[0]
-            n = int(np.asarray(nvalid)[0])
+            outs = self._infer(variables, x)
+            outs = jax.tree.map(np.asarray, jax.device_get(outs))
             t2 = time.perf_counter()
-            det = dets[:n].copy()
-            if n:
-                det[:, [0, 2]] = (det[:, [0, 2]] - pw) / r
-                det[:, [1, 3]] = (det[:, [1, 3]] - ph) / r
-                h0, w0 = img0.shape[:2]
-                det[:, [0, 2]] = det[:, [0, 2]].clip(0, w0)
-                det[:, [1, 3]] = det[:, [1, 3]].clip(0, h0)
-            res = Results(
-                img0, path, names, boxes=det,
-                speed={"preprocess": (t1 - t0) * 1e3, "inference": (t2 - t1) * 1e3,
-                       "postprocess": (time.perf_counter() - t2) * 1e3},
-            )
+            speed = {"preprocess": (t1 - t0) * 1e3, "inference": (t2 - t1) * 1e3,
+                     "postprocess": 0.0}
+            res = self._to_results(outs, img0, path, names, r, (pw, ph), speed)
+            res.speed["postprocess"] = (time.perf_counter() - t2) * 1e3
             if args.save or args.save_txt:
                 self.save_dir.mkdir(parents=True, exist_ok=True)
                 if args.save:
@@ -116,3 +124,129 @@ class DetectionPredictor:
 
     def __call__(self, model, source, variables=None):
         return list(self.stream(model, source, variables))
+
+
+class SegmentationPredictor(DetectionPredictor):
+    """Detection + instance masks (reference models/yolo/segment/predict.py:
+    process_mask at proto resolution, crop to boxes, scale_masks to the
+    original frame)."""
+
+    def _build_infer(self, model, conf, max_nms=8192):
+        from edgeyolo_tpu.ops import boxes as box_ops
+
+        args = self.args
+        nc = model.nc
+
+        @jax.jit
+        def infer(v, img):
+            out = model.apply(v, img, train=False)
+            pred = out["pred"]  # (B, A, 4+nc+nm)
+            det, n, aidx = non_max_suppression(
+                pred[..., : 4 + nc], conf_thres=conf, iou_thres=float(args.iou),
+                max_det=int(args.max_det), max_nms=max_nms,
+                multi_label=False, agnostic=bool(args.agnostic_nms), nc=nc,
+                return_idx=True,
+            )
+            coefs = jnp.take_along_axis(pred[..., 4 + nc :], aidx[..., None], axis=1)
+            masks = jax.nn.sigmoid(jnp.einsum("bhwn,bdn->bdhw", out["proto"], coefs))
+            scale = masks.shape[2] / img.shape[1]  # proto stride factor (1/4)
+            masks = jax.vmap(box_ops.crop_mask)(masks, det[..., :4] * scale)
+            return det, n, masks
+
+        return infer
+
+    def _to_results(self, outs, img0, path, names, r, pads, speed) -> Results:
+        from edgeyolo_tpu.ops.segments import unletterbox_masks
+
+        dets, nvalid, masks = outs
+        n = int(np.asarray(nvalid)[0])
+        det = np.asarray(dets)[0][:n].copy()
+        res_masks = None
+        if n:
+            pw, ph = pads
+            det = self._unletterbox_boxes(det, r, pw, ph, img0.shape[:2])
+            pm = np.asarray(masks)[0][:n]  # (n, ph, pw) proto-res [0,1]
+            s = pm.shape[1] / (img0.shape[0] * r + 2 * ph)  # proto/input scale
+            res_masks = unletterbox_masks(pm, (pw * s, ph * s), img0.shape[:2]) > 0.5
+        return Results(img0, path, names, boxes=det, masks=res_masks, speed=speed)
+
+
+class PosePredictor(DetectionPredictor):
+    """Detection + keypoints (reference models/yolo/pose/predict.py — the head
+    appends decoded input-space keypoints to pred; gather by kept anchor)."""
+
+    def __init__(self, args=None, save_dir: str | Path = "runs/predict", kpt_shape=(17, 3)):
+        super().__init__(args, save_dir)
+        self.kpt_shape = tuple(kpt_shape)
+
+    def stream(self, model, source, variables=None):
+        ks = model.yaml.get("kpt_shape") if hasattr(model, "yaml") else None
+        if ks:
+            self.kpt_shape = tuple(ks)
+        yield from super().stream(model, source, variables)
+
+    def _build_infer(self, model, conf, max_nms=8192):
+        args = self.args
+        nc = model.nc
+
+        @jax.jit
+        def infer(v, img):
+            out = model.apply(v, img, train=False)
+            pred = out["pred"]  # (B, A, 4+nc+K*D) decoded kpts appended
+            det, n, aidx = non_max_suppression(
+                pred[..., : 4 + nc], conf_thres=conf, iou_thres=float(args.iou),
+                max_det=int(args.max_det), max_nms=max_nms,
+                multi_label=False, agnostic=bool(args.agnostic_nms), nc=nc,
+                return_idx=True,
+            )
+            kpts = jnp.take_along_axis(pred[..., 4 + nc :], aidx[..., None], axis=1)
+            return det, n, kpts
+
+        return infer
+
+    def _to_results(self, outs, img0, path, names, r, pads, speed) -> Results:
+        dets, nvalid, kpts = outs
+        n = int(np.asarray(nvalid)[0])
+        det = np.asarray(dets)[0][:n].copy()
+        res_kpts = None
+        if n:
+            pw, ph = pads
+            det = self._unletterbox_boxes(det, r, pw, ph, img0.shape[:2])
+            K, D = self.kpt_shape
+            pk = np.asarray(kpts)[0][:n].reshape(n, K, D).copy()
+            pk[..., 0] = (pk[..., 0] - pw) / r
+            pk[..., 1] = (pk[..., 1] - ph) / r
+            res_kpts = pk
+        return Results(img0, path, names, boxes=det, keypoints=res_kpts, speed=speed)
+
+
+class OBBPredictor(DetectionPredictor):
+    """Rotated-box prediction via probiou NMS (reference models/yolo/obb/
+    predict.py). Results carry .obb instead of .boxes."""
+
+    def _build_infer(self, model, conf, max_nms=8192):
+        from edgeyolo_tpu.ops.nms import nms_rotated
+
+        args = self.args
+
+        @jax.jit
+        def infer(v, img):
+            out = model.apply(v, img, train=False)
+            det, n = nms_rotated(
+                out["pred"], conf_thres=conf, iou_thres=float(args.iou),
+                max_det=int(args.max_det), max_nms=max_nms,
+            )
+            return det, n
+
+        return infer
+
+    def _to_results(self, outs, img0, path, names, r, pads, speed) -> Results:
+        dets, nvalid = outs
+        n = int(np.asarray(nvalid)[0])
+        det = np.asarray(dets)[0][:n].copy()  # (n, 7) cx,cy,w,h,angle,conf,cls
+        if n:
+            pw, ph = pads
+            det[:, 0] = (det[:, 0] - pw) / r
+            det[:, 1] = (det[:, 1] - ph) / r
+            det[:, 2:4] = det[:, 2:4] / r
+        return Results(img0, path, names, obb=det, speed=speed)

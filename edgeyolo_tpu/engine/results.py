@@ -86,27 +86,138 @@ class Probs:
         return float(self.data.max())
 
 
+class Masks:
+    """Instance masks at original-image resolution.
+
+    data (n, h0, w0) bool/0-1; .xy / .xyn expose polygon segments (reference
+    engine/results.py Masks — segments via ops.masks2segments).
+    """
+
+    def __init__(self, data: np.ndarray, orig_shape: tuple[int, int]):
+        self.data = np.asarray(data)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, i):
+        return Masks(np.atleast_3d(self.data[i]).reshape((-1, *self.data.shape[1:])), self.orig_shape)
+
+    @property
+    def xy(self) -> list[np.ndarray]:
+        from edgeyolo_tpu.ops.segments import masks2segments
+
+        return masks2segments(self.data)
+
+    @property
+    def xyn(self) -> list[np.ndarray]:
+        h, w = self.orig_shape
+        return [s / np.asarray([w, h], np.float32) for s in self.xy]
+
+
+class Keypoints:
+    """Pose keypoints: data (n, K, 2|3) pixel xy (+ visibility/conf)."""
+
+    def __init__(self, data: np.ndarray, orig_shape: tuple[int, int]):
+        self.data = np.asarray(data)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, i):
+        return Keypoints(self.data[i].reshape((-1, *self.data.shape[1:])), self.orig_shape)
+
+    @property
+    def xy(self):
+        return self.data[..., :2]
+
+    @property
+    def xyn(self):
+        h, w = self.orig_shape
+        return self.data[..., :2] / np.asarray([w, h], np.float32)
+
+    @property
+    def conf(self):
+        return self.data[..., 2] if self.data.shape[-1] == 3 else None
+
+
+class OBB:
+    """Rotated boxes: data (n, 7) [cx, cy, w, h, angle(rad), conf, cls]."""
+
+    def __init__(self, data: np.ndarray, orig_shape: tuple[int, int]):
+        self.data = np.asarray(data).reshape(-1, 7)
+        self.orig_shape = orig_shape
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, i):
+        return OBB(self.data[i], self.orig_shape)
+
+    @property
+    def xywhr(self):
+        return self.data[:, :5]
+
+    @property
+    def conf(self):
+        return self.data[:, 5]
+
+    @property
+    def cls(self):
+        return self.data[:, 6]
+
+    @property
+    def xyxyxyxy(self) -> np.ndarray:
+        """(n, 4, 2) corner points."""
+        cx, cy, w, h, r = (self.data[:, i] for i in range(5))
+        cos, sin = np.cos(r), np.sin(r)
+        dx = np.stack([w / 2 * cos, w / 2 * sin], -1)  # half-extent along box x
+        dy = np.stack([-h / 2 * sin, h / 2 * cos], -1)
+        c = np.stack([cx, cy], -1)
+        return np.stack([c - dx - dy, c + dx - dy, c + dx + dy, c - dx + dy], 1)
+
+    @property
+    def xyxyxyxyn(self) -> np.ndarray:
+        h, w = self.orig_shape
+        return self.xyxyxyxy / np.asarray([w, h], np.float32)
+
+    @property
+    def xyxy(self) -> np.ndarray:
+        """Axis-aligned envelope of the corners (n, 4)."""
+        pts = self.xyxyxyxy
+        return np.concatenate([pts.min(1), pts.max(1)], -1)
+
+
 class Results:
     """Per-image prediction bundle."""
 
     def __init__(self, orig_img: np.ndarray, path: str, names: dict,
                  boxes: np.ndarray | None = None, probs: np.ndarray | None = None,
-                 speed: dict | None = None):
+                 masks: np.ndarray | None = None, keypoints: np.ndarray | None = None,
+                 obb: np.ndarray | None = None, speed: dict | None = None):
         self.orig_img = orig_img
         self.orig_shape = orig_img.shape[:2]
         self.path = path
         self.names = names
         self.boxes = Boxes(boxes, self.orig_shape) if boxes is not None else None
         self.probs = Probs(probs) if probs is not None else None
+        self.masks = Masks(masks, self.orig_shape) if masks is not None else None
+        self.keypoints = Keypoints(keypoints, self.orig_shape) if keypoints is not None else None
+        self.obb = OBB(obb, self.orig_shape) if obb is not None else None
         self.speed = speed or {}
 
     def __len__(self):
+        if self.obb is not None:
+            return len(self.obb)
         return len(self.boxes) if self.boxes is not None else 0
 
     def __getitem__(self, i):
         r = Results(self.orig_img, self.path, self.names)
-        if self.boxes is not None:
-            r.boxes = self.boxes[i]
+        for attr in ("boxes", "masks", "keypoints", "obb"):
+            v = getattr(self, attr)
+            if v is not None:
+                setattr(r, attr, v[i])
         return r
 
     def update(self, boxes: np.ndarray | None = None):
@@ -117,13 +228,35 @@ class Results:
     def plot(self, line_width: int | None = None, font_size: int | None = None,
              labels: bool = True, conf: bool = True) -> np.ndarray:
         """Draw boxes on a copy of the original image; returns HWC RGB uint8."""
-        im = Image.fromarray(self.orig_img.astype(np.uint8)).convert("RGB")
+        base = self.orig_img.astype(np.uint8)
+        if self.masks is not None and len(self.masks):
+            base = base.copy()
+            for i, m in enumerate(self.masks.data):
+                c = np.asarray(_colors(i), np.float32)
+                sel = np.asarray(m) > 0.5
+                base[sel] = (0.6 * base[sel] + 0.4 * c).astype(np.uint8)
+        im = Image.fromarray(base).convert("RGB")
         draw = ImageDraw.Draw(im)
         lw = line_width or max(round(sum(im.size) / 2 * 0.003), 2)
         try:
             font = ImageFont.load_default(size=font_size or max(12, lw * 4))
         except TypeError:
             font = ImageFont.load_default()
+        if self.keypoints is not None:
+            for kp in self.keypoints.data:
+                for k in kp:
+                    if kp.shape[-1] < 3 or k[2] > 0.25:
+                        draw.ellipse([k[0] - lw, k[1] - lw, k[0] + lw, k[1] + lw],
+                                     fill=(0, 255, 0))
+        if self.obb is not None:
+            for pts, cf, c in zip(self.obb.xyxyxyxy, self.obb.conf, self.obb.cls):
+                color = _colors(c)
+                ring = [tuple(p) for p in pts] + [tuple(pts[0])]
+                draw.line(ring, fill=color, width=lw)
+                if labels:
+                    name = self.names.get(int(c), str(int(c)))
+                    text = f"{name} {cf:.2f}" if conf else name
+                    draw.text((float(pts[0][0]), float(pts[0][1])), text, fill=color, font=font)
         if self.boxes is not None:
             for b in self.boxes.data:
                 x1, y1, x2, y2, cf, c = b.tolist()
@@ -142,12 +275,34 @@ class Results:
         return str(filename)
 
     def save_txt(self, txt_file: str | Path, save_conf: bool = False):
+        """One line per instance, reference txt schema per task: detect
+        `cls xywhn`, segment `cls poly-xyn`, pose `cls xywhn kpts-xyn(+conf)`,
+        obb `cls corners-xyn` — each with trailing conf when save_conf."""
         lines = []
-        if self.boxes is not None:
-            for b, xywhn in zip(self.boxes.data, self.boxes.xywhn):
-                c, cf = int(b[5]), float(b[4])
-                vals = [c, *xywhn.tolist()] + ([cf] if save_conf else [])
+        if self.obb is not None:
+            for pts, cf, c in zip(self.obb.xyxyxyxyn, self.obb.conf, self.obb.cls):
+                vals = [int(c), *pts.reshape(-1).tolist()] + ([float(cf)] if save_conf else [])
                 lines.append(" ".join(f"{v:.6g}" if i else str(v) for i, v in enumerate(vals)))
+        elif self.masks is not None and self.boxes is not None:
+            for i, (b, seg) in enumerate(zip(self.boxes.data, self.masks.xyn)):
+                if len(seg) < 3:  # degenerate/empty mask -> no polygon line
+                    continue
+                c, cf = int(b[5]), float(b[4])
+                vals = [c, *seg.reshape(-1).tolist()] + ([cf] if save_conf else [])
+                lines.append(" ".join(f"{v:.6g}" if j else str(v) for j, v in enumerate(vals)))
+        elif self.boxes is not None:
+            kpn = self.keypoints.data if self.keypoints is not None else None
+            h, w = self.orig_shape
+            for i, (b, xywhn) in enumerate(zip(self.boxes.data, self.boxes.xywhn)):
+                c, cf = int(b[5]), float(b[4])
+                vals = [c, *xywhn.tolist()]
+                if kpn is not None:
+                    k = kpn[i].copy().astype(np.float64)
+                    k[..., 0] /= w
+                    k[..., 1] /= h
+                    vals += k.reshape(-1).tolist()
+                vals += [cf] if save_conf else []
+                lines.append(" ".join(f"{v:.6g}" if j else str(v) for j, v in enumerate(vals)))
         if lines:
             Path(txt_file).parent.mkdir(parents=True, exist_ok=True)
             with open(txt_file, "a") as f:
@@ -170,25 +325,48 @@ class Results:
         import json
 
         out = []
+        h, w = self.orig_shape
         if self.boxes is not None:
-            h, w = self.orig_shape
-            for b in self.boxes.data:
+            segs = (self.masks.xyn if normalize else self.masks.xy) if self.masks is not None else None
+            for i, b in enumerate(self.boxes.data):
                 x1, y1, x2, y2 = b[:4]
                 if normalize:
                     x1, y1, x2, y2 = x1 / w, y1 / h, x2 / w, y2 / h
-                out.append({
+                row = {
                     "name": self.names.get(int(b[5]), str(int(b[5]))),
                     "class": int(b[5]), "confidence": round(float(b[4]), 5),
                     "box": {"x1": round(float(x1), 5), "y1": round(float(y1), 5),
                             "x2": round(float(x2), 5), "y2": round(float(y2), 5)},
+                }
+                if segs is not None:
+                    s = segs[i]
+                    row["segments"] = {"x": np.round(s[:, 0], 5).tolist(),
+                                       "y": np.round(s[:, 1], 5).tolist()}
+                if self.keypoints is not None:
+                    k = self.keypoints.data[i]
+                    kx, ky = (k[:, 0] / w, k[:, 1] / h) if normalize else (k[:, 0], k[:, 1])
+                    row["keypoints"] = {"x": np.round(kx, 5).tolist(),
+                                        "y": np.round(ky, 5).tolist()}
+                    if k.shape[-1] == 3:
+                        row["keypoints"]["visible"] = np.round(k[:, 2], 5).tolist()
+                out.append(row)
+        if self.obb is not None:
+            pts_all = self.obb.xyxyxyxyn if normalize else self.obb.xyxyxyxy
+            for pts, cf, c in zip(pts_all, self.obb.conf, self.obb.cls):
+                out.append({
+                    "name": self.names.get(int(c), str(int(c))),
+                    "class": int(c), "confidence": round(float(cf), 5),
+                    "points": [{"x": round(float(p[0]), 5), "y": round(float(p[1]), 5)}
+                               for p in pts],
                 })
         return json.dumps(out, indent=2)
 
     @property
     def verbose_str(self):
-        if self.boxes is None or len(self.boxes) == 0:
+        src = self.obb if self.obb is not None else self.boxes
+        if src is None or len(src) == 0:
             return "(no detections)"
         counts = {}
-        for c in self.boxes.cls:
+        for c in src.cls:
             counts[int(c)] = counts.get(int(c), 0) + 1
         return ", ".join(f"{n} {self.names.get(c, c)}{'s' if n > 1 else ''}" for c, n in sorted(counts.items()))
