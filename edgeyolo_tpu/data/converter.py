@@ -33,6 +33,14 @@ def coco91_to_coco80_class() -> list:
     return x
 
 
+def coco80_to_coco91_class() -> list:
+    """Map contiguous 80-class indices back to COCO 91-id category ids
+    (reference utils/ops.py coco80_to_coco91_class) — the ids COCO GT
+    annotation jsons use."""
+    missing = {12, 26, 29, 30, 45, 66, 68, 69, 71, 83, 91}
+    return [i for i in range(1, 92) if i not in missing]
+
+
 def convert_coco(labels_json: str | Path, save_dir: str | Path, use_segments: bool = False,
                  cls91to80: bool = True) -> Path:
     """COCO instances JSON -> YOLO-format labels (one txt per image)."""

@@ -175,7 +175,10 @@ class YOLODataset:
     def _load_labels(self):
         self._verify_images()
         cache = self._cache_path()
-        sig = [os.path.getmtime(f) if os.path.exists(f) else 0 for f in map(img2label_path, self.im_files)]
+        # "v2": cache format version — bumped when parsing semantics change
+        # (v2: per-instance segment/kpt arrays are index-aligned with cls)
+        sig = ["v2"] + [os.path.getmtime(f) if os.path.exists(f) else 0
+                        for f in map(img2label_path, self.im_files)]
         if cache.exists():
             try:
                 d = json.loads(cache.read_text())
@@ -205,14 +208,13 @@ class YOLODataset:
                         continue
                     c = float(parts[0])
                     vals = [float(x) for x in parts[1:]]
+                    kp = seg = None
                     if self.task == "pose" and len(vals) == 4 + K * D:
                         b = vals[:4]
                         kp = np.asarray(vals[4:], np.float32).reshape(K, D)
                         if D == 2:
                             kp = np.concatenate([kp, 2 * np.ones((K, 1), np.float32)], 1)
-                        kpts.append(kp)
-                        seg = None
-                    elif self.task in ("segment", "obb") or (len(vals) > 5 and len(vals) % 2 == 0):
+                    elif len(vals) > 5 and len(vals) % 2 == 0:
                         # polygon: x1 y1 ... xn yn (obb = 4-corner special case)
                         poly = np.asarray(vals, np.float32).reshape(-1, 2)
                         seg = poly
@@ -221,16 +223,26 @@ class YOLODataset:
                         b = [(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1]
                     else:
                         b = vals[:4]
-                        seg = None
                     if all(0 <= v <= 1.001 for v in b) and b[2] > 0 and b[3] > 0:
                         cls.append(c)
                         boxes.append(b)
-                        if seg is not None:
+                        # keep the per-instance arrays index-aligned with cls:
+                        # pose lines always push a kpt row (zeros when the line
+                        # had no kpt payload); segment/obb lines always push a
+                        # polygon (box corners when the line was box-only)
+                        if self.task == "pose":
+                            kpts.append(kp if kp is not None
+                                        else np.zeros((K, 3), np.float32))
+                        if self.task in ("segment", "obb"):
+                            segments.append(seg if seg is not None else np.asarray(
+                                [[b[0] - b[2] / 2, b[1] - b[3] / 2],
+                                 [b[0] + b[2] / 2, b[1] - b[3] / 2],
+                                 [b[0] + b[2] / 2, b[1] + b[3] / 2],
+                                 [b[0] - b[2] / 2, b[1] + b[3] / 2]], np.float32))
+                        elif seg is not None:
                             segments.append(seg)
                     else:
                         nch += 1
-                        if self.task == "pose" and kpts:
-                            kpts.pop()
                 nf += 1 if cls else 0
                 ne += 0 if cls else 1
             else:
@@ -260,6 +272,11 @@ class YOLODataset:
         keep = set(classes)
         for l in self.labels:
             m = np.isin(l["cls"], list(keep))
+            # per-instance arrays must stay index-aligned with cls
+            if len(l["segments"]) == len(l["cls"]):
+                l["segments"] = [s for s, k in zip(l["segments"], m) if k]
+            if len(l["keypoints"]) == len(l["cls"]):
+                l["keypoints"] = l["keypoints"][m]
             l["cls"], l["bboxes"] = l["cls"][m], l["bboxes"][m]
 
     # -- sample access -----------------------------------------------------------
@@ -337,7 +354,7 @@ class YOLODataset:
             "ori_shape": (h0, w0),
             "ratio_pad": (r, (pw, ph)),
             "im_file": self.im_files[i],
-            "ori_cls": lab["cls"],
+            "ori_cls": cls,  # single_cls-mapped copy (== lab["cls"] otherwise)
             "ori_bboxes": lab["bboxes"],  # normalized xywh, original space
         }
         if self.task == "segment":
@@ -354,11 +371,20 @@ class YOLODataset:
                 pk[: len(kpx)] = kpx
             item["keypoints"] = pk
         elif self.task == "obb":
-            pr = np.zeros((self.max_gt, 5), np.float32)
+            # fit the min-area rect in ORIGINAL PIXEL space (a normalized-
+            # coordinate fit is anisotropically squashed whenever w0 != h0,
+            # corrupting w/h/angle of every rotated box), then map through the
+            # letterbox (uniform scale r + pad translate: shape-preserving)
+            pr = np.zeros((self.max_gt, 5), np.float32)       # letterbox frame, /W /H normalized
+            pr_ori = np.zeros((self.max_gt, 5), np.float32)   # original frame, pixels
             segs = lab.get("segments") or []
             for j, poly in enumerate(segs[:n]):
-                pr[j] = _poly2rbox_norm(poly)
+                rb = _poly2rbox(poly * np.asarray([w0, h0], np.float32))
+                pr_ori[j] = rb
+                pr[j] = [(rb[0] * r + pw) / W, (rb[1] * r + ph) / H,
+                         rb[2] * r / W, rb[3] * r / H, rb[4]]
             item["rboxes"] = pr
+            item["rboxes_ori"] = pr_ori
         return item
 
     def _rasterize_masks(self, segments, n, w0, h0, r, pw, ph, H=None, W=None):
@@ -459,12 +485,15 @@ class DataLoader:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
 
         def produce():
-            for start in range(0, len(idx), self.bs):
-                chunk = idx[start : start + self.bs]
-                if self.drop_last and len(chunk) < self.bs:
-                    break
-                q.put(self._collate(chunk))
-            q.put(None)
+            try:
+                for start in range(0, len(idx), self.bs):
+                    chunk = idx[start : start + self.bs]
+                    if self.drop_last and len(chunk) < self.bs:
+                        break
+                    q.put(self._collate(chunk))
+                q.put(None)
+            except BaseException as e:  # decode error mid-epoch: surface it on
+                q.put(e)                # the consumer, never hang it on q.get()
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -472,6 +501,8 @@ class DataLoader:
             b = q.get()
             if b is None:
                 return
+            if isinstance(b, BaseException):
+                raise b
             yield b
 
 
@@ -499,8 +530,8 @@ def _convex_hull(pts: np.ndarray) -> np.ndarray:
     return np.asarray(lower[:-1] + upper[:-1])
 
 
-def _poly2rbox_norm(poly: np.ndarray) -> np.ndarray:
-    """Polygon (normalized coords) -> (cx, cy, w, h, r) min-area rect.
+def _poly2rbox(poly: np.ndarray) -> np.ndarray:
+    """Polygon (PIXEL coords) -> (cx, cy, w, h, r) min-area rect.
 
     Full rotating-calipers minimum-area rectangle over the convex hull (the
     reference uses cv2.minAreaRect; this is its numpy equivalent, exact for

@@ -42,6 +42,7 @@ class DetectionValidator:
         self.names = names or {}
         self.metrics = None
         self.jdict = []
+        self.class_map = None  # set per-call: contiguous idx -> json category_id
         self._loader = None  # cached across calls (epoch revalidation)
         self._infer = None
         self.max_devices = max_devices  # None = all devices that divide bs
@@ -79,8 +80,16 @@ class DetectionValidator:
         bs = int(batch_size or args.batch or 16)
 
         split = data_cfg.get(args.split or "val") or data_cfg["val"]
+        # COCO GT jsons use the sparse 1-90 category ids; predictions.json must
+        # speak that dialect (reference pred_to_json class_map, detect/val.py)
+        if bool(getattr(args, "save_json", False)) and len(names) == 80 \
+                and "coco" in str(split).lower():
+            from edgeyolo_tpu.data.converter import coco80_to_coco91_class
+
+            self.class_map = coco80_to_coco91_class()
         if self._loader is None:
-            dataset = YOLODataset(split, imgsz=imgsz, augment=False, names=names)
+            dataset = YOLODataset(split, imgsz=imgsz, augment=False, names=names,
+                                  single_cls=bool(getattr(args, "single_cls", False)))
             if bool(getattr(args, "rect", False)):
                 # aspect-sorted per-batch canvas shapes, quantized to /64 so at
                 # most a handful of XLA programs compile (dataset.set_rectangle)
@@ -262,12 +271,14 @@ class DetectionValidator:
     def _to_json(self, det: np.ndarray, im_file: str):
         stem = Path(im_file).stem
         image_id = int(stem) if stem.isnumeric() else stem
+        cmap = self.class_map
         box = det[:, :4].copy()
         box[:, 2:] -= box[:, :2]  # xywh (top-left)
         for b, d in zip(box.tolist(), det.tolist()):
+            ci = int(d[5])
             self.jdict.append({
                 "image_id": image_id,
-                "category_id": int(d[5]),
+                "category_id": cmap[ci] if cmap else ci,
                 "bbox": [round(x, 3) for x in b],
                 "score": round(d[4], 5),
             })
@@ -299,6 +310,7 @@ class SegmentationValidator(DetectionValidator):
         split = data_cfg.get(args.split or "val") or data_cfg["val"]
         if self._loader is None:
             ds = YOLODataset(split, imgsz=imgsz, augment=False, names=names, task="segment",
+                             single_cls=bool(getattr(args, "single_cls", False)),
                              mask_ratio=4)
             self._loader = build_dataloader(ds, bs, shuffle=False)
         loader = self._loader
@@ -424,7 +436,6 @@ class PoseValidator(DetectionValidator):
     """Adds OKS-based keypoint TP matching (reference models/yolo/pose/val.py:159)."""
 
     def __call__(self, model, data=None, variables=None, batch_size=None, max_nms=30000):
-        from edgeyolo_tpu.ops.boxes import kpt_iou as kpt_iou_dev
 
         args = self.args
         conf = args.conf if args.conf is not None else 0.001
@@ -436,6 +447,7 @@ class PoseValidator(DetectionValidator):
         K, D = tuple(model.yaml.get("kpt_shape", (17, 3)))
         if self._loader is None:
             ds = YOLODataset(split, imgsz=imgsz, augment=False, names=names, task="pose",
+                             single_cls=bool(getattr(args, "single_cls", False)),
                              kpt_shape=(K, D))
             self._loader = build_dataloader(ds, bs, shuffle=False)
         loader = self._loader
@@ -524,7 +536,8 @@ class OBBValidator(DetectionValidator):
         bs = int(batch_size or args.batch or 16)
         split = data_cfg.get(args.split or "val") or data_cfg["val"]
         if self._loader is None:
-            ds = YOLODataset(split, imgsz=imgsz, augment=False, names=names, task="obb")
+            ds = YOLODataset(split, imgsz=imgsz, augment=False, names=names, task="obb",
+                             single_cls=bool(getattr(args, "single_cls", False)))
             self._loader = build_dataloader(ds, bs, shuffle=False)
         loader = self._loader
         variables = variables if variables is not None else model.variables
@@ -565,11 +578,12 @@ class OBBValidator(DetectionValidator):
                 pred_r = np.stack([cx, cy, w, h, det[:, 4]], 1) if n else np.zeros((0, 5), np.float32)
                 gt_cls = meta["ori_cls"]
                 ngt = int(meta["mask_gt"].sum())
-                gr = meta.get("rboxes")
+                # original-frame PIXEL rboxes (fit in pixel space by the
+                # dataset; rescaling a normalized rotated rect per-axis would
+                # distort w/h for any non-square image)
+                gr = meta.get("rboxes_ori")
                 if gr is not None:
                     gr = gr[:ngt].copy()
-                    gr[:, [0, 2]] *= w0
-                    gr[:, [1, 3]] *= h0
                     if n and ngt:
                         import jax.numpy as _jnp
 

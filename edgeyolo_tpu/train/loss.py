@@ -129,6 +129,13 @@ class DetectionLoss:
             beta=6.0,
         )
 
+        # optional (B,) per-image weight: 1 for real samples, 0 for the padded
+        # duplicates a fixed-shape final batch carries (dataset._collate) —
+        # zeroing here removes their gradient contribution entirely
+        wimg = batch.get("img_weight")
+        if wimg is not None:
+            target_scores = target_scores * wimg[:, None, None]
+
         return {
             "B": B, "A": flat.shape[1], "img_h": img_h, "img_w": img_w,
             "pred_dist": pred_dist, "pred_scores": pred_scores,
@@ -137,6 +144,7 @@ class DetectionLoss:
             "target_bboxes": target_bboxes, "target_scores": target_scores,
             "fg_mask": fg_mask, "target_gt_idx": target_gt_idx,
             "target_scores_sum": jnp.maximum(jnp.sum(target_scores), 1.0),
+            "img_weight": wimg,
         }
 
     def __call__(self, feats: Sequence[jnp.ndarray], batch: dict, quality: Sequence[jnp.ndarray] | None = None):
@@ -153,15 +161,18 @@ class DetectionLoss:
         target_bboxes, target_scores = prep["target_bboxes"], prep["target_scores"]
         fg_mask = prep["fg_mask"]
         target_scores_sum = prep["target_scores_sum"]
+        wimg = prep.get("img_weight")
+        # padded duplicates contribute no cls negatives either
+        wb = wimg[:, None, None] if wimg is not None else 1.0
 
         # --- classification: quality-joint BCE when the head emits qualities ---
         if quality is not None:
             q = jnp.concatenate([qi.reshape(B, -1, 1) for qi in quality], axis=1)  # (B,A,1)
             j = jnp.clip(jax.nn.sigmoid(pred_scores) * q, 1e-6, 1 - 1e-6)
             j_logits = jnp.log(j / (1 - j))
-            loss_cls = jnp.sum(bce_logits(j_logits, target_scores)) / target_scores_sum
+            loss_cls = jnp.sum(bce_logits(j_logits, target_scores) * wb) / target_scores_sum
         else:
-            loss_cls = jnp.sum(bce_logits(pred_scores, target_scores)) / target_scores_sum
+            loss_cls = jnp.sum(bce_logits(pred_scores, target_scores) * wb) / target_scores_sum
 
         # --- box: CIoU weighted by target score, DFL to ltrb bins --------------
         fg = fg_mask.astype(jnp.float32)  # (B,A)
@@ -184,7 +195,10 @@ class DetectionLoss:
         loss_box = loss_iou * self.box_gain
         loss_cls = loss_cls * self.cls_gain
         loss_dfl = loss_dfl * self.dfl_gain
-        total = (loss_box + loss_cls + loss_dfl) * B
+        # reference total is loss.sum() * batch_size of the ACTUAL batch; with
+        # padding that is the real-image count
+        n_img = jnp.sum(wimg) if wimg is not None else B
+        total = (loss_box + loss_cls + loss_dfl) * n_img
         items = {
             "box": jax.lax.stop_gradient(loss_box),
             "cls": jax.lax.stop_gradient(loss_cls),
@@ -245,13 +259,17 @@ class SegmentationLoss(DetectionLoss):
         cropped = crop_mask(bce.reshape(Bsz * A, *bce.shape[2:]), box_p.reshape(Bsz * A, 4))
         per_anchor = cropped.reshape(Bsz, A, -1).mean(-1) / area  # (B,A)
         w = fg_mask.astype(jnp.float32)
+        wimg = prep.get("img_weight")
+        if wimg is not None:
+            w = w * wimg[:, None]
         # reference normalizes the mask term by the POSITIVE COUNT
         # (calculate_segmentation_loss returns loss / fg_mask.sum(),
         # loss.py:570), not target_scores_sum
         loss_seg = jnp.sum(per_anchor * w) / jnp.maximum(jnp.sum(w), 1.0) * self.box_gain
         items = dict(items)
         items["seg"] = jax.lax.stop_gradient(loss_seg)
-        return total + loss_seg * B, items
+        n_img = jnp.sum(wimg) if wimg is not None else B
+        return total + loss_seg * n_img, items
 
 
 class PoseLoss(DetectionLoss):
@@ -305,6 +323,9 @@ class PoseLoss(DetectionLoss):
         e = d2 / ((2 * sigmas[None, None]) ** 2) / (area + 1e-9) / 2
         kpt_loss = (1 - jnp.exp(-e)) * vis  # OKS-style
         w = fg_mask.astype(jnp.float32)[..., None]
+        wimg = prep.get("img_weight")
+        if wimg is not None:
+            w = w * wimg[:, None, None]
         loss_kpt = jnp.sum(kpt_loss * w) / jnp.maximum(jnp.sum(vis * w), 1.0) * self.pose_gain
         loss_kobj = 0.0
         if D == 3:
@@ -312,7 +333,8 @@ class PoseLoss(DetectionLoss):
             loss_kobj = jnp.sum(kobj * w.squeeze(-1)[..., None]) / jnp.maximum(jnp.sum(w) * K, 1.0) * self.kobj_gain
         items = dict(items)
         items["kpt"] = jax.lax.stop_gradient(loss_kpt)
-        total = total + (loss_kpt + loss_kobj) * B
+        n_img = jnp.sum(wimg) if wimg is not None else B
+        total = total + (loss_kpt + loss_kobj) * n_img
         return total, items
 
 
@@ -361,8 +383,12 @@ class OBBLoss(DetectionLoss):
             gt_cls, gt_rboxes, mask_gt,
             topk=self.tal_topk, num_classes=nc,
         )
+        wimg = batch.get("img_weight")  # (B,) 1 real / 0 padded duplicate
+        if wimg is not None:
+            target_scores = target_scores * wimg[:, None, None]
         target_scores_sum = jnp.maximum(jnp.sum(target_scores), 1.0)
-        loss_cls = jnp.sum(bce_logits(pred_scores, target_scores)) / target_scores_sum
+        wb = wimg[:, None, None] if wimg is not None else 1.0
+        loss_cls = jnp.sum(bce_logits(pred_scores, target_scores) * wb) / target_scores_sum
 
         fg = fg_mask.astype(jnp.float32)
         weight = jnp.sum(target_scores, axis=-1) * fg
@@ -390,7 +416,8 @@ class OBBLoss(DetectionLoss):
         loss_box = loss_iou * self.box_gain
         loss_cls = loss_cls * self.cls_gain
         loss_dfl = loss_dfl * self.dfl_gain
-        total = (loss_box + loss_cls + loss_dfl) * B
+        n_img = jnp.sum(wimg) if wimg is not None else B
+        total = (loss_box + loss_cls + loss_dfl) * n_img
         return total, {"box": jax.lax.stop_gradient(loss_box),
                        "cls": jax.lax.stop_gradient(loss_cls),
                        "dfl": jax.lax.stop_gradient(loss_dfl)}
@@ -402,5 +429,10 @@ class ClassificationLoss:
     def __call__(self, logits, batch):
         labels = batch["cls"].astype(jnp.int32).reshape(-1)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+        nll_i = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]  # (B,)
+        wimg = batch.get("img_weight")
+        if wimg is not None:  # exclude padded duplicates from the mean
+            nll = jnp.sum(nll_i * wimg) / jnp.maximum(jnp.sum(wimg), 1.0)
+        else:
+            nll = nll_i.mean()
         return nll, {"cls": jax.lax.stop_gradient(nll)}

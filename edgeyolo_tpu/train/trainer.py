@@ -74,10 +74,10 @@ def build_optimizer(params, name: str, lr: float, momentum: float, decay: float,
     decay applies through this 0/1 vector instead of a per-leaf optax mask —
     the fused-optimizer path (one momentum buffer, ~10 vector ops per update
     instead of ~6 ops x n_leaves; see PERF.md §training)."""
-    if flat_mask is not None:
-        def _flat_wd_update(updates, state, params):
-            return updates + decay * flat_mask * params, state
+    def _flat_wd_update(updates, state, params):
+        return updates + decay * flat_mask * params, state
 
+    if flat_mask is not None:
         wd = optax.GradientTransformation(
             lambda params: optax.EmptyState(), _flat_wd_update)
     else:
@@ -90,9 +90,20 @@ def build_optimizer(params, name: str, lr: float, momentum: float, decay: float,
             sgd = optax.sgd(schedule, momentum=momentum, nesterov=True)
         core = optax.chain(wd, sgd)
     elif name in {"Adam", "adam"}:
+        # torch Adam couples wd into the gradient (param-group weight_decay)
         core = optax.chain(wd, optax.adam(schedule, b1=momentum, b2=0.999))
     elif name in {"AdamW", "adamw"}:
-        core = optax.chain(wd, optax.adam(schedule, b1=momentum, b2=0.999))
+        # torch AdamW DECOUPLES decay: it bypasses the moment estimates and
+        # applies after the adaptive scaling (before the lr multiply)
+        if flat_mask is not None:
+            core = optax.chain(
+                optax.scale_by_adam(b1=momentum, b2=0.999),
+                optax.GradientTransformation(lambda params: optax.EmptyState(), _flat_wd_update),
+                optax.scale_by_learning_rate(schedule),
+            )
+        else:
+            core = optax.adamw(schedule, b1=momentum, b2=0.999,
+                               weight_decay=decay, mask=_decay_mask(params))
     elif name in {"RMSProp", "rmsprop"}:
         if momentum_schedule is not None:
             rms = optax.inject_hyperparams(optax.rmsprop)(
@@ -319,6 +330,8 @@ class DetectionTrainer(CallbackMixin):
                 for extra in ("masks", "keypoints"):
                     if extra in batch_dev:
                         tgt[extra] = batch_dev[extra]
+            if "img_weight" in batch_dev:  # padded final-batch duplicates train at 0 weight
+                tgt["img_weight"] = batch_dev["img_weight"]
             x = img01.astype(jnp.bfloat16) if use_bf16 else img01
 
             # contrastive denoising group (RT-DETR training; reference
@@ -426,6 +439,13 @@ class DetectionTrainer(CallbackMixin):
             for bi, batch in enumerate(loader):
                 key, sub = jax.random.split(key)
                 keep = {k: v for k, v in batch.items() if k not in ("meta", "n_real")}
+                B_full = batch["img"].shape[0]
+                n_real = int(batch.get("n_real", B_full))
+                # 1/0 weights: the final partial batch is padded with repeats
+                # of its last item (dataset._collate) — without masking, that
+                # item would train at (1 + pad_count) x the weight of any other
+                keep["img_weight"] = np.concatenate(
+                    [np.ones(n_real, np.float32), np.zeros(B_full - n_real, np.float32)])
                 sb = shard_batch(keep, self.mesh)
                 # first 3 train-batch mosaics, augmented (reference
                 # trainer.py:407-423 plot_training_samples)
@@ -551,6 +571,7 @@ class DetectionTrainer(CallbackMixin):
                 "mode": "val", "data": self.args.data, "imgsz": self.args.imgsz,
                 "batch": self.args.batch, "conf": 0.001, "iou": 0.7,
                 "max_det": 300, "plots": False, "task": self.args.task,
+                "single_cls": bool(getattr(self.args, "single_cls", False)),
             })
             vcls = {"segment": SegmentationValidator, "pose": PoseValidator,
                     "obb": OBBValidator}.get(getattr(self.model, "task", "detect"), DetectionValidator)

@@ -87,17 +87,130 @@ def test_corrupt_images_dropped(tmp_path):
 
 
 def test_min_area_rect_skewed_quad():
-    """_poly2rbox_norm is a true min-area rect (rotating calipers), covering
+    """_poly2rbox is a true min-area rect (rotating calipers), covering
     skewed DOTA quads exactly (reference uses cv2.minAreaRect)."""
-    from edgeyolo_tpu.data.dataset import _poly2rbox_norm
+    from edgeyolo_tpu.data.dataset import _poly2rbox
 
     pts = np.asarray([[0.1, 0.1], [0.6, 0.15], [0.65, 0.5], [0.12, 0.42]])
-    cx, cy, w, h, a = _poly2rbox_norm(pts)
+    cx, cy, w, h, a = _poly2rbox(pts)
     R = np.asarray([[np.cos(a), np.sin(a)], [-np.sin(a), np.cos(a)]])
     q = (pts - [cx, cy]) @ R.T
     assert (np.abs(q[:, 0]) <= w / 2 + 1e-6).all()
     assert (np.abs(q[:, 1]) <= h / 2 + 1e-6).all()
     # exact for a rotated square
     sq = np.asarray([[0.5, 0.3], [0.7, 0.5], [0.5, 0.7], [0.3, 0.5]])
-    r = _poly2rbox_norm(sq)
+    r = _poly2rbox(sq)
     assert abs(r[2] - 0.2 * np.sqrt(2)) < 1e-5 and abs(r[3] - 0.2 * np.sqrt(2)) < 1e-5
+
+
+def test_label_parsing_keeps_instance_arrays_aligned(tmp_path):
+    """Mixed/invalid lines must never desynchronize cls vs segments/keypoints
+    (a rejected line used to pop a PREVIOUS valid keypoint; box-only lines in
+    a segment file used to leave the segments list short)."""
+    from PIL import Image
+
+    from edgeyolo_tpu.data.dataset import YOLODataset
+
+    d = tmp_path / "ds"
+    (d / "images").mkdir(parents=True)
+    (d / "labels").mkdir(parents=True)
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(d / "images" / "a.jpg")
+
+    K = 3
+    kpt_line = "0 0.5 0.5 0.2 0.2 " + " ".join(["0.5 0.5 2"] * K)
+    box_line = "1 0.3 0.3 0.1 0.1"
+    bad_line = "2 0.5 0.5 -0.1 0.2"  # invalid box -> dropped
+    (d / "labels" / "a.txt").write_text("\n".join([kpt_line, bad_line, box_line]) + "\n")
+    ds = YOLODataset(str(d / "images"), imgsz=32, augment=False, task="pose", kpt_shape=(K, 3))
+    lab = ds.labels[0]
+    assert len(lab["cls"]) == 2 and len(lab["keypoints"]) == 2
+    assert lab["keypoints"][0, 0, 2] == 2  # line 1's kpts survived the bad line
+    assert (lab["keypoints"][1] == 0).all()  # box-only line -> zero kpts
+
+    poly_line = "0 0.2 0.2 0.8 0.2 0.8 0.8 0.2 0.8"
+    (d / "labels" / "a.txt").write_text("\n".join([poly_line, box_line]) + "\n")
+    ds2 = YOLODataset(str(d / "images"), imgsz=32, augment=False, task="segment")
+    lab2 = ds2.labels[0]
+    assert len(lab2["cls"]) == 2 and len(lab2["segments"]) == 2
+    assert len(lab2["segments"][1]) == 4  # box corners polygon
+
+
+def test_filter_classes_keeps_segments_aligned(tmp_path):
+    from PIL import Image
+
+    from edgeyolo_tpu.data.dataset import YOLODataset
+
+    d = tmp_path / "ds"
+    (d / "images").mkdir(parents=True)
+    (d / "labels").mkdir(parents=True)
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(d / "images" / "a.jpg")
+    lines = ["0 0.1 0.1 0.2 0.1 0.2 0.2 0.1 0.2",   # class 0 polygon (low corner)
+             "2 0.6 0.6 0.9 0.6 0.9 0.9 0.6 0.9"]   # class 2 polygon (high corner)
+    (d / "labels" / "a.txt").write_text("\n".join(lines) + "\n")
+    ds = YOLODataset(str(d / "images"), imgsz=32, augment=False, task="segment", classes=[2])
+    lab = ds.labels[0]
+    assert len(lab["cls"]) == 1 and int(lab["cls"][0]) == 2
+    assert len(lab["segments"]) == 1
+    assert lab["segments"][0][:, 0].min() > 0.5  # the class-2 polygon, not class-0
+
+
+def test_obb_rboxes_letterbox_and_pixel_fit(tmp_path):
+    """Rotated gt fitting must happen in pixel space and map through the
+    letterbox: normalized-space fits distort w/h/angle on non-square images."""
+    from PIL import Image
+
+    from edgeyolo_tpu.data.dataset import YOLODataset
+
+    d = tmp_path / "ds"
+    (d / "images").mkdir(parents=True)
+    (d / "labels").mkdir(parents=True)
+    w0, h0 = 128, 64  # non-square
+    Image.fromarray(np.zeros((h0, w0, 3), np.uint8)).save(d / "images" / "a.jpg")
+    # a 45-degree square, side 16 px, centered at (64, 32): corners in pixels
+    c = np.asarray([64.0, 32.0])
+    s = 16 / np.sqrt(2)
+    corners_px = np.asarray([[c[0], c[1] - s], [c[0] + s, c[1]],
+                             [c[0], c[1] + s], [c[0] - s, c[1]]])
+    poly_n = corners_px / np.asarray([w0, h0])
+    line = "0 " + " ".join(f"{v:.6f}" for v in poly_n.reshape(-1))
+    (d / "labels" / "a.txt").write_text(line + "\n")
+    ds = YOLODataset(str(d / "images"), imgsz=64, augment=False, task="obb")
+    item = ds.get_item(0)
+    rb_ori = item["rboxes_ori"][0]
+    # pixel-space fit: a rotated SQUARE must come out with w == h == 16
+    np.testing.assert_allclose(rb_ori[2], 16.0, atol=0.5)
+    np.testing.assert_allclose(rb_ori[3], 16.0, atol=0.5)
+    np.testing.assert_allclose(rb_ori[:2], c, atol=0.5)
+    # letterbox-frame rboxes roundtrip: *W/*H must recover r-scaled extents
+    H, W = item["img"].shape[:2]
+    r, (pw, ph) = item["ratio_pad"]
+    rb = item["rboxes"][0]
+    np.testing.assert_allclose(rb[2] * W, 16.0 * r, atol=0.5)
+    np.testing.assert_allclose(rb[3] * H, 16.0 * r, atol=0.5)
+    np.testing.assert_allclose(rb[0] * W, c[0] * r + pw, atol=0.5)
+    np.testing.assert_allclose(rb[1] * H, c[1] * r + ph, atol=0.5)
+
+
+def test_loader_surfaces_producer_exceptions(tmp_path):
+    """A decode failure mid-epoch must raise on the consumer, not hang it."""
+    from PIL import Image
+
+    from edgeyolo_tpu.data.dataset import YOLODataset, build_dataloader
+
+    d = tmp_path / "ds"
+    (d / "images").mkdir(parents=True)
+    for i in range(3):
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(d / "images" / f"{i}.jpg")
+    ds = YOLODataset(str(d / "images"), imgsz=32, augment=False)
+    orig = ds.get_item
+
+    def boom(i):
+        if i == 2:
+            raise RuntimeError("decode failed")
+        return orig(i)
+
+    ds.get_item = boom
+    loader = build_dataloader(ds, 1, shuffle=False)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for _ in loader:
+            pass

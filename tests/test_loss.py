@@ -188,3 +188,39 @@ def test_seg_pose_share_one_assignment_with_det_terms():
     for k in det_items:
         np.testing.assert_allclose(float(seg_items[k]), float(det_items[k]), rtol=1e-6)
     assert float(seg_items["seg"]) > 0 and bool(jnp.isfinite(seg_total))
+
+
+def test_padded_duplicates_train_at_zero_weight():
+    """img_weight masking: a batch padded with a duplicate at weight 0 must
+    produce the same loss as the unpadded batch (dataset._collate pads the
+    final partial batch with repeats of its last item)."""
+    feats, batch, _ = _setup()
+    # batch of 2 -> keep only image 0 real, mark image 1 as padding
+    w = jnp.asarray([1.0, 0.0])
+    crit = DetectionLoss(nc=NC, reg_max=REG_MAX, stride=STRIDES)
+    total_w, items_w = crit(feats, dict(batch, img_weight=w))
+    # reference: single-image batch built from image 0 alone
+    feats1 = [f[:1] for f in feats]
+    batch1 = {k: v[:1] for k, v in batch.items()}
+    total_1, items_1 = crit(feats1, batch1)
+    np.testing.assert_allclose(float(total_w), float(total_1), rtol=1e-5)
+    for k in items_1:
+        np.testing.assert_allclose(float(items_w[k]), float(items_1[k]), rtol=1e-5)
+
+
+def test_adamw_is_decoupled_from_adam():
+    """AdamW must apply decay OUTSIDE the moment estimates (torch AdamW);
+    with decay=0 the two coincide, with decay>0 they must differ."""
+    import optax
+
+    from edgeyolo_tpu.train.trainer import build_optimizer
+
+    p = {"w": {"kernel": jnp.ones((4, 4))}}
+    g = {"w": {"kernel": jnp.full((4, 4), 0.5)}}
+    outs = {}
+    for name in ("Adam", "AdamW"):
+        tx = build_optimizer(p, name, 0.01, 0.9, 0.1, lambda s: 0.01)
+        st = tx.init(p)
+        u, _ = tx.update(g, st, p)
+        outs[name] = float(jnp.sum(u["w"]["kernel"]))
+    assert abs(outs["Adam"] - outs["AdamW"]) > 1e-6, outs
