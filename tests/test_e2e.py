@@ -103,3 +103,21 @@ def test_seg_val_native_and_proto_mask_iou(tmp_path_factory):
         assert np.isfinite(res["metrics/mAP50-95(M)"])
     # random-init model: both near zero; just require same box metrics
     assert res_nat["metrics/mAP50-95(B)"] == res_pro["metrics/mAP50-95(B)"]
+
+
+def test_train_partial_final_batch(tmp_path_factory):
+    """Dataset size not divisible by batch: the padded duplicates in the
+    final batch must ride through the jitted step at zero weight (img_weight
+    plumbing) and training must stay finite."""
+    runs = tmp_path_factory.mktemp("runs_partial")
+    root = tmp_path_factory.mktemp("shapes_partial")
+    data = generate_dataset(root, n_train=6, n_val=4, imgsz=96, nc=3)  # 6 % 4 != 0
+    m = YOLO("yolo11n.yaml")
+    m.model = DetectionModel("yolo11n.yaml", nc=3)
+    m.train(data=str(data), epochs=1, imgsz=96, batch=4, nbs=4, val=False,
+            plots=False, close_mosaic=0, amp=False, workers=0,
+            project=str(runs), name="partial", patience=3)
+    import csv as _csv
+
+    rows = list(_csv.DictReader(open(runs / "partial" / "results.csv")))
+    assert rows and np.isfinite(float(rows[-1]["train/box_loss"]))
