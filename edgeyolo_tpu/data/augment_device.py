@@ -419,7 +419,9 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key,
     hyp = dict(hyp_key)
     B, S = images.shape[0], imgsz
     M = cls.shape[1]
-    n_src = 9 if mosaic == 9 else 4
+    # single-source when mosaic is off (close_mosaic epochs): gathering 4
+    # tiles only to mask 3 of them wastes 4x HBM traffic and label compute
+    n_src = 9 if mosaic == 9 else (4 if mosaic else 1)
     imgs_f = images.astype(jnp.float32)
 
     keys = jax.random.split(key, B * 4).reshape(B, 4, 2)
@@ -460,18 +462,20 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key,
     # box by more than ioa 0.30, paste their pixels and append their labels.
     pcp = float(hyp.get("copy_paste", 0.0))
     if pcp > 0 and masks_out is not None and kpts_out is None and rboxes_out is None:
+        from edgeyolo_tpu.ops.boxes import xywh2xyxy as _xyxy
+
         fboxes = boxes_out.at[..., 0].set(1.0 - boxes_out[..., 0])  # (B,M,4)
         fmasks = masks_out[..., ::-1]  # (B,M,Sm,Sm)
         # ioa(flipped candidate, existing) on normalized xywh
-        def _xyxy(bx):
-            return jnp.concatenate([bx[..., :2] - bx[..., 2:] / 2,
-                                    bx[..., :2] + bx[..., 2:] / 2], -1)
         a = _xyxy(fboxes)[:, :, None, :]   # (B,M,1,4) candidates
         bb = _xyxy(boxes_out)[:, None, :, :]  # (B,1,M,4) existing
         iw = jnp.clip(jnp.minimum(a[..., 2], bb[..., 2]) - jnp.maximum(a[..., 0], bb[..., 0]), 0)
         ih = jnp.clip(jnp.minimum(a[..., 3], bb[..., 3]) - jnp.maximum(a[..., 1], bb[..., 1]), 0)
-        area = jnp.clip(fboxes[..., 2] * fboxes[..., 3], 1e-9)
-        ioa = iw * ih / area[..., None]  # (B,M,M)
+        # intersection over the EXISTING box's area (reference bbox_ioa
+        # divides by box2 = the labels already in the image) — dividing by the
+        # candidate's own area lets a big candidate bury a small object
+        area_e = jnp.clip(boxes_out[..., 2] * boxes_out[..., 3], 1e-9)
+        ioa = iw * ih / area_e[:, None, :]  # (B,M,M) [cand, existing]
         ioa = jnp.where(valid[:, None, :], ioa, 0.0)
         elig = valid & (jnp.max(ioa, axis=-1) < 0.30)
         sel = elig & (jax.random.uniform(jax.random.fold_in(key, 23), valid.shape) < pcp)

@@ -26,11 +26,16 @@ def _colors(i: int):
 
 
 class Boxes:
-    """Detection boxes: data (N, 6) = [x1, y1, x2, y2, conf, cls] in pixels
-    of the original image; orig_shape = (h, w)."""
+    """Detection boxes: data (N, 6) = [x1, y1, x2, y2, conf, cls] — or (N, 7)
+    with a track id inserted after xyxy ([x1, y1, x2, y2, id, conf, cls],
+    reference results.py:1007 is_track) — in pixels of the original image;
+    orig_shape = (h, w)."""
 
     def __init__(self, data: np.ndarray, orig_shape: tuple[int, int]):
-        self.data = np.asarray(data, dtype=np.float32).reshape(-1, 6)
+        data = np.asarray(data, dtype=np.float32)
+        ncol = data.shape[-1] if data.ndim > 1 and data.size else 6
+        self.data = data.reshape(-1, ncol)
+        self.is_track = ncol == 7
         self.orig_shape = orig_shape
 
     def __len__(self):
@@ -44,12 +49,16 @@ class Boxes:
         return self.data[:, :4]
 
     @property
+    def id(self):
+        return self.data[:, 4] if self.is_track else None
+
+    @property
     def conf(self):
-        return self.data[:, 4]
+        return self.data[:, -2]
 
     @property
     def cls(self):
-        return self.data[:, 5]
+        return self.data[:, -1]
 
     @property
     def xywh(self):
@@ -225,6 +234,30 @@ class Results:
             self.boxes = Boxes(boxes, self.orig_shape)
         return self
 
+    def save_crop(self, save_dir: str | Path, file_name: str | Path = "im.jpg"):
+        """Save one crop per detection under save_dir/<class name>/ (reference
+        results.py:720 — unsupported for classify/obb, gain=1.02 + 10px pad)."""
+        if self.probs is not None or self.obb is not None:
+            LOGGER.warning("save_crop is not supported for classify/obb results")
+            return
+        if self.boxes is None:
+            return
+        h, w = self.orig_shape
+        stem, suffix = Path(file_name).stem, Path(file_name).suffix or ".jpg"
+        for k, b in enumerate(self.boxes.data):
+            x1, y1, x2, y2 = b[:4]
+            cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+            bw, bh = (x2 - x1) * 1.02 + 10, (y2 - y1) * 1.02 + 10  # reference save_one_box gain/pad
+            xa = int(np.clip(cx - bw / 2, 0, w)); xb = int(np.clip(cx + bw / 2, 0, w))
+            ya = int(np.clip(cy - bh / 2, 0, h)); yb = int(np.clip(cy + bh / 2, 0, h))
+            if xb <= xa or yb <= ya:
+                continue
+            name = self.names.get(int(b[-1]), str(int(b[-1])))
+            d = Path(save_dir) / name
+            d.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(self.orig_img[ya:yb, xa:xb].astype(np.uint8)).save(
+                d / f"{stem}{'' if k == 0 else k}{suffix}")
+
     def plot(self, line_width: int | None = None, font_size: int | None = None,
              labels: bool = True, conf: bool = True) -> np.ndarray:
         """Draw boxes on a copy of the original image; returns HWC RGB uint8."""
@@ -258,12 +291,16 @@ class Results:
                     text = f"{name} {cf:.2f}" if conf else name
                     draw.text((float(pts[0][0]), float(pts[0][1])), text, fill=color, font=font)
         if self.boxes is not None:
-            for b in self.boxes.data:
-                x1, y1, x2, y2, cf, c = b.tolist()
+            ids = self.boxes.id
+            for k, b in enumerate(self.boxes.data):
+                x1, y1, x2, y2 = b[:4].tolist()
+                cf, c = float(b[-2]), float(b[-1])
                 color = _colors(c)
                 draw.rectangle([x1, y1, x2, y2], outline=color, width=lw)
                 if labels:
                     name = self.names.get(int(c), str(int(c)))
+                    if ids is not None:
+                        name = f"id:{int(ids[k])} {name}"
                     text = f"{name} {cf:.2f}" if conf else name
                     tb = draw.textbbox((x1, y1), text, font=font)
                     draw.rectangle([tb[0], tb[1] - 2, tb[2] + 2, tb[3]], fill=color)
@@ -273,6 +310,11 @@ class Results:
     def save(self, filename: str | Path):
         Image.fromarray(self.plot()).save(filename)
         return str(filename)
+
+    def show(self, *a, **kw):
+        """Display the annotated image (reference results.py:585; PIL viewer —
+        a no-op on headless hosts)."""
+        Image.fromarray(self.plot(*a, **kw)).show()
 
     def save_txt(self, txt_file: str | Path, save_conf: bool = False):
         """One line per instance, reference txt schema per task: detect
@@ -287,14 +329,14 @@ class Results:
             for i, (b, seg) in enumerate(zip(self.boxes.data, self.masks.xyn)):
                 if len(seg) < 3:  # degenerate/empty mask -> no polygon line
                     continue
-                c, cf = int(b[5]), float(b[4])
+                c, cf = int(b[-1]), float(b[-2])
                 vals = [c, *seg.reshape(-1).tolist()] + ([cf] if save_conf else [])
                 lines.append(" ".join(f"{v:.6g}" if j else str(v) for j, v in enumerate(vals)))
         elif self.boxes is not None:
             kpn = self.keypoints.data if self.keypoints is not None else None
             h, w = self.orig_shape
             for i, (b, xywhn) in enumerate(zip(self.boxes.data, self.boxes.xywhn)):
-                c, cf = int(b[5]), float(b[4])
+                c, cf = int(b[-1]), float(b[-2])
                 vals = [c, *xywhn.tolist()]
                 if kpn is not None:
                     k = kpn[i].copy().astype(np.float64)
@@ -315,8 +357,8 @@ class Results:
         if self.boxes is not None:
             for b in self.boxes.data:
                 rows.append({
-                    "name": self.names.get(int(b[5]), str(int(b[5]))),
-                    "class": int(b[5]), "confidence": float(b[4]),
+                    "name": self.names.get(int(b[-1]), str(int(b[-1]))),
+                    "class": int(b[-1]), "confidence": float(b[-2]),
                     "box": {"x1": float(b[0]), "y1": float(b[1]), "x2": float(b[2]), "y2": float(b[3])},
                 })
         return pd.DataFrame(rows)
@@ -333,8 +375,8 @@ class Results:
                 if normalize:
                     x1, y1, x2, y2 = x1 / w, y1 / h, x2 / w, y2 / h
                 row = {
-                    "name": self.names.get(int(b[5]), str(int(b[5]))),
-                    "class": int(b[5]), "confidence": round(float(b[4]), 5),
+                    "name": self.names.get(int(b[-1]), str(int(b[-1]))),
+                    "class": int(b[-1]), "confidence": round(float(b[-2]), 5),
                     "box": {"x1": round(float(x1), 5), "y1": round(float(y1), 5),
                             "x2": round(float(x2), 5), "y2": round(float(y2), 5)},
                 }

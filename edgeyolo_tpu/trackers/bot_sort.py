@@ -102,6 +102,12 @@ class BOTSORT(BYTETracker):
     def get_kalmanfilter(self):
         return KalmanFilterXYWH()
 
+    def multi_predict(self, tracks):
+        """Predict with BOTrack's XYWH shared filter — BOTrack states are
+        [cx,cy,w,h,...], so the base class's XYAH filter must not touch them
+        (reference bot_sort.py BOTSORT.multi_predict)."""
+        BOTrack.multi_predict(tracks)
+
     def init_track(self, dets, scores, cls, feats=None):
         if feats is not None:
             return [BOTrack(d, s, c, f) for d, s, c, f in zip(dets, scores, cls, feats)]

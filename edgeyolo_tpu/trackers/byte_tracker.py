@@ -227,12 +227,19 @@ class BYTETracker:
             dists = fuse_score(dists, detections)
         return dists
 
+    def multi_predict(self, tracks):
+        """KF predict for a track pool — overridable dispatch point (BOTSORT
+        substitutes BOTrack's XYWH shared filter; reference byte_tracker.py
+        BYTETracker.multi_predict / bot_sort.py override)."""
+        STrack.multi_predict(tracks)
+
     def update(self, boxes_xyxy: np.ndarray, scores: np.ndarray, clss: np.ndarray,
                img: np.ndarray | None = None) -> np.ndarray:
-        """One frame. Returns (N, 7) [x1,y1,x2,y2,track_id,score,cls] for
-        activated tracks, sorted by the original detection index. `img`
-        (HWC uint8) enables camera-motion compensation when the tracker
-        carries a GMC estimator (BoT-SORT)."""
+        """One frame. Returns (N, 8) [x1,y1,x2,y2,track_id,score,cls,det_idx]
+        rows for activated tracks (det_idx = the original detection row, used
+        by track.py to re-index Results). `img` (HWC uint8) enables
+        camera-motion compensation when the tracker carries a GMC estimator
+        (BoT-SORT)."""
         self.frame_id += 1
         activated, refind, lost, removed = [], [], [], []
 
@@ -251,7 +258,7 @@ class BYTETracker:
         unconfirmed = [t for t in self.tracked_stracks if not t.is_activated]
         tracked = [t for t in self.tracked_stracks if t.is_activated]
         strack_pool = joint_stracks(tracked, self.lost_stracks)
-        STrack.multi_predict(strack_pool)
+        self.multi_predict(strack_pool)
 
         # camera-motion compensation (BoT-SORT; reference bot_sort update)
         gmc = getattr(self, "gmc", None)

@@ -63,11 +63,13 @@ def track_stream(results_iter, tracker_cfg: str = "bytetrack", persist: bool = F
             res.track_ids = np.zeros((0,), np.int64)
             yield res
             continue
-        d = res.boxes.data
-        tracks = tracker.update(d[:, :4], d[:, 4], d[:, 5], img=res.orig_img)
+        b = res.boxes
+        tracks = tracker.update(b.xyxy, b.conf, b.cls, img=res.orig_img)
         if len(tracks):
             idx = tracks[:, 7].astype(int)
             res = res[idx]
+            # (N,7) [x1,y1,x2,y2,id,conf,cls] — Boxes.is_track / .id layout
+            res.update(boxes=tracks[:, :7])
             res.track_ids = tracks[:, 4].astype(np.int64)
             res.boxes_tracked = tracks[:, :7]
         else:

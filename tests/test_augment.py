@@ -149,23 +149,24 @@ def test_copy_paste_appends_flipped_instances():
            "mixup": 0.0, "copy_paste": 1.0}
     img01, c4, b4, v4, ex = augment_batch(imgs, cls, boxes, mask, key, S2, hyp,
                                           mosaic=False, masks=jnp.asarray(mm))
-    # label slots doubled vs the no-copy-paste path (4*M -> 8*M)
-    assert b4.shape == (B2, 8 * M2, 4)
-    assert ex["masks"].shape[1] == 8 * M2
+    # label slots doubled vs the no-copy-paste path (M -> 2*M; mosaic=False
+    # is single-source since the close_mosaic fast path)
+    assert b4.shape == (B2, 2 * M2, 4)
+    assert ex["masks"].shape[1] == 2 * M2
     v = np.asarray(v4)
     bb = np.asarray(b4)
     # at least one appended (pasted) instance is valid and mirrored in x
-    pasted = v[:, 4 * M2:] > 0
+    pasted = v[:, M2:] > 0
     assert pasted.any()
     for bi in range(B2):
         for j in np.nonzero(pasted[bi])[0]:
-            src = bb[bi, j]  # mirrored slot aligns with source slot j
-            assert abs((1.0 - bb[bi, 4 * M2 + j][0]) - 0.0) >= 0  # x flipped
-    # with copy_paste=0 slots stay 4*M
+            np.testing.assert_allclose(bb[bi, M2 + j][0], 1.0 - bb[bi, j][0],
+                                       atol=1e-6)  # x mirrored vs source slot
+    # with copy_paste=0 slots stay M
     hyp0 = dict(hyp, copy_paste=0.0)
     _, _, b0, _, _ = augment_batch(imgs, cls, boxes, mask, key, S2, hyp0,
                                    mosaic=False, masks=jnp.asarray(mm))
-    assert b0.shape == (B2, 4 * M2, 4)
+    assert b0.shape == (B2, M2, 4)
 
 
 def test_perspective_changes_output():
@@ -283,3 +284,59 @@ def test_separable_warp_matches_gather_rotated_falls_back():
     a2 = augment_batch(imgs, cls, boxes, mask, k, S, dict(hyp_rot, _force_gather=1),
                        mosaic=True)
     np.testing.assert_allclose(np.asarray(a1[0]), np.asarray(a2[0]), atol=1e-6)
+
+
+def test_copy_paste_gates_on_existing_box_area():
+    """The ioa gate divides by the EXISTING box's area (reference bbox_ioa):
+    a big flipped candidate that fully covers a small object must be
+    rejected, even though the overlap is tiny relative to the candidate."""
+    import jax
+
+    from edgeyolo_tpu.data.augment_device import augment_batch
+
+    B, S, M, Sm = 1, 64, 4, 16
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 255, (B, S, S, 3), np.uint8)
+    cls = np.zeros((B, M), np.float32)
+    # slot 0: small box at x=0.8; slot 1: big box at x=0.2 (flips onto slot 0)
+    bboxes = np.zeros((B, M, 4), np.float32)
+    bboxes[0, 0] = [0.8, 0.5, 0.08, 0.08]
+    bboxes[0, 1] = [0.2, 0.5, 0.5, 0.5]
+    mask = np.zeros((B, M), np.float32)
+    mask[0, :2] = 1.0
+    masks = np.zeros((B, M, Sm, Sm), np.float32)
+    masks[0, 0, 7:9, 12:14] = 1
+    masks[0, 1, 4:12, 1:7] = 1
+    hyp = {"degrees": 0.0, "translate": 0.0, "scale": 0.0, "shear": 0.0,
+           "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0, "fliplr": 0.0,
+           "flipud": 0.0, "mixup": 0.0, "copy_paste": 1.0}
+    out = augment_batch(jnp.asarray(images), jnp.asarray(cls), jnp.asarray(bboxes),
+                        jnp.asarray(mask), jax.random.PRNGKey(0), S, hyp,
+                        mosaic=False, masks=jnp.asarray(masks))
+    _, _, _, vmask, ex = out
+    n_slots = vmask.shape[1]
+    base = n_slots // 2
+    # the big candidate (flipped slot 1 -> covers slot 0's box) must be gated out
+    assert not bool(vmask[0, base + 1]), "big candidate covering a small object was pasted"
+
+
+def test_non_mosaic_single_source_label_count():
+    """mosaic=False must produce M label slots (single source tile), not 4M."""
+    import jax
+
+    from edgeyolo_tpu.data.augment_device import augment_batch
+
+    B, S, M = 2, 64, 6
+    rng = np.random.RandomState(1)
+    images = rng.randint(0, 255, (B, S, S, 3), np.uint8)
+    cls = np.zeros((B, M), np.float32)
+    bboxes = np.tile(np.asarray([[0.5, 0.5, 0.4, 0.4]], np.float32), (B, M, 1))
+    mask = np.ones((B, M), np.float32)
+    hyp = {"degrees": 0.0, "translate": 0.1, "scale": 0.5, "shear": 0.0,
+           "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4, "fliplr": 0.5,
+           "flipud": 0.0, "mixup": 0.0}
+    img01, acls, aboxes, amask = augment_batch(
+        jnp.asarray(images), jnp.asarray(cls), jnp.asarray(bboxes),
+        jnp.asarray(mask), jax.random.PRNGKey(0), S, hyp, mosaic=False)
+    assert acls.shape == (B, M) and aboxes.shape == (B, M, 4)
+    assert img01.shape == (B, S, S, 3)

@@ -148,3 +148,24 @@ def test_botsort_gmc_compensates_pan(tmp_path):
         if len(out):
             ids.append(int(out[0, 4]))
     assert len(set(ids)) == 1 and len(ids) >= 4
+
+
+def test_botsort_update_dispatches_botrack_multi_predict(monkeypatch):
+    """BOTSORT tracks carry XYWH Kalman state; the update loop must predict
+    through BOTrack.multi_predict (XYWH shared filter), not the base
+    STrack (XYAH) one."""
+    from edgeyolo_tpu.trackers.bot_sort import BOTSORT, BOTrack
+
+    called = {"n": 0}
+    orig = BOTrack.multi_predict  # staticmethod -> plain function from class
+
+    def spy(stracks):
+        called["n"] += 1
+        return orig(stracks)
+
+    monkeypatch.setattr(BOTrack, "multi_predict", staticmethod(spy))
+    bot = BOTSORT()
+    det = np.asarray([[10.0, 10.0, 50.0, 50.0]], np.float32)
+    for f in range(3):
+        bot.update(det + f, np.asarray([0.9], np.float32), np.asarray([0.0], np.float32))
+    assert called["n"] >= 2  # predict ran through the BOTrack filter each frame
