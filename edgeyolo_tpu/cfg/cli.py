@@ -8,10 +8,12 @@ help/version/settings/checks, typo suggestions).
 from __future__ import annotations
 
 import ast
+import json
 import sys
+from pathlib import Path
 
 from edgeyolo_tpu.cfg import check_dict_alignment
-from edgeyolo_tpu.utils import DEFAULT_CFG_DICT, LOGGER, MODES, TASKS, colorstr
+from edgeyolo_tpu.utils import DEFAULT_CFG_DICT, DEFAULT_CFG_PATH, LOGGER, MODES, TASKS, colorstr
 
 CLI_HELP = f"""
     Usage: edgeyolo TASK MODE ARGS
@@ -60,6 +62,37 @@ def entrypoint(argv: list[str] | None = None) -> int:
 
         LOGGER.info(collect_system_info())
         return 0
+    if args[0] == "settings":
+        # `edgeyolo settings [reset | key=value ...]` (reference
+        # handle_yolo_settings, cfg/__init__.py:579)
+        from edgeyolo_tpu.utils import SettingsManager
+
+        s = SettingsManager()
+        rest = args[1:]
+        if rest and rest[0] == "reset":
+            s.reset()
+            LOGGER.info("settings reset to defaults")
+        elif rest:
+            s.update(**dict(parse_key_value(a) for a in rest if "=" in a))
+        LOGGER.info(json.dumps(dict(s), indent=2))
+        return 0
+    if args[0] == "cfg":
+        LOGGER.info(json.dumps(DEFAULT_CFG_DICT, indent=2, default=str))
+        return 0
+    if args[0] == "copy-cfg":
+        import shutil
+
+        dst = Path.cwd() / "default_copy.yaml"
+        shutil.copy2(DEFAULT_CFG_PATH, dst)
+        LOGGER.info(f"copied default cfg -> {dst} (use with cfg={dst.name})")
+        return 0
+    if args[0] == "solutions":
+        from edgeyolo_tpu import solutions as _sol
+
+        names = [n for n in dir(_sol) if n[:1].isupper()]
+        LOGGER.info("available solutions (use from Python, edgeyolo_tpu.solutions):\n  "
+                    + "\n  ".join(names))
+        return 0
 
     task = None
     mode = None
@@ -67,7 +100,8 @@ def entrypoint(argv: list[str] | None = None) -> int:
     for a in args:
         if "=" in a:
             k, v = parse_key_value(a)
-            check_dict_alignment(DEFAULT_CFG_DICT, {k: v})
+            if k not in {"iterations"}:  # tune-only key, not a cfg flag
+                check_dict_alignment(DEFAULT_CFG_DICT, {k: v})
             overrides[k] = v
         elif a in TASKS:
             task = a
@@ -104,6 +138,9 @@ def entrypoint(argv: list[str] | None = None) -> int:
         LOGGER.info(f"exported -> {out}")
     elif mode == "benchmark":
         model.benchmark(**{k: v for k, v in overrides.items() if k in {"imgsz", "data"}})
+    elif mode == "tune":
+        iterations = int(overrides.pop("iterations", 10))
+        model.tune(iterations=iterations, **overrides)
     return 0
 
 

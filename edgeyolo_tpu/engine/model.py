@@ -35,13 +35,14 @@ class YOLO:
         elif model.endswith(".pt"):
             self._load_torch_checkpoint(model, task)
         else:
-            self.task = task or guess_model_task(model)
-            cls = self.task_map[self.task]["model"]
             from edgeyolo_tpu.nn.tasks import WorldModel, yaml_model_load as _yml
 
-            if "World" in str(_yml(model).get("head", [[None, None, ""]])[-1][2]):
+            d = _yml(model)  # load once: task guess, World probe, and build
+            self.task = task or guess_model_task(d)
+            cls = self.task_map[self.task]["model"]
+            if "World" in str(d.get("head", [[None, None, ""]])[-1][2]):
                 cls = WorldModel
-            self.model = cls(model, verbose=verbose)
+            self.model = cls(d, verbose=verbose)
             self.model_name = model
         self.model.names = getattr(self.model, "names", {})
 
@@ -89,17 +90,23 @@ class YOLO:
             raise FileNotFoundError(f"checkpoint metadata {meta_p} not found")
         meta = json.loads(meta_p.read_text())
         model_yaml = meta.get("model_yaml") or "yolo11n.yaml"
-        self.task = task or "detect"
-        cls = self.task_map[self.task]["model"]
-        from edgeyolo_tpu.nn.tasks import yaml_model_load
+        from edgeyolo_tpu.nn.tasks import WorldModel, yaml_model_load
 
-        # save_pretrained embeds the yaml dict when the model wasn't built
-        # from a named yaml (e.g. torch .pt imports)
+        # save_pretrained/trainer embed the yaml dict when the model wasn't
+        # built from a named yaml (e.g. torch .pt imports)
         d = dict(meta["model_cfg"]) if meta.get("model_cfg") else yaml_model_load(model_yaml)
         if meta.get("scale"):
             d["scale"] = meta["scale"]
         if meta.get("nc"):
             d["nc"] = int(meta["nc"])
+        # a segment/pose/... checkpoint loaded as detect would silently parse
+        # its head output wrong — derive the task from the sidecar or the cfg
+        self.task = (task or meta.get("task")
+                     or (meta.get("train_args") or {}).get("task")
+                     or guess_model_task(d))
+        cls = self.task_map[self.task]["model"]
+        if "World" in str(d.get("head", [[None, None, ""]])[-1][2]):
+            cls = WorldModel
         self.model = cls(d)
         from edgeyolo_tpu.train.trainer import load_checkpoint
 
@@ -136,7 +143,8 @@ class YOLO:
             LOGGER.warning(f"torch import: {len(rep['missing'])} missing, {len(dropped)} unused keys")
         self.model.variables = jax.tree.map(jnp.asarray, nv)
         if hasattr(tm, "names"):
-            self.model.names = dict(tm.names) if not isinstance(tm.names, dict) else tm.names
+            n = tm.names
+            self.model.names = dict(enumerate(n)) if isinstance(n, (list, tuple)) else dict(n)
         self.ckpt_path = path
         self.model_name = path
 
@@ -298,14 +306,18 @@ class YOLO:
 
         model_name, task = self.model_name, self.task
         nc = self.model.nc
+        # rebuild from the model's own cfg dict — model_name may be a .pt /
+        # .msgpack path that yaml_model_load cannot parse
+        cfg = dict(self.model.yaml)
 
         def factory():
-            from edgeyolo_tpu.nn.tasks import yaml_model_load
-
-            m = YOLO(model_name, task=task)
-            d = yaml_model_load(model_name)
+            m = YOLO.__new__(YOLO)
+            m.overrides, m.predictor, m.ckpt_path = {}, None, None
+            m.task, m.model_name = task, model_name
+            d = dict(cfg)
             d["nc"] = nc
             m.model = type(self.model)(d)
+            m.model.names = getattr(self.model, "names", {})
             return m
 
         tuner = Tuner(vars(get_cfg(overrides={})), save_dir=get_save_dir(

@@ -62,7 +62,10 @@ class Exporter:
         fmt = str(self.args.format or "stablehlo").lower()
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
-        imgsz = int(self.args.imgsz)
+        raw_sz = self.args.imgsz
+        # the cfg surface accepts list imgsz; export is square (TPU-static
+        # H/W), so take the long side
+        imgsz = int(max(raw_sz)) if isinstance(raw_sz, (list, tuple)) else int(raw_sz)
         batch = 1
         name = Path(getattr(model.yaml, "get", lambda *_: "model")("yaml_file") or "model").stem
 
@@ -83,7 +86,11 @@ class Exporter:
             "pred": "(B, A, 4+nc) xywh pixels + class probs",
             "model_yaml": model.yaml.get("yaml_file", ""),
             "scale": model.scale,
+            "task": getattr(model, "task", "detect"),
         }
+        if not meta["model_yaml"]:  # dict-built (e.g. .pt-imported): embed cfg
+            meta["model_cfg"] = {k: v for k, v in model.yaml.items()
+                                 if isinstance(v, (int, float, str, bool, list, dict, type(None)))}
 
         if fmt == "stablehlo":
             return self.export_stablehlo(fwd, x, out_dir / f"{name}.stablehlo", meta)
@@ -91,8 +98,14 @@ class Exporter:
             return self.export_jax(fwd, x, out_dir / f"{name}.jaxexp", meta)
         if fmt == "npz":
             return self.export_npz(variables, out_dir / f"{name}.npz", meta)
-        if fmt in {"saved_model", "tflite", "pb", "tfjs", "edgetpu"}:
+        if fmt in {"saved_model", "tflite"}:
             return self.export_tf(fwd, x, out_dir / name, fmt, meta)
+        if fmt in {"pb", "tfjs", "edgetpu"}:
+            raise NotImplementedError(
+                f"'{fmt}' requires toolchains absent from this image (tfjs "
+                "converter / edgetpu compiler); export 'saved_model' or "
+                "'tflite' and convert externally"
+            )
         if fmt == "onnx":
             raise NotImplementedError(
                 "onnx export is not implemented in this build (no jax->onnx "
@@ -102,9 +115,23 @@ class Exporter:
             )
         raise ValueError(f"unknown export format '{fmt}'; supported: {list(EXPORT_FORMATS)}")
 
+    @staticmethod
+    def _export_native(fwd, x):
+        """jax.export with a SYMBOLIC batch dimension (mirrors the TF path's
+        polymorphic batch) so the artifact serves any batch size; falls back
+        to static batch=1 if some op refuses shape polymorphism."""
+        try:
+            (b,) = jax.export.symbolic_shape("b")
+            spec = jax.ShapeDtypeStruct((b, *x.shape[1:]), x.dtype)
+            return jax.export.export(jax.jit(fwd))(spec)
+        except Exception as e:
+            LOGGER.warning(f"export: symbolic-batch export failed ({e}); "
+                           "falling back to static batch=1")
+            return jax.export.export(jax.jit(fwd))(x)
+
     @try_export
     def export_stablehlo(self, fwd, x, path: Path, meta: dict):
-        exported = jax.export.export(jax.jit(fwd))(x)
+        exported = self._export_native(fwd, x)
         path.write_text(exported.mlir_module())
         # serialized twin so AutoBackend can execute the artifact (the text
         # form is for inspection/interop)
@@ -114,7 +141,7 @@ class Exporter:
 
     @try_export
     def export_jax(self, fwd, x, path: Path, meta: dict):
-        exported = jax.export.export(jax.jit(fwd))(x)
+        exported = self._export_native(fwd, x)
         blob = exported.serialize()
         path.write_bytes(blob)
         path.with_suffix(".json").write_text(json.dumps(meta, default=str))

@@ -39,8 +39,8 @@ def _import_tf(fmt: str):
 class AutoBackend:
     """Load any supported artifact and expose `__call__(img) -> pred`."""
 
-    def __init__(self, weights, task: str = "detect"):
-        self.task = task
+    def __init__(self, weights, task: str | None = None):
+        self.task = task or "detect"
         self.kind = None
         self.names = {}
         self.stride = (8, 16, 32)
@@ -68,7 +68,9 @@ class AutoBackend:
             from edgeyolo_tpu import YOLO
 
             self.kind = "checkpoint"
-            self.model = YOLO(str(p), task=task).model
+            y = YOLO(str(p), task=task)
+            self.model = y.model
+            self.task = y.task
         elif suffix in {".jaxexp"}:
             import jax
 
@@ -86,16 +88,31 @@ class AutoBackend:
             self.kind = "jax_export"
             self._call = jax.export.deserialize(twin.read_bytes()).call
         elif suffix == ".npz":
-            from edgeyolo_tpu.nn.tasks import DetectionModel, yaml_model_load
+            from edgeyolo_tpu.nn.tasks import (
+                ClassificationModel,
+                DetectionModel,
+                OBBModel,
+                PoseModel,
+                SegmentationModel,
+                guess_model_task,
+                yaml_model_load,
+            )
 
             self.kind = "npz"
-            model_yaml = meta.get("model_yaml") or "yolo11n.yaml"
-            d = yaml_model_load(model_yaml)
+            # exporter embeds model_cfg for dict-built models (no yaml name)
+            if meta.get("model_cfg"):
+                d = dict(meta["model_cfg"])
+            else:
+                d = yaml_model_load(meta.get("model_yaml") or "yolo11n.yaml")
             if meta.get("scale"):
                 d["scale"] = meta["scale"]
             if meta.get("nc"):
                 d["nc"] = int(meta["nc"])
-            self.model = DetectionModel(d)
+            t = task or meta.get("task") or guess_model_task(d)
+            self.task = t
+            cls = {"segment": SegmentationModel, "pose": PoseModel, "obb": OBBModel,
+                   "classify": ClassificationModel}.get(t, DetectionModel)
+            self.model = cls(d)
             self.model.init(0, imgsz=64)
             self._load_npz(p)
         elif suffix == ".tflite":
@@ -147,7 +164,11 @@ class AutoBackend:
             if isinstance(out, dict):  # serving_default returns a dict
                 out = next(iter(out.values()))
             return jnp.asarray(out.numpy())
-        return self._call(img)
+        import jax.numpy as jnp
+
+        # exported programs are dtype-exact: cast bf16/f64 inputs to the f32
+        # the artifact was traced at
+        return self._call(jnp.asarray(img, jnp.float32))
 
     def _run_tflite(self, img):
         import jax.numpy as jnp

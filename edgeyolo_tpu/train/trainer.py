@@ -601,11 +601,15 @@ class DetectionTrainer(CallbackMixin):
         meta = {
             "epoch": epoch, "best_fitness": float(self.best_fitness),
             "model_yaml": self.model.yaml.get("yaml_file", ""),
+            "task": getattr(self.model, "task", "detect"),
             "scale": self.model.scale, "nc": self.model.nc,
             "names": self.model.names,
             "train_args": {k: v for k, v in vars(self.args).items()
                            if isinstance(v, (int, float, str, bool, type(None)))},
         }
+        if not meta["model_yaml"]:  # dict-built model: embed the cfg itself
+            meta["model_cfg"] = {k: v for k, v in self.model.yaml.items()
+                                 if isinstance(v, (int, float, str, bool, list, dict, type(None)))}
         (self.save_dir / f"{name}.json").write_text(json.dumps(meta, default=str))
 
 

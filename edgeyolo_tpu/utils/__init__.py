@@ -34,7 +34,7 @@ MACOS, LINUX, WINDOWS = (platform.system() == x for x in ("Darwin", "Linux", "Wi
 VERBOSE = str(os.getenv("EDGEYOLO_VERBOSE", "true")).lower() == "true"
 
 TASKS = frozenset({"detect", "segment", "classify", "pose", "obb"})
-MODES = frozenset({"train", "val", "predict", "export", "track", "benchmark"})
+MODES = frozenset({"train", "val", "predict", "export", "track", "benchmark", "tune"})
 
 
 def emojis(s: str = "") -> str:

@@ -76,3 +76,38 @@ def test_settings_manager_roundtrip(tmp_path, monkeypatch):
         s2.update(sync="yes")
     s2.reset()
     assert SettingsManager()["runs_dir"] == s2.defaults["runs_dir"]
+
+
+def test_cli_special_commands(tmp_path, monkeypatch):
+    """settings / cfg / copy-cfg / solutions special commands (reference
+    entrypoint SPECIAL map, cfg/__init__.py:851)."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("EDGEYOLO_CONFIG_DIR", str(tmp_path / "cfgdir"))
+    assert entrypoint(["cfg"]) == 0
+    assert entrypoint(["solutions"]) == 0
+    assert entrypoint(["copy-cfg"]) == 0
+    assert (tmp_path / "default_copy.yaml").exists()
+    assert entrypoint(["settings"]) == 0
+
+
+def test_cli_tune_mode_dispatches(monkeypatch):
+    """`edgeyolo detect tune ...` must reach YOLO.tune (it used to parse and
+    silently do nothing)."""
+    import edgeyolo_tpu.cfg.cli as cli
+
+    calls = {}
+
+    class FakeYOLO:
+        def __init__(self, model, task=None):
+            calls["model"] = model
+
+        def tune(self, iterations=10, **kw):
+            calls["iterations"] = iterations
+            return {"ok": True}
+
+    monkeypatch.setattr("edgeyolo_tpu.engine.model.YOLO", FakeYOLO)
+    import edgeyolo_tpu
+
+    monkeypatch.setattr(edgeyolo_tpu, "YOLO", FakeYOLO, raising=False)
+    assert cli.entrypoint(["detect", "tune", "iterations=3"]) == 0
+    assert calls.get("iterations") == 3
