@@ -434,7 +434,8 @@ class DataLoader:
     """
 
     def __init__(self, dataset: YOLODataset, batch_size: int = 16, shuffle: bool = False,
-                 seed: int = 0, drop_last: bool = False, prefetch: int = 2):
+                 seed: int = 0, drop_last: bool = False, prefetch: int = 2,
+                 shard_rank: int = 0, shard_count: int = 1):
         self.dataset = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -442,9 +443,16 @@ class DataLoader:
         self.epoch = 0
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # multi-host: each process iterates a disjoint stride of the (same-
+        # seed, identically shuffled) index space — the DistributedSampler
+        # analog; batch_size is then the PER-HOST batch
+        self.shard_rank = shard_rank
+        self.shard_count = max(shard_count, 1)
 
     def __len__(self):
         n = len(self.dataset)
+        if self.shard_count > 1:
+            n = n // self.shard_count  # truncated so every host steps in lockstep
         return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
 
     def _indices(self):
@@ -452,6 +460,12 @@ class DataLoader:
         if self.shuffle:
             rng = random.Random(self.seed + self.epoch)
             rng.shuffle(idx)
+        if self.shard_count > 1:
+            # truncate to a multiple of shard_count: every host sees the SAME
+            # number of batches (an uneven tail would desync the SPMD loop and
+            # hang the collectives)
+            idx = idx[: len(idx) - len(idx) % self.shard_count]
+            idx = idx[self.shard_rank :: self.shard_count]
         return idx
 
     def _collate(self, chunk: list[int]) -> dict:
@@ -506,8 +520,10 @@ class DataLoader:
             yield b
 
 
-def build_dataloader(dataset, batch_size, shuffle=True, seed=0, drop_last=False):
-    return DataLoader(dataset, batch_size, shuffle=shuffle, seed=seed, drop_last=drop_last)
+def build_dataloader(dataset, batch_size, shuffle=True, seed=0, drop_last=False,
+                     shard_rank=0, shard_count=1):
+    return DataLoader(dataset, batch_size, shuffle=shuffle, seed=seed, drop_last=drop_last,
+                      shard_rank=shard_rank, shard_count=shard_count)
 
 
 def _convex_hull(pts: np.ndarray) -> np.ndarray:

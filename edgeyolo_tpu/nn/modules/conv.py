@@ -34,6 +34,30 @@ def silu(x):
     return jax.nn.silu(x)
 
 
+# trace-time default for `act=True` — the reference's `Conv.default_act`
+# class-attribute global (its parse_model mutates it so NESTED convs, e.g.
+# SPPF internals and Detect towers, also honor a yaml `activation:` override).
+# GraphNet scopes it per-model with the `default_act` context manager, which
+# is safer than the reference's sticky class attribute.
+_DEFAULT_ACT = "silu"
+
+
+class default_act:
+    """Context manager scoping the act=True resolution during a trace."""
+
+    def __init__(self, name: str | None):
+        self.name = name or "silu"
+
+    def __enter__(self):
+        global _DEFAULT_ACT
+        self.prev = _DEFAULT_ACT
+        _DEFAULT_ACT = self.name
+
+    def __exit__(self, *exc):
+        global _DEFAULT_ACT
+        _DEFAULT_ACT = self.prev
+
+
 class ConvBN(nn.Module):
     """conv(bias=False) -> BatchNorm -> activation. The universal building block."""
 
@@ -72,7 +96,7 @@ class ConvBN(nn.Module):
 
 def _apply_act(x, act):
     if act is True:
-        return jax.nn.silu(x)
+        act = _DEFAULT_ACT
     if act is False or act is None:
         return x
     if act == "telu":

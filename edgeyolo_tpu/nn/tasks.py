@@ -133,7 +133,10 @@ _CONV_LIKE = {
     "DSC3K2_MSLA", "DSC3K2_LGL", "C3AW_MLM",
 }
 _REPEAT_INSERT = {
-    "C1", "C2", "C2f", "C3", "C3x", "C3k", "C3k2", "C3k2_Wavelet", "C3k2_TWavelet",
+    # NOTE: bare "C3k" deliberately absent — the reference's repeat-insert set
+    # (tasks.py:1044-1066) has C3/C3k2 but not C3k, so n>1 C3k lines build n
+    # sequential blocks, not one block with n inner bottlenecks
+    "C1", "C2", "C2f", "C3", "C3x", "C3k2", "C3k2_Wavelet", "C3k2_TWavelet",
     "C2fPSA", "C2PSA", "C2PSA_LinearAttention", "DSC3K2", "DSC3K2_Wavelet",
     "A2C2f", "C2fCIB", "BottleneckCSP", "C3Ghost", "RepC3", "C2fAttn", "DSC3K2_MSLA", "DSC3K2_LGL",
 }
@@ -234,7 +237,7 @@ def parse_spec(d: dict, ch: int = 3, verbose: bool = False):
                 n_scaled = 1
             if name in _C3K2_FAMILY:
                 legacy = False
-                if scale in "lx":
+                if scale and scale in "lx":
                     # args = [c2, n, c3k, ...]
                     if len(args) > 2:
                         args[2] = True
@@ -242,7 +245,7 @@ def parse_spec(d: dict, ch: int = 3, verbose: bool = False):
                         args.append(True)
             if name == "A2C2f":
                 legacy = False
-                if scale in "lx":
+                if scale and scale in "lx":
                     # append residual=True, mlp_ratio=1.5 (ref tasks.py:1073-1076)
                     while len(args) < 6:
                         args.append({2: True, 3: 1, 4: False, 5: 2.0}.get(len(args)))
@@ -260,13 +263,13 @@ def parse_spec(d: dict, ch: int = 3, verbose: bool = False):
                 he = int(he * 1.5)
             args = [c2, n_scaled, he, *args[2:]]
             n_scaled = 1
-            if scale in "lx":
+            if scale and scale in "lx":
                 args.append(False)  # channel_adjust
         elif name == "DownsampleConv":
             c1 = ch_list[f_list[0]]
             c2 = c1 * 2
             args = [c1]
-            if scale in "lx":
+            if scale and scale in "lx":
                 args.append(False)
                 c2 = c1
         elif name == "DySample":
@@ -282,12 +285,18 @@ def parse_spec(d: dict, ch: int = 3, verbose: bool = False):
         elif name in {"HGStem", "HGBlock"}:
             c2 = args[1]
             if name == "HGBlock":
-                args = [args[0], args[1], *args[2:]]
                 args.insert(3, n_scaled)
                 n_scaled = 1
         elif name == "ResNetLayer":
-            # c2 = base channels when is_first (stem), else expansion x4
-            c2 = args[0] if (len(args) > 2 and args[2]) else args[0] * 4
+            # reference yaml layout is [c1, c2, s, is_first, n, e?]
+            # (rt-detr/rtdetr-resnet50.yaml:15); detect it by the bool at
+            # index 3 and strip the redundant c1 (the local module derives
+            # input channels from the graph)
+            if len(args) >= 4 and isinstance(args[3], bool):
+                args = list(args[1:])
+            e_exp = args[4] if len(args) > 4 else 4
+            # c2 = base channels when is_first (stem), else expansion x e
+            c2 = args[0] if (len(args) > 2 and args[2]) else args[0] * e_exp
         elif name == "AIFI":
             c1 = ch_list[f_list[0]]
             args = [c1, *args]
@@ -329,7 +338,8 @@ def parse_spec(d: dict, ch: int = 3, verbose: bool = False):
         ch_list.append(c2)
         if verbose:
             LOGGER.info(f"{i:>3}{str(f):>20}{n_scaled:>3}  {name:<30}{str(args):<30}")
-    return tuple(layers), tuple(sorted(save)), {"nc": nc, "scale": scale, "ch": tuple(ch_list)}
+    return tuple(layers), tuple(sorted(save)), {"nc": nc, "scale": scale, "ch": tuple(ch_list),
+                                                "act": act_override or "silu"}
 
 
 def _freeze(a):
@@ -412,6 +422,8 @@ class GraphNet(nn.Module):
     spec: tuple[LayerSpec, ...]
     save: tuple[int, ...]
     head_stride: tuple[int, ...] = ()
+    default_act: str = "silu"  # yaml `activation:` override, applied to every
+    # act=True conv in the graph incl. nested ones (reference Conv.default_act)
 
     def setup(self):
         mods = []
@@ -423,6 +435,12 @@ class GraphNet(nn.Module):
     TEXT_MODULES = frozenset({"C2fAttn", "ImagePoolingAttn", "WorldDetect"})
 
     def __call__(self, x, train: bool = False, text=None, dn=None):
+        from edgeyolo_tpu.nn.modules.conv import default_act as _act_scope
+
+        with _act_scope(self.default_act):
+            return self._walk(x, train=train, text=text, dn=dn)
+
+    def _walk(self, x, train: bool = False, text=None, dn=None):
         y: dict[int, Any] = {}
         out = x
         for sp, blk in zip(self.spec, self.blocks):
@@ -483,7 +501,8 @@ class BaseModel:
             self.stride = tuple(int(strides[j]) for j in head_sp.f)
         else:
             self.stride = (int(max(strides)),) if strides else (32,)
-        self.net = GraphNet(self.spec, self.save, head_stride=self.stride)
+        self.net = GraphNet(self.spec, self.save, head_stride=self.stride,
+                            default_act=info.get("act", "silu"))
         self.names = {i: f"{i}" for i in range(self.nc)}
         self.variables = None  # {"params": ..., "batch_stats": ...}
         self.quant = None  # QuantState: int8 inference when set (nn/quant.py)

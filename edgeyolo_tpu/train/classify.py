@@ -63,7 +63,11 @@ class ClassificationTrainer(CallbackMixin):
 
         train_set = ClassificationDataset(data_cfg["train"], imgsz=imgsz, augment=True,
                                           fraction=float(args.fraction), names=names)
-        loader = ClassifyLoader(train_set, bs, shuffle=True, seed=int(args.seed))
+        # drop the partial tail batch (torch drop_last semantics): the loader
+        # otherwise wrap-pads it with other images, which would train those
+        # fillers at full weight. Kept on for datasets of >= one batch.
+        loader = ClassifyLoader(train_set, bs, shuffle=True, seed=int(args.seed),
+                                drop_last=len(train_set) >= bs)
         nb = len(loader)
 
         accumulate = max(round(int(args.nbs) / bs), 1)
@@ -112,7 +116,7 @@ class ClassificationTrainer(CallbackMixin):
         net = self.model.net
 
         @partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, images, labels, wimg, key):
+        def train_step(state, images, labels, key):
             params, batch_stats, opt_state, ema, step = state
             img01 = classify_augment_batch(images, key, hyp_dict)
             x = img01.astype(jnp.bfloat16) if use_bf16 else img01
@@ -122,9 +126,7 @@ class ClassificationTrainer(CallbackMixin):
                                         x, train=True, mutable=["batch_stats"])
                 logits = logits.astype(jnp.float32)
                 logp = jax.nn.log_softmax(logits, axis=-1)
-                nll_i = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-                # wrapped final-batch fillers (ClassifyLoader) train at 0 weight
-                nll = jnp.sum(nll_i * wimg) / jnp.maximum(jnp.sum(wimg), 1.0)
+                nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
                 return nll, mut["batch_stats"]
 
             (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -168,12 +170,9 @@ class ClassificationTrainer(CallbackMixin):
             losses = []
             for batch in loader:
                 key, sub = jax.random.split(key)
-                n_real = int(batch.get("n_real", batch["img"].shape[0]))
-                wimg = np.concatenate([np.ones(n_real, np.float32),
-                                       np.zeros(batch["img"].shape[0] - n_real, np.float32)])
-                sb = shard_batch({"img": batch["img"], "cls": batch["cls"].astype(np.int32),
-                                  "w": wimg}, self.mesh)
-                state, loss = train_step(state, sb["img"], sb["cls"], sb["w"], sub)
+                sb = shard_batch({"img": batch["img"], "cls": batch["cls"].astype(np.int32)},
+                                 self.mesh)
+                state, loss = train_step(state, sb["img"], sb["cls"], sub)
                 losses.append(float(loss))
             mloss = float(np.mean(losses)) if losses else 0.0
 

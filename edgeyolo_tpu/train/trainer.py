@@ -180,6 +180,21 @@ class DetectionTrainer(CallbackMixin):
         self.save_dir.mkdir(parents=True, exist_ok=True)
         yaml_save(self.save_dir / "args.yaml", vars(args))
 
+        # multi-host: join the jax.distributed runtime when a launcher exported
+        # the coordinator triplet (parallel/distributed.py; on real TPU pods
+        # the env probe also covers bare auto-detected initialization)
+        import os as _os
+
+        from edgeyolo_tpu.parallel import distributed as _dist
+
+        if ((_os.environ.get("EDGEYOLO_COORDINATOR") or _os.environ.get("EDGEYOLO_NUM_PROCS"))
+                and not _dist.is_initialized()):
+            _dist.init_distributed()
+        n_proc = jax.process_count()
+        self.is_main = jax.process_index() == 0
+        if n_proc > 1 and bs % n_proc:
+            raise ValueError(f"global batch {bs} must divide across {n_proc} processes")
+
         task = getattr(self.model, "task", "detect")
         kpt_shape = tuple(self.model.yaml.get("kpt_shape", (17, 3)))
         train_set = YOLODataset(
@@ -187,7 +202,11 @@ class DetectionTrainer(CallbackMixin):
             single_cls=bool(args.single_cls), fraction=float(args.fraction), names=names,
             task=task, kpt_shape=kpt_shape, mask_ratio=int(args.mask_ratio),
         )
-        loader = build_dataloader(train_set, bs, shuffle=True, seed=int(args.seed), drop_last=False)
+        # per-host loader: each process feeds bs/n_proc samples of its own
+        # disjoint stride; host_local_batch assembles the global jax.Arrays
+        loader = build_dataloader(train_set, bs // n_proc, shuffle=True,
+                                  seed=int(args.seed), drop_last=False,
+                                  shard_rank=jax.process_index(), shard_count=n_proc)
         nb = len(loader)
 
         # optimizer
@@ -446,7 +465,10 @@ class DetectionTrainer(CallbackMixin):
                 # item would train at (1 + pad_count) x the weight of any other
                 keep["img_weight"] = np.concatenate(
                     [np.ones(n_real, np.float32), np.zeros(B_full - n_real, np.float32)])
-                sb = shard_batch(keep, self.mesh)
+                if n_proc > 1:  # assemble the global batch from per-host slices
+                    sb = _dist.host_local_batch(keep, self.mesh)
+                else:
+                    sb = shard_batch(keep, self.mesh)
                 # first 3 train-batch mosaics, augmented (reference
                 # trainer.py:407-423 plot_training_samples)
                 if args.plots and epoch == 0 and bi < 3 and geo_aug_ok:
@@ -476,8 +498,14 @@ class DetectionTrainer(CallbackMixin):
             fitness_val = None
             metrics_row = {}
             if args.val:
-                metrics_row = self._validate(state, data_cfg)
-                fitness_val = metrics_row.get("fitness", 0.0)
+                if n_proc > 1:
+                    # the validator's device_put path is single-process; on a
+                    # real pod run val offline from the saved checkpoints
+                    if epoch == start_epoch:
+                        LOGGER.warning("multi-host run: skipping in-loop validation")
+                else:
+                    metrics_row = self._validate(state, data_cfg)
+                    fitness_val = metrics_row.get("fitness", 0.0)
             self.last_metrics = dict(metrics_row)
             self.run_callbacks("on_fit_epoch_end")
             lr_now = float(lr_at(np.asarray(int(state[4]))))
@@ -490,12 +518,13 @@ class DetectionTrainer(CallbackMixin):
                 **{k: round(float(v), 5) for k, v in metrics_row.items()},
                 "lr/pg0": round(lr_now, 6),
             }
-            write_header = not csv_path.exists()
-            with open(csv_path, "a", newline="") as f:
-                w = csv.DictWriter(f, fieldnames=list(row))
-                if write_header:
-                    w.writeheader()
-                w.writerow(row)
+            if self.is_main:  # results.csv is a rank-0 artifact on shared FS
+                write_header = not csv_path.exists()
+                with open(csv_path, "a", newline="") as f:
+                    w = csv.DictWriter(f, fieldnames=list(row))
+                    if write_header:
+                        w.writeheader()
+                    w.writerow(row)
             LOGGER.info(
                 f"epoch {epoch + 1}/{epochs} box {mloss[0]:.4f} cls {mloss[1]:.4f} "
                 f"dfl {mloss[2]:.4f}" + (f" fitness {fitness_val:.4f}" if fitness_val is not None else "")
@@ -503,11 +532,13 @@ class DetectionTrainer(CallbackMixin):
 
             if fitness_val is not None and fitness_val >= self.best_fitness:
                 self.best_fitness = fitness_val
-                self._save_ckpt(state, epoch, "best")
-            self._save_ckpt(state, epoch, "last")
+                if self.is_main:
+                    self._save_ckpt(state, epoch, "best")
+            if self.is_main:  # ckpts are rank-0 artifacts (state is replicated)
+                self._save_ckpt(state, epoch, "last")
             self.run_callbacks("on_model_save")
             sp = int(args.save_period)
-            if sp > 0 and (epoch + 1) % sp == 0:
+            if sp > 0 and (epoch + 1) % sp == 0 and self.is_main:
                 self._save_ckpt(state, epoch, f"epoch{epoch}")
             if stopper(epoch, fitness_val):
                 stop = True

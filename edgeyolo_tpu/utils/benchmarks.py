@@ -55,40 +55,67 @@ def benchmark(model, imgsz: int = 640, batch: int = 1, iters: int = 30, data=Non
     import jax
     import jax.numpy as jnp
 
+    from edgeyolo_tpu.cfg import get_cfg
     from edgeyolo_tpu.export.exporter import EXPORT_FORMATS, Exporter
     from edgeyolo_tpu.nn.autobackend import AutoBackend
     from edgeyolo_tpu.ops.nms import non_max_suppression
 
     model._ensure_init(imgsz)
     handle = model.model
+    task = getattr(model, "task", getattr(handle, "task", "detect"))
+    nc = handle.nc
     use_bf16 = jax.devices()[0].platform != "cpu"
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randint(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
 
-    def make_pipeline(apply_fn):
-        @jax.jit
+    @jax.jit
+    def _post(pred):
+        # seg/pose preds append mask-coef/kpt channels after the class probs;
+        # the latency table suppresses on the shared box+cls slice
+        return non_max_suppression(
+            pred[..., : 4 + nc].astype(jnp.float32), conf_thres=0.25, iou_thres=0.7,
+            max_det=300, max_nms=4096, multi_label=False,
+        )
+
+    def make_pipeline(apply_fn, jit_ok: bool = True):
+        if jit_ok:
+            @jax.jit
+            def pipeline(img_u8):
+                x = img_u8.astype(jnp.bfloat16 if use_bf16 else jnp.float32) / 255.0
+                pred = apply_fn(x)
+                return _post(pred)
+            return pipeline
+
+        # TF-family backends (tf.lite interpreter / saved_model call) consume
+        # concrete arrays — tracing them under jit raises on the tracer, so
+        # pre/post jit separately and call the backend eagerly
         def pipeline(img_u8):
-            x = img_u8.astype(jnp.bfloat16 if use_bf16 else jnp.float32) / 255.0
+            x = np.asarray(img_u8, np.float32) / 255.0
             pred = apply_fn(x)
-            return non_max_suppression(
-                pred.astype(jnp.float32), conf_thres=0.25, iou_thres=0.7,
-                max_det=300, max_nms=4096, multi_label=False,
-            )
+            return _post(jnp.asarray(pred, jnp.float32))
         return pipeline
 
     def val_map(m_handle, int8=False):
-        from edgeyolo_tpu.cfg import get_cfg
-        from edgeyolo_tpu.engine.validator import DetectionValidator
+        from edgeyolo_tpu.engine.validator import (
+            DetectionValidator,
+            OBBValidator,
+            PoseValidator,
+            SegmentationValidator,
+        )
 
+        # real handles val through their task's validator; backend adapters
+        # expose only pred, which is the detect surface
+        vcls = DetectionValidator
+        if m_handle is handle:
+            vcls = {"segment": SegmentationValidator, "pose": PoseValidator,
+                    "obb": OBBValidator}.get(task, DetectionValidator)
         # the validator's per-call int8 flag is authoritative (it stashes any
         # active QuantState otherwise), so the int8 row must say so
         vargs = get_cfg(overrides={"mode": "val", "data": data, "imgsz": imgsz,
                                    "batch": max(batch, 8), "plots": False,
-                                   "int8": int8})
-        res = DetectionValidator(vargs)(m_handle, data=data)
+                                   "task": task, "int8": int8})
+        res = vcls(vargs)(m_handle, data=data)
         return round(res.get("metrics/mAP50-95(B)", 0.0), 4)
-
-    from edgeyolo_tpu.cfg import get_cfg
 
     fmts = formats or ["native", "native-int8", *EXPORT_FORMATS]
     rows = []
@@ -113,16 +140,22 @@ def benchmark(model, imgsz: int = 640, batch: int = 1, iters: int = 30, data=Non
                 ex = Exporter(get_cfg(overrides={"mode": "export", "imgsz": imgsz,
                                                  "format": fmt}))
                 path = ex(handle, out_dir=out_dir)
-                ab = AutoBackend(path)
+                ab = AutoBackend(path, task=task)
                 backend_apply = lambda x, _ab=ab: _ab(x)
-                m_for_val = _BackendAdapter(ab, handle.nc, handle.names)
-            pipeline = make_pipeline(backend_apply)
+                m_for_val = _BackendAdapter(ab, handle.nc, handle.names,
+                                            getattr(handle, "head_name", "Detect"))
+            jit_ok = fmt in ("native", "native-int8") or getattr(ab, "kind", "") not in (
+                "tflite", "saved_model")
+            pipeline = make_pipeline(backend_apply, jit_ok=jit_ok)
             compile_s, dt = _time_fn(pipeline, img, iters)
             ms_per_img = dt / batch * 1000
             row = {"format": fmt, "status": "ok", "compile_s": round(compile_s, 1),
                    "ms/img": round(ms_per_img, 3), "imgs/s": round(1000 / ms_per_img, 1)}
             if data is not None:
-                row["mAP50-95"] = val_map(m_for_val, int8=(fmt == "native-int8"))
+                if task == "detect" or fmt in ("native", "native-int8"):
+                    row["mAP50-95"] = val_map(m_for_val, int8=(fmt == "native-int8"))
+                else:  # adapters expose pred only; task validators need the
+                    row["mAP50-95"] = "n/a (task)"  # full head-output dict
             rows.append(row)
         except Exception as e:
             rows.append({"format": fmt, "status": f"error: {str(e)[:60]}"})

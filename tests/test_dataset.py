@@ -214,3 +214,23 @@ def test_loader_surfaces_producer_exceptions(tmp_path):
     with pytest.raises(RuntimeError, match="decode failed"):
         for _ in loader:
             pass
+
+
+def test_dataloader_process_sharding(tmp_path):
+    """Multi-host loader contract: same-seed shuffles, disjoint equal-length
+    strides, truncated so every host sees the same batch count."""
+    from PIL import Image
+
+    from edgeyolo_tpu.data.dataset import YOLODataset, build_dataloader
+
+    d = tmp_path / "ds"
+    (d / "images").mkdir(parents=True)
+    for i in range(11):  # odd: forces truncation
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(d / "images" / f"{i:02d}.jpg")
+    ds = YOLODataset(str(d / "images"), imgsz=32, augment=False)
+    l0 = build_dataloader(ds, 2, shuffle=True, seed=7, shard_rank=0, shard_count=2)
+    l1 = build_dataloader(ds, 2, shuffle=True, seed=7, shard_rank=1, shard_count=2)
+    i0, i1 = l0._indices(), l1._indices()
+    assert len(i0) == len(i1) == 5  # 11 -> truncate to 10 -> 5 each
+    assert not set(i0) & set(i1)
+    assert len(l0) == len(l1) == 3  # ceil(5/2) batches, lockstep

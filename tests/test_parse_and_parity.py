@@ -130,3 +130,38 @@ def test_world_param_parity():
     assert m.count_params() == 3695183 - DFL
     m1 = WorldModel("yolov8-world.yaml")
     assert m1.count_params() == 4204111 - DFL
+
+
+def test_activation_override_reaches_nested_convs():
+    """yaml `activation:` must switch act=True convs INSIDE composite blocks
+    (SPPF internals etc.), mirroring the reference's Conv.default_act global —
+    not just the top-level Conv layers."""
+    import jax
+    import numpy as np
+
+    cfg = {"nc": 2, "scale": "",
+           "backbone": [[-1, 1, "Conv", [16, 3, 2]], [-1, 1, "SPPF", [16, 5]]],
+           "head": [[-1, 1, "Classify", [2]]]}
+    relu = DetectionModel(dict(cfg, activation="nn.ReLU()"))
+    silu = DetectionModel(dict(cfg))
+    assert relu.net.default_act == "relu" and silu.net.default_act == "silu"
+    v = relu.init(0, imgsz=32)
+    x = jax.numpy.asarray(np.random.RandomState(0).rand(1, 32, 32, 3), jax.numpy.float32)
+    out_r = relu.net.apply(v, x, train=False)
+    out_s = silu.net.apply(v, x, train=False)  # same weights, different act
+    r = np.asarray(out_r if not isinstance(out_r, dict) else out_r["pred"])
+    s = np.asarray(out_s if not isinstance(out_s, dict) else out_s["pred"])
+    assert np.abs(r - s).max() > 1e-6, "activation override had no effect"
+
+
+def test_rtdetr_resnet_backbone_parses_reference_layout():
+    """rtdetr-resnet yamls keep the reference [c1, c2, s, is_first, n] arg
+    layout; the parser must strip c1 and derive sane channels/strides."""
+    spec, save, info = parse_spec(yaml_model_load("rtdetr-resnet50.yaml"))
+    res = [sp for sp in spec if sp.name == "ResNetLayer"]
+    assert len(res) == 5
+    assert res[0].args[0] == 64 and res[0].args[2] is True  # stem: c2=64, is_first
+    strides = derive_strides(spec)
+    rs = [int(strides[sp.i]) for sp in res]
+    assert rs == [4, 4, 8, 16, 32], rs
+    assert [sp.c2 for sp in res] == [64, 256, 512, 1024, 2048]
