@@ -200,6 +200,106 @@ class YOLO:
     def __call__(self, source, **kwargs):
         return self.predict(source, **kwargs)
 
+    def embed(self, source, stream: bool = False, **kwargs):
+        """One pooled feature vector per image (reference Model.embed:467-499:
+        wraps predict with embed=[...], default = second-to-last layer; each
+        tapped layer is global-avg-pooled and the taps are concatenated)."""
+        import jax
+        import numpy as np
+
+        args = get_cfg(overrides={**self.overrides, "mode": "predict",
+                                  "task": self.task, **kwargs})
+        self._ensure_init(args.imgsz)
+        layers = tuple(kwargs.get("embed") or [len(self.model.spec) - 2])
+        from edgeyolo_tpu.data.letterbox import letterbox
+        from edgeyolo_tpu.engine.predictor import _iter_source
+
+        model = self.model
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False, embed=layers))
+
+        def gen():
+            import jax.numpy as jnp
+
+            for _path, img0 in _iter_source(source):
+                img, _r, _pads = letterbox(img0, int(args.imgsz), scaleup=True)
+                x = jnp.asarray(img[None], jnp.float32) / 255.0
+                yield np.asarray(jax.device_get(fwd(model.variables, x)))[0]
+
+        return gen() if stream else list(gen())
+
+    def fuse(self):
+        """Fold conv+BN into single convs (reference Model.fuse / BaseModel.fuse)."""
+        self._ensure_init()
+        self.model.fuse()
+        return self
+
+    def save(self, filename: str | Path = "model.msgpack"):
+        """Write this model as a standalone checkpoint (.msgpack + .json
+        sidecar) that YOLO(<path>) reloads (reference Model.save:393)."""
+        import json
+
+        from flax import serialization
+
+        self._ensure_init()
+        dst = Path(filename)
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        v = self.model.variables
+        ckpt = {"params": v["params"], "batch_stats": v.get("batch_stats", {}),
+                "ema": v["params"], "updates": 0, "epoch": 0, "best_fitness": 0.0}
+        dst.write_bytes(serialization.to_bytes(ckpt))
+        yaml_name = self.model.yaml.get("yaml_file", "") or str(self.model_name)
+        if not yaml_name.endswith((".yaml", ".yml")):
+            yaml_name = ""  # torch/.msgpack imports: embed the cfg dict instead
+        meta = {"model_yaml": yaml_name,
+                "model_cfg": None if yaml_name else
+                {k: val for k, val in self.model.yaml.items() if k != "yaml_file"},
+                "scale": getattr(self.model, "scale", ""), "nc": self.model.nc,
+                "names": self.model.names, "task": self.task}
+        dst.with_suffix(".json").write_text(json.dumps(meta, default=str))
+        return dst
+
+    def load(self, weights: str | Path):
+        """Load weights into the CURRENT architecture, keeping only shape-
+        matching leaves (reference Model.load:362 / intersect_dicts,
+        nn/tasks.py:286-299). Accepts .msgpack or reference torch .pt."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        weights = str(weights)
+        self._ensure_init()
+        if weights.endswith(".pt"):
+            import torch
+
+            from edgeyolo_tpu.utils.torch_convert import convert_state_dict
+
+            ckpt = torch.load(weights, map_location="cpu", weights_only=False)
+            tm = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+            sd = {k: v.float().numpy() for k, v in tm.state_dict().items()}
+            nv, rep = convert_state_dict(sd, self.model.variables, strict=False)
+            if rep["missing"]:
+                LOGGER.warning(f"load: {len(rep['missing'])} keys kept at current values")
+            self.model.variables = jax.tree.map(jnp.asarray, nv)
+            return self
+        donor = YOLO(weights, task=self.task)
+        cur = self.model.variables
+        flat_c = jax.tree_util.tree_flatten_with_path(cur)[0]
+        flat_n = dict(jax.tree_util.tree_flatten_with_path(donor.model.variables)[0])
+        kept = skipped = 0
+        merged = []
+        for p, c in flat_c:
+            n = flat_n.get(p)
+            if n is not None and getattr(n, "shape", None) == getattr(c, "shape", ()):
+                merged.append(jnp.asarray(np.asarray(n)))
+                kept += 1
+            else:
+                merged.append(c)
+                skipped += 1
+        self.model.variables = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(cur), merged)
+        LOGGER.info(f"load: transferred {kept} tensors, kept {skipped} (shape mismatch/absent)")
+        return self
+
     def track(self, source, **kwargs):
         from edgeyolo_tpu.trackers.track import track_stream
 
@@ -232,26 +332,10 @@ class YOLO:
         """Write an HF-Hub-layout snapshot of this model to a local directory."""
         import json
 
-        from flax import serialization
-
         save_dir = Path(save_directory)
         save_dir.mkdir(parents=True, exist_ok=True)
-        self._ensure_init()
-        v = self.model.variables
-        ckpt = {"params": v["params"], "batch_stats": v.get("batch_stats", {}),
-                "ema": v["params"], "updates": 0, "epoch": 0, "best_fitness": 0.0}
-        (save_dir / "model.msgpack").write_bytes(serialization.to_bytes(ckpt))
-        yaml_name = self.model.yaml.get("yaml_file", "") or str(self.model_name)
-        if not yaml_name.endswith((".yaml", ".yml")):
-            # torch-imported models carry only the embedded yaml dict; a .pt
-            # path is useless to yaml_model_load on reload, so embed the dict
-            yaml_name = ""
-        meta = {"model_yaml": yaml_name,
-                "model_cfg": None if yaml_name else
-                {k: v for k, v in self.model.yaml.items() if k != "yaml_file"},
-                "scale": getattr(self.model, "scale", ""), "nc": self.model.nc,
-                "names": self.model.names, "task": self.task}
-        (save_dir / "model.json").write_text(json.dumps(meta, default=str))
+        self.save(save_dir / "model.msgpack")  # ckpt + model.json sidecar
+        meta = json.loads((save_dir / "model.json").read_text())
         (save_dir / "config.json").write_text(
             json.dumps({"library_name": "edgeyolo_tpu", **meta}, default=str))
         if card and not (save_dir / "README.md").exists():

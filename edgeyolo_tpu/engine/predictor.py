@@ -43,9 +43,26 @@ class DetectionPredictor:
         self.save_dir = Path(save_dir)
         self._infer = None
 
+    @staticmethod
+    def _classes_filter(args):
+        """args.classes normalized to a static tuple (reference predictor
+        passes args.classes into non_max_suppression, ops.py:254)."""
+        c = getattr(args, "classes", None)
+        if c is None:
+            return None
+        if not isinstance(c, (list, tuple)):
+            c = [c]
+        return tuple(int(x) for x in c) or None
+
     def _build_infer(self, model, conf, max_nms=8192):
         args = self.args
         nc = model.nc
+        cls_filter = self._classes_filter(args)
+        if getattr(args, "augment", False):
+            if type(self) is DetectionPredictor:
+                return self._build_infer_tta(model, conf, max_nms)
+            LOGGER.warning("augment=True is detect-only (reference nn/tasks.py:375); "
+                           "reverting to single-scale prediction")
 
         @jax.jit
         def infer(v, img):
@@ -54,6 +71,57 @@ class DetectionPredictor:
                 out["pred"], conf_thres=conf, iou_thres=float(args.iou),
                 max_det=int(args.max_det), max_nms=max_nms,
                 multi_label=False, agnostic=bool(args.agnostic_nms), nc=nc,
+                classes=cls_filter,
+            )
+
+        return infer
+
+    def _build_infer_tta(self, model, conf, max_nms=8192):
+        """Test-time augmentation: 3 scales x (none, lr-flip, none), de-scaled
+        and concatenated before one NMS (reference DetectionModel
+        _predict_augment/_descale_pred/_clip_augmented, nn/tasks.py:372-409).
+        Each scale is its own static shape — XLA compiles 3 sub-programs into
+        one jitted call."""
+        import math
+
+        args = self.args
+        nc = model.nc
+        cls_filter = self._classes_filter(args)
+        gs = int(max(model.stride))
+        nl = len(model.stride)
+        g = sum(4**i for i in range(nl))
+        scales = (1.0, 0.83, 0.67)
+        flips = (None, 3, None)
+
+        @jax.jit
+        def infer(v, img):
+            B, H, W, C = img.shape
+            preds = []
+            for si, fi in zip(scales, flips):
+                xi = img[:, :, ::-1, :] if fi == 3 else img
+                if si != 1.0:
+                    nh, nw = int(H * si), int(W * si)
+                    xi = jax.image.resize(xi, (B, nh, nw, C), method="bilinear")
+                    ph = math.ceil(H * si / gs) * gs
+                    pw = math.ceil(W * si / gs) * gs
+                    xi = jnp.pad(xi, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)),
+                                 constant_values=0.447)  # imagenet-mean pad
+                p = model.apply(v, xi, train=False)["pred"]  # (B, A_i, 4+nc)
+                box = p[..., :4] / si  # de-scale xywh
+                x = (W - box[..., 0:1]) if fi == 3 else box[..., 0:1]  # de-flip lr
+                preds.append(jnp.concatenate([x, box[..., 1:4], p[..., 4:]], axis=-1))
+            # clip augmented tails: drop the P{nl} anchors of the full-scale
+            # pass and the P3 anchors of the smallest-scale pass
+            i0 = (preds[0].shape[1] // g) * 1
+            preds[0] = preds[0][:, :-i0]
+            i2 = (preds[-1].shape[1] // g) * 4 ** (nl - 1)
+            preds[-1] = preds[-1][:, i2:]
+            pred = jnp.concatenate(preds, axis=1)
+            return non_max_suppression(
+                pred, conf_thres=conf, iou_thres=float(args.iou),
+                max_det=int(args.max_det), max_nms=max_nms,
+                multi_label=False, agnostic=bool(args.agnostic_nms), nc=nc,
+                classes=cls_filter,
             )
 
         return infer
@@ -136,6 +204,7 @@ class SegmentationPredictor(DetectionPredictor):
 
         args = self.args
         nc = model.nc
+        cls_filter = self._classes_filter(args)
 
         @jax.jit
         def infer(v, img):
@@ -145,7 +214,7 @@ class SegmentationPredictor(DetectionPredictor):
                 pred[..., : 4 + nc], conf_thres=conf, iou_thres=float(args.iou),
                 max_det=int(args.max_det), max_nms=max_nms,
                 multi_label=False, agnostic=bool(args.agnostic_nms), nc=nc,
-                return_idx=True,
+                return_idx=True, classes=cls_filter,
             )
             coefs = jnp.take_along_axis(pred[..., 4 + nc :], aidx[..., None], axis=1)
             masks = jax.nn.sigmoid(jnp.einsum("bhwn,bdn->bdhw", out["proto"], coefs))
@@ -188,6 +257,7 @@ class PosePredictor(DetectionPredictor):
     def _build_infer(self, model, conf, max_nms=8192):
         args = self.args
         nc = model.nc
+        cls_filter = self._classes_filter(args)
 
         @jax.jit
         def infer(v, img):
@@ -197,7 +267,7 @@ class PosePredictor(DetectionPredictor):
                 pred[..., : 4 + nc], conf_thres=conf, iou_thres=float(args.iou),
                 max_det=int(args.max_det), max_nms=max_nms,
                 multi_label=False, agnostic=bool(args.agnostic_nms), nc=nc,
-                return_idx=True,
+                return_idx=True, classes=cls_filter,
             )
             kpts = jnp.take_along_axis(pred[..., 4 + nc :], aidx[..., None], axis=1)
             return det, n, kpts
@@ -228,13 +298,14 @@ class OBBPredictor(DetectionPredictor):
         from edgeyolo_tpu.ops.nms import nms_rotated
 
         args = self.args
+        cls_filter = self._classes_filter(args)
 
         @jax.jit
         def infer(v, img):
             out = model.apply(v, img, train=False)
             det, n = nms_rotated(
                 out["pred"], conf_thres=conf, iou_thres=float(args.iou),
-                max_det=int(args.max_det), max_nms=max_nms,
+                max_det=int(args.max_det), max_nms=max_nms, classes=cls_filter,
             )
             return det, n
 

@@ -3,8 +3,10 @@
 TPU-first re-design of the reference conv zoo (behavioral spec:
 ultralytics/nn/modules/conv.py — Conv=conv+BN+SiLU:41, DSConv:87, DWConv:124,
 GhostConv:180, Focus:161, Concat:345). Everything is channels-last so XLA
-tiles convs straight onto the MXU; BN runs in fp32 with torch-equivalent
-eps=1e-3 / momentum=0.03 (flax momentum=0.97).
+tiles convs straight onto the MXU; BN runs in fp32 with the reference's
+settings — plain torch BatchNorm2d defaults, eps=1e-5 / momentum=0.1 (flax
+momentum=0.9): ultralytics 8.x Conv builds nn.BatchNorm2d(c2) with NO
+overrides (reference conv.py:50), unlike the old yolov5-era 1e-3/0.03 pair.
 """
 
 from __future__ import annotations
@@ -19,8 +21,8 @@ from flax import linen as nn
 # torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))
 KERNEL_INIT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
-BN_EPS = 1e-3
-BN_MOMENTUM = 0.97  # flax semantics; equals torch momentum 0.03
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.9  # flax semantics; equals torch momentum 0.1 (the default)
 
 
 def autopad(k: int, p: int | None = None, d: int = 1) -> int:

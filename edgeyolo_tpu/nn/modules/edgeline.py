@@ -341,45 +341,93 @@ class SPPF_Wavelet(nn.Module):
 
 
 class MulGate(nn.Module):
-    """DSConv pre + ReLU6-gated expansion + zero-init-scaled residual mix."""
+    """DSConv pre + ReLU6-gated expansion (relu6(f1) * f2, plain biased 1x1
+    convs) + zero-init mix conv + zero-init BN, per-channel gamma (init 1e-2)
+    scaled residual. Output channels always equal input channels (reference
+    block.py:93-109 — single-channel signature, unconditional residual)."""
 
-    c2: int
-    e: float = 2.0
+    c2: int  # kept for registry uniformity; must equal the input channels
+    e: float = 3.0
+    k: int = 7
+    d: int = 1
+    gamma0: float = 1e-2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c1 = x.shape[-1]
-        y = DSConv(c1, 3, name="pre")(x, train)
-        hidden = int(c1 * self.e)
-        f1 = ConvBN(hidden, 1, act="relu6", name="f1")(y, train)
-        f2 = ConvBN(hidden, 1, act=False, name="f2")(y, train)
-        mix = ConvBN(self.c2, 1, act=False, name="mix")(f1 * f2, train)
-        gamma = self.param("gamma", nn.initializers.zeros, ())
-        return x + gamma * mix if c1 == self.c2 else mix
+        c = x.shape[-1]
+        assert self.c2 == c, "MulGate keeps channels (reference signature MulGate(c))"
+        y = DSConv(c, self.k, d=self.d, name="pre")(x, train)
+        hidden = int(c * self.e)
+        f1 = nn.Conv(hidden, (1, 1), use_bias=True, kernel_init=KERNEL_INIT,
+                     dtype=x.dtype, name="f1")(y)
+        f2 = nn.Conv(hidden, (1, 1), use_bias=True, kernel_init=KERNEL_INIT,
+                     dtype=x.dtype, name="f2")(y)
+        g = jax.nn.relu6(f1) * f2
+        z = nn.Conv(c, (1, 1), use_bias=False, kernel_init=nn.initializers.zeros,
+                    dtype=x.dtype, name="mix")(g)
+        from edgeyolo_tpu.nn.modules.conv import BN_EPS, BN_MOMENTUM
+
+        z = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=jnp.float32,
+                         scale_init=nn.initializers.zeros, name="bn")(z).astype(x.dtype)
+        gamma = self.param("gamma", lambda _: jnp.full((c,), self.gamma0, jnp.float32))
+        return x + gamma * z
+
+
+def _adaptive_pool_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) row-stochastic matrix reproducing torch
+    AdaptiveAvgPool2d along one axis: out[i] = mean(in[floor(i*I/O) :
+    ceil((i+1)*I/O)]). Exact for both down- and up-sampling; built at trace
+    time (static shapes), applied as a tiny einsum."""
+    m = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        lo = (i * n_in) // n_out
+        hi = -(-((i + 1) * n_in) // n_out)  # ceil div
+        m[i, lo:hi] = 1.0 / (hi - lo)
+    return m
+
+
+def adaptive_avg_pool2d(x, out_hw):
+    """NHWC adaptive average pool (torch F.adaptive_avg_pool2d semantics)."""
+    _, h, w, _ = x.shape
+    ph = jnp.asarray(_adaptive_pool_matrix(h, out_hw[0]), x.dtype)
+    pw = jnp.asarray(_adaptive_pool_matrix(w, out_hw[1]), x.dtype)
+    return jnp.einsum("bhwc,Hh,Ww->bHWc", x, ph, pw)
 
 
 class RHJM(nn.Module):
-    """ECA-style dual 1-D conv channel attention (local pooled + global pooled
-    branches, sigmoid gates blended by local_weight, multiplied into x)."""
+    """ECA-style dual 1-D conv channel attention (reference block.py:2011-2056):
+    local SxS adaptive-pooled branch (1-D conv over the flattened
+    position-major/channel-fastest sequence) + global pooled branch, sigmoid
+    gates blended by local_weight, adaptively re-pooled to HxW, multiplied in.
+    Kernel size is the ECA rule k = odd(int(|log2(C)+b|/gamma))."""
 
     c2: int
     local_size: int = 5
+    gamma: int = 2
+    b: int = 1
     local_weight: float = 0.5
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import math
+
         b, h, w, c = x.shape
-        k = 3  # 1-D conv kernel over channel dim
-        # global branch: GAP -> conv1d over channels -> sigmoid
-        g = jnp.mean(x, axis=(1, 2))  # (b, c)
-        g = nn.Conv(1, (k,), padding="SAME", use_bias=False, name="conv_g")(g[..., None]).squeeze(-1)
-        g = jax.nn.sigmoid(g)[:, None, None, :]
-        # local branch: SxS adaptive pool -> conv1d per cell -> sigmoid -> resize
+        t = int(abs(math.log2(c) + self.b) / self.gamma)
+        k = t if t % 2 else t + 1
+        k = max(k, 1)
+        pad = [((k - 1) // 2, (k - 1) // 2)]
         s = self.local_size
-        xl = jax.image.resize(x, (b, s, s, c), method="bilinear")
-        xl = xl.reshape(b * s * s, c, 1)
-        xl = nn.Conv(1, (k,), padding="SAME", use_bias=False, name="conv_l")(xl).reshape(b, s, s, c)
-        xl = jax.nn.sigmoid(xl)
-        xl = jax.image.resize(xl, (b, h, w, c), method="bilinear")
-        att = xl * self.local_weight + g * (1.0 - self.local_weight)
+        # local branch: adaptive pool to (S,S); NHWC reshape is already the
+        # reference's position-major channel-fastest serialization
+        xl = adaptive_avg_pool2d(x, (s, s))
+        seq = xl.reshape(b, s * s * c, 1)
+        out = nn.Conv(1, (k,), padding=pad, use_bias=False, name="conv_local")(seq)
+        att_local = jax.nn.sigmoid(out.reshape(b, s, s, c))
+        # global branch: GAP -> conv1d over channels -> sigmoid, broadcast to (S,S)
+        g = jnp.mean(x, axis=(1, 2))  # (b, c)
+        g = nn.Conv(1, (k,), padding=pad, use_bias=False, name="conv_global")(g[..., None])
+        att_global = jax.nn.sigmoid(g[..., 0])[:, None, None, :]
+        att = att_global * (1.0 - self.local_weight) + att_local * self.local_weight
+        att = adaptive_avg_pool2d(att, (h, w))
         return x * att

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from edgeyolo_tpu.nn.modules.block import C3, C3k, SPP, Bottleneck, max_pool_same
-from edgeyolo_tpu.nn.modules.conv import KERNEL_INIT, ConvBN, DSConv, DWConv, GhostConv
+from edgeyolo_tpu.nn.modules.conv import (BN_EPS, BN_MOMENTUM, KERNEL_INIT, ConvBN, DSConv,
+                                           DWConv, GhostConv)
 from edgeyolo_tpu.nn.modules.edgeline import DSC3k, DSBottleneck, DWT2D, _bilinear_resize
 
 
@@ -168,9 +169,9 @@ class AdaHGConv(nn.Module):
         A = AdaHyperedgeGen(self.embed_dim, self.num_hyperedges, self.num_heads,
                             self.dropout, self.context, name="edge_generator")(X, train)
         He = jnp.einsum("bne,bnd->bed", A, X)
-        He = jax.nn.gelu(nn.Dense(self.embed_dim, kernel_init=KERNEL_INIT, name="edge_proj")(He), approximate=False)
+        He = jax.nn.gelu(nn.Dense(self.embed_dim, kernel_init=KERNEL_INIT, name="edge_proj_0")(He), approximate=False)
         Xn = jnp.einsum("bne,bed->bnd", A, He)
-        Xn = jax.nn.gelu(nn.Dense(self.embed_dim, kernel_init=KERNEL_INIT, name="node_proj")(Xn), approximate=False)
+        Xn = jax.nn.gelu(nn.Dense(self.embed_dim, kernel_init=KERNEL_INIT, name="node_proj_0")(Xn), approximate=False)
         return Xn + X
 
 
@@ -359,8 +360,8 @@ class RepConv(nn.Module):
         b = ConvBN(self.c2, 1, self.s, None, self.g, act=False, name="conv2")(x, train)
         out = a + b
         if self.bn and x.shape[-1] == self.c2 and self.s == 1:
-            idn = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                               epsilon=1e-3, dtype=jnp.float32, name="bn")(x).astype(x.dtype)
+            idn = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                               epsilon=BN_EPS, dtype=jnp.float32, name="bn")(x).astype(x.dtype)
             out = out + idn
         return _apply_act(out, self.act)
 
@@ -549,7 +550,7 @@ class BottleneckCSP(nn.Module):
         y1 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=KERNEL_INIT, dtype=x.dtype, name="cv3")(y1)
         y2 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=KERNEL_INIT, dtype=x.dtype, name="cv2")(x)
         y = jnp.concatenate([y1, y2], axis=-1)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
                          dtype=jnp.float32, name="bn")(y).astype(y.dtype)
         y = jax.nn.silu(y)
         return ConvBN(self.c2, 1, name="cv4")(y, train)

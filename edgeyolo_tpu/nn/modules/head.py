@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from edgeyolo_tpu.nn.modules.block import dfl_decode
-from edgeyolo_tpu.nn.modules.conv import KERNEL_INIT, ConvBN, DWConv
+from edgeyolo_tpu.nn.modules.conv import BN_EPS, BN_MOMENTUM, KERNEL_INIT, ConvBN, DWConv
 from edgeyolo_tpu.ops.boxes import dist2bbox, make_anchors
 
 
@@ -434,7 +434,7 @@ class RTDETRDecoder(nn.Module):
         for i, x in enumerate(xs):
             p = nn.Conv(self.hd, (1, 1), use_bias=False, kernel_init=KERNEL_INIT,
                         dtype=x.dtype, name=f"input_proj_{i}_conv")(x)
-            p = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            p = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
                              dtype=jnp.float32, name=f"input_proj_{i}_bn")(p)
             h, w = p.shape[1:3]
             feats_l.append(p.reshape(b, h * w, self.hd))

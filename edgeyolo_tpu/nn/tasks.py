@@ -434,13 +434,19 @@ class GraphNet(nn.Module):
 
     TEXT_MODULES = frozenset({"C2fAttn", "ImagePoolingAttn", "WorldDetect"})
 
-    def __call__(self, x, train: bool = False, text=None, dn=None):
+    def __call__(self, x, train: bool = False, text=None, dn=None, embed=None):
         from edgeyolo_tpu.nn.modules.conv import default_act as _act_scope
 
         with _act_scope(self.default_act):
-            return self._walk(x, train=train, text=text, dn=dn)
+            return self._walk(x, train=train, text=text, dn=dn, embed=embed)
 
-    def _walk(self, x, train: bool = False, text=None, dn=None):
+    def _walk(self, x, train: bool = False, text=None, dn=None, embed=None):
+        # embed: static tuple of layer indices -> return concatenated GAP
+        # features instead of the head output (reference _predict_once embed
+        # collection, nn/tasks.py:175-178: adaptive_avg_pool2d + cat + unbind)
+        embed = tuple(embed) if embed else ()
+        stop_at = max(embed) if embed else -1
+        feats = []
         y: dict[int, Any] = {}
         out = x
         for sp, blk in zip(self.spec, self.blocks):
@@ -459,7 +465,58 @@ class GraphNet(nn.Module):
                 out = blk(inp, train=train)
             if sp.i in self.save:
                 y[sp.i] = out
+            if sp.i in embed:
+                feats.append(jnp.mean(out, axis=(1, 2)))  # NHWC global avg pool
+                if sp.i == stop_at:
+                    return jnp.concatenate(feats, axis=-1)
         return out
+
+
+def fuse_conv_bn(variables):
+    """Fold BatchNorm affine+running stats into the preceding conv kernel.
+
+    Matches the two conv->BN scope patterns the module zoo produces —
+    ConvBN/DWConv ({'conv': {'kernel'}, 'bn': ...}) and DSConv
+    ({'pw': {'kernel'}, 'bn': ...}) — scales the kernel's output-feature axis
+    by gamma/sqrt(var+eps) and rewrites the BN to a pure bias so outputs are
+    bit-for-bit the same function (reference Conv.forward_fuse semantics,
+    nn/tasks.py:214-242 / torch_utils.fuse_conv_and_bn). BNs not directly fed
+    by a sibling conv (RepConv identity branch, BottleneckCSP joint BN) are
+    left untouched. On XLA the speed effect is ~0 (inference BN already fuses
+    into the conv epilogue at compile time) — this exists for API parity and
+    for export paths that want literal folded weights.
+    """
+    from edgeyolo_tpu.nn.modules.conv import BN_EPS
+
+    params = jax.tree.map(lambda a: a, variables["params"])
+    stats = jax.tree.map(lambda a: a, variables.get("batch_stats", {}))
+
+    def walk(p, s):
+        if not isinstance(p, dict):
+            return
+        for conv_key in ("conv", "pw", "conv_transpose"):
+            sub = p.get(conv_key)
+            bn_p, bn_s = p.get("bn"), s.get("bn") if isinstance(s, dict) else None
+            if (isinstance(sub, dict) and "kernel" in sub and isinstance(bn_p, dict)
+                    and isinstance(bn_s, dict) and "mean" in bn_s
+                    and sub["kernel"].ndim == 4
+                    and sub["kernel"].shape[-1] == bn_s["mean"].shape[0]):
+                mean, var = bn_s["mean"], bn_s["var"]
+                scale = bn_p.get("scale", jnp.ones_like(mean))
+                bias = bn_p.get("bias", jnp.zeros_like(mean))
+                g = scale / jnp.sqrt(var + BN_EPS)
+                sub["kernel"] = sub["kernel"] * g  # broadcasts over out-features
+                bn_p["scale"] = jnp.ones_like(scale)
+                bn_p["bias"] = bias - mean * g
+                bn_s["mean"] = jnp.zeros_like(mean)
+                bn_s["var"] = jnp.ones_like(var) - BN_EPS  # sqrt(var+eps) == 1
+                break
+        for key, sub in p.items():
+            if isinstance(sub, dict) and key != "bn":
+                walk(sub, s.get(key, {}) if isinstance(s, dict) else {})
+
+    walk(params, stats)
+    return {**variables, "params": params, "batch_stats": stats}
 
 
 def amp_cast(tree, dtype=jnp.bfloat16):
@@ -557,6 +614,16 @@ class BaseModel:
     def __call__(self, x, train: bool = False):
         assert self.variables is not None, "call .init() first"
         return self.apply(self.variables, x, train=train)
+
+    def fuse(self):
+        """Fold conv+BN in place (reference BaseModel.fuse, nn/tasks.py:214-242).
+
+        Idempotent; the forward stays numerically identical. See fuse_conv_bn
+        for why this is a no-op for XLA speed."""
+        assert self.variables is not None, "call .init() or load weights first"
+        self.variables = fuse_conv_bn(self.variables)
+        self.fused = True
+        return self
 
     # -- introspection ----------------------------------------------------------
     def num_params(self, variables=None) -> int:

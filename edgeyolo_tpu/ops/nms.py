@@ -28,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from edgeyolo_tpu.ops.boxes import xywh2xyxy
 
@@ -107,7 +108,8 @@ def _greedy_nms_matrix(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float
 @partial(
     jax.jit,
     static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "max_wh",
-                     "multi_label", "agnostic", "nc", "method", "return_idx"),
+                     "multi_label", "agnostic", "nc", "method", "return_idx",
+                     "classes"),
 )
 def non_max_suppression(
     pred: jnp.ndarray,
@@ -121,17 +123,25 @@ def non_max_suppression(
     nc: int | None = None,
     method: str = "matrix",  # "matrix" (parallel fixed point) | "scan" (sequential)
     return_idx: bool = False,
+    classes=None,
 ):
     """Batched class-aware NMS.
 
     pred: (B, A, 4+nc) with xywh boxes in pixels and per-class scores.
-    Returns (dets (B, max_det, 6) xyxy/conf/cls, n_valid (B,)), plus the kept
-    anchor indices (B, max_det) when return_idx (for gathering per-anchor
-    extras like mask coefficients or keypoints downstream).
+    classes: optional static sequence of class ids to keep — all other class
+    scores are zeroed before the conf gate (reference ops.py:254
+    `x[(x[:, 5:6] == classes).any(1)]`, here as a trace-time mask so shapes
+    stay fixed). Returns (dets (B, max_det, 6) xyxy/conf/cls, n_valid (B,)),
+    plus the kept anchor indices (B, max_det) when return_idx (for gathering
+    per-anchor extras like mask coefficients or keypoints downstream).
     """
     b, a, no = pred.shape
     nc = nc or (no - 4)
     boxes_xywh, cls_scores = pred[..., :4], pred[..., 4 : 4 + nc]
+    if classes is not None:
+        keep = np.zeros((nc,), np.float32)
+        keep[np.asarray(list(classes), np.int64)] = 1.0
+        cls_scores = cls_scores * jnp.asarray(keep, cls_scores.dtype)
     boxes = xywh2xyxy(boxes_xywh)  # (B,A,4)
 
     def per_image(bx, sc):
@@ -172,15 +182,16 @@ def non_max_suppression(
     return det, n
 
 
-@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms"))
+@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "classes"))
 def nms_rotated(pred: jnp.ndarray, conf_thres: float = 0.25, iou_thres: float = 0.45,
-                max_det: int = 300, max_nms: int = 2048):
+                max_det: int = 300, max_nms: int = 2048, classes=None):
     """Batched rotated NMS via probiou suppression.
 
     pred: (B, A, 4+nc+1) — xywh (rotated extents), class probs, angle (rad).
     Mirrors the reference's probiou upper-triangle suppression
     (ultralytics/utils/ops.py:146-165) with the same fixed-point greedy
-    semantics as the axis-aligned matrix path. Returns
+    semantics as the axis-aligned matrix path. classes: optional static class
+    id filter (see non_max_suppression). Returns
     (dets (B, max_det, 7) [cx, cy, w, h, angle, conf, cls], n_valid (B,)).
     """
     from edgeyolo_tpu.ops.boxes import probiou
@@ -189,6 +200,10 @@ def nms_rotated(pred: jnp.ndarray, conf_thres: float = 0.25, iou_thres: float = 
     nc = no - 5
     boxes = pred[..., :4]
     scores = pred[..., 4 : 4 + nc]
+    if classes is not None:
+        keep = np.zeros((nc,), np.float32)
+        keep[np.asarray(list(classes), np.int64)] = 1.0
+        scores = scores * jnp.asarray(keep, scores.dtype)
     angle = pred[..., -1:]
 
     def per_image(bx, sc, ang):

@@ -184,13 +184,16 @@ def profile_layers(model, imgsz: int = 640, iters: int = 10):
     import jax.numpy as jnp
 
     handle = model.model if hasattr(model, "model") else model
+    if handle.variables is None:
+        handle.init(0, imgsz=imgsz)
     variables = handle.variables
     x = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
     spec = handle.spec
     results = []
     prev = 0.0
     for upto in range(1, len(spec) + 1):
-        sub = type(handle.net)(spec[:upto], handle.save, head_stride=handle.stride)
+        sub = type(handle.net)(spec[:upto], handle.save, head_stride=handle.stride,
+                               default_act=getattr(handle.net, "default_act", "silu"))
 
         def fwd(v, xx):
             return sub.apply(v, xx, train=False)

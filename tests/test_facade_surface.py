@@ -1,0 +1,111 @@
+"""Facade surface parity: fuse / embed / save / load (reference
+engine/model.py:362-499 Model.load/save/fuse/embed)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgeyolo_tpu import YOLO
+
+
+@pytest.fixture(scope="module")
+def nano():
+    m = YOLO("yolo11n.yaml")
+    m.model.init(0, imgsz=64)
+    # perturb BN running stats so the fold is non-trivial (init is mean=0/var=1)
+    rng = np.random.RandomState(1)
+    v = m.model.variables
+    v["batch_stats"] = jax.tree.map(
+        lambda t: jnp.asarray(rng.uniform(0.5, 2.0, t.shape), t.dtype), v["batch_stats"])
+    return m
+
+
+def test_fuse_outputs_identical(nano):
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    y0 = np.asarray(nano.model.apply(nano.model.variables, x, train=False)["pred"])
+    nano.fuse()
+    y1 = np.asarray(nano.model.apply(nano.model.variables, x, train=False)["pred"])
+    np.testing.assert_allclose(y0, y1, rtol=1e-3, atol=1e-4)
+    # idempotent: a second fold must be exactly stable (stats already identity)
+    v_once = jax.tree.leaves(nano.model.variables["params"])
+    nano.fuse()
+    v_twice = jax.tree.leaves(nano.model.variables["params"])
+    for a, b in zip(v_once, v_twice):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_fuse_folds_convbn_stats(nano):
+    # after fuse every conv->bn scope must carry identity stats (walk the same
+    # pattern fuse_conv_bn matches: params {conv|pw: {kernel}, bn} siblings)
+    folded = [0]
+
+    def check(p, s):
+        if not isinstance(p, dict):
+            return
+        for key in ("conv", "pw", "conv_transpose"):
+            if (isinstance(p.get(key), dict) and "kernel" in p[key]
+                    and isinstance(s.get("bn"), dict) and "mean" in s["bn"]):
+                assert float(jnp.abs(s["bn"]["mean"]).max()) == 0.0
+                from edgeyolo_tpu.nn.modules.conv import BN_EPS
+                np.testing.assert_allclose(np.asarray(s["bn"]["var"]),
+                                           1.0 - BN_EPS, rtol=1e-6)
+                folded[0] += 1
+        for k, v in p.items():
+            if isinstance(v, dict) and k != "bn":
+                check(v, s.get(k, {}) if isinstance(s, dict) else {})
+
+    check(nano.model.variables["params"], nano.model.variables["batch_stats"])
+    assert folded[0] > 20  # yolo11n has dozens of ConvBN blocks
+
+
+def test_embed_default_and_multi_layer():
+    m = YOLO("yolo11n.yaml")
+    img = (np.random.RandomState(2).rand(80, 60, 3) * 255).astype(np.uint8)
+    out = m.embed(img, imgsz=64)
+    assert len(out) == 1 and out[0].ndim == 1 and out[0].size > 0
+    out2 = m.embed(img, imgsz=64, embed=[2, 4])
+    c2 = m.model.spec[2].c2 + m.model.spec[4].c2
+    assert out2[0].shape == (c2,)
+
+
+def test_save_load_roundtrip(tmp_path):
+    m = YOLO("yolo11n.yaml")
+    m.model.init(0, imgsz=64)
+    m.model.names = {i: f"c{i}" for i in range(m.model.nc)}
+    p = m.save(tmp_path / "m.msgpack")
+    m2 = YOLO(str(p))
+    assert m2.task == "detect" and m2.model.names[0] == "c0"
+    for a, b in zip(jax.tree.leaves(m.model.variables["params"]),
+                    jax.tree.leaves(m2.model.variables["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_transfers_matching_shapes(tmp_path):
+    donor = YOLO("yolo11n.yaml")
+    donor.model.init(0, imgsz=64)
+    p = donor.save(tmp_path / "d.msgpack")
+    m = YOLO("yolo11n.yaml")
+    m.model.init(1, imgsz=64)
+    before = [np.asarray(a) for a in jax.tree.leaves(m.model.variables["params"])]
+    m.load(p)
+    after = jax.tree.leaves(m.model.variables["params"])
+    want = jax.tree.leaves(donor.model.variables["params"])
+    # at least one leaf must actually change (seeds differ), and all must
+    # now equal the donor's
+    assert any(not np.allclose(b, np.asarray(a)) for b, a in zip(before, after))
+    for a, b in zip(after, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_predict_augment_tta():
+    """augment=True runs the 3-scale TTA path (reference _predict_augment
+    nn/tasks.py:372-409) and returns well-formed Results."""
+    m = YOLO("yolo11n.yaml")
+    img = (np.random.RandomState(3).rand(96, 96, 3) * 255).astype(np.uint8)
+    res = m.predict(img, imgsz=96, conf=0.0001, augment=True, verbose=False)
+    assert len(res) == 1
+    r = res[0]
+    if len(r.boxes):
+        b = r.boxes.xyxy
+        assert float(np.min(b)) >= 0.0 and float(np.max(b)) <= 96.0

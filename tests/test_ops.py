@@ -122,3 +122,33 @@ def test_nms_matrix_matches_scan_on_long_suppression_chain():
     kept_m = sorted(np.asarray(km)[np.asarray(vm)].tolist())
     kept_s = sorted(np.asarray(ks)[np.asarray(vs)].tolist())
     assert kept_m == kept_s == list(range(0, n, 2))
+
+
+def test_nms_classes_filter():
+    """classes= keeps only the listed class ids (reference ops.py:254)."""
+    boxes = [[50, 50, 20, 20], [150, 150, 20, 20], [250, 250, 20, 20]]
+    scores = [[0.9, 0.0], [0.0, 0.8], [0.7, 0.0]]
+    det, n = non_max_suppression(_mk_pred(boxes, scores), conf_thres=0.1,
+                                 iou_thres=0.5, max_det=10, max_nms=16, classes=(1,))
+    assert int(n[0]) == 1
+    assert int(det[0, 0, 5]) == 1 and abs(float(det[0, 0, 4]) - 0.8) < 1e-5
+    # multi-label path honors the same mask
+    det, n = non_max_suppression(_mk_pred(boxes, scores), conf_thres=0.1,
+                                 iou_thres=0.5, max_det=10, max_nms=16,
+                                 multi_label=True, classes=(0,))
+    assert int(n[0]) == 2
+    assert set(np.asarray(det[0, :2, 5]).astype(int).tolist()) == {0}
+
+
+def test_nms_rotated_classes_filter():
+    from edgeyolo_tpu.ops.nms import nms_rotated
+
+    pred = np.zeros((1, 3, 7), np.float32)  # xywh + 2 cls + angle
+    pred[0, :, :4] = [[50, 50, 20, 10], [150, 150, 20, 10], [250, 250, 20, 10]]
+    pred[0, 0, 4] = 0.9
+    pred[0, 1, 5] = 0.8
+    pred[0, 2, 4] = 0.7
+    det, n = nms_rotated(jnp.asarray(pred), conf_thres=0.1, iou_thres=0.5,
+                         max_det=10, max_nms=8, classes=(0,))
+    assert int(n[0]) == 2
+    assert set(np.asarray(det[0, :2, 6]).astype(int).tolist()) == {0}

@@ -34,6 +34,11 @@ CASES = [
     # the full EdgeLine flagship (wavelet neck + linear attention + GFLv2
     # quality head); reference yolo11-test.yaml == our edgeline-yolo
     ("gf2", "ultralytics/cfg/models/11/yolo11-test.yaml", "edgeline-yolo", 5e-3),
+    # family coverage for modules the 4 cases above never touch:
+    ("v5n", "yolov5n.yaml", "yolov5n", 5e-4),           # C3, stem-6 conv
+    ("v9t", "ultralytics/cfg/models/v9/yolov9t.yaml", "yolov9t", 5e-3),  # ELAN1/AConv/ADown/SPPELAN/RepNCSPELAN4
+    ("v12n", "yolov12n.yaml", "yolov12n", 5e-3),        # A2C2f area attention
+    ("v13n", "yolov13n.yaml", "yolov13n", 5e-3),        # HyperACE/FullPAD_Tunnel/DSC3K2
 ]
 
 
@@ -336,3 +341,47 @@ def test_c3k2_module_parity_and_shortcut_semantics():
     y = m.apply(jax.tree.map(jnp.asarray, nv), x)
     d = float(np.abs(z["__y__"].transpose(0, 2, 3, 1) - np.asarray(y)).max())
     assert d < 1e-3, f"C3k2 diverged from torch: {d}"
+
+
+def test_rhjm_module_parity():
+    """Module-level RHJM vs torch (registry-only module — no stock config uses
+    it, so the whole-model parity runs never touch it): ECA-adaptive kernel
+    size, adaptive-avg-pool in BOTH directions (down to SxS and back up to
+    HxW), and the position-major/channel-fastest local-conv serialization
+    (reference block.py:2011-2056)."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgeyolo_tpu.nn.modules.edgeline import RHJM
+
+    out = CACHE / "ref_rhjm_micro.npz"
+    if not out.exists():
+        CACHE.mkdir(exist_ok=True)
+        env = dict(os.environ, PYTHONPATH=f"{REPO}/tools/ref_shim:.")
+        code = (
+            "import numpy as np, torch\n"
+            "torch.manual_seed(0)\n"
+            "from ultralytics.nn.modules.block import RHJM\n"
+            "m = RHJM(128).eval().float()\n"  # C=128 -> ECA k=5 (k=3 would mask a fixed-k bug)
+            "x = torch.from_numpy(np.random.RandomState(1).rand(2,128,14,10).astype(np.float32))\n"
+            "with torch.no_grad(): y = m(x)\n"
+            "sd = {k: v.numpy() for k, v in m.state_dict().items()}\n"
+            f"np.savez(r'{out}', __x__=x.numpy(), __y__=y.numpy(), **sd)\n"
+        )
+        subprocess.run([sys.executable, "-c", code], cwd=REF, env=env, check=True,
+                       capture_output=True, text=True)
+    z = np.load(out)
+    x = jnp.asarray(z["__x__"].transpose(0, 2, 3, 1))
+    m = RHJM(c2=128)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert v["params"]["conv_local"]["kernel"].shape[0] == z["conv_local.weight"].shape[-1], \
+        "ECA kernel-size rule diverged from the reference"
+    v = jax.tree.map(jnp.asarray, {
+        "params": {
+            "conv_local": {"kernel": z["conv_local.weight"].transpose(2, 1, 0)},
+            "conv_global": {"kernel": z["conv_global.weight"].transpose(2, 1, 0)},
+        }
+    })
+    y = m.apply(v, x)
+    d = float(np.abs(z["__y__"].transpose(0, 2, 3, 1) - np.asarray(y)).max())
+    assert d < 1e-5, f"RHJM diverged from torch: {d}"
