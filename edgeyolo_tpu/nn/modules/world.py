@@ -90,7 +90,7 @@ class ImagePoolingAttn(nn.Module):
         patches = []
         for i, x in enumerate(xs):
             p = nn.Conv(self.ec, (1, 1), use_bias=True, kernel_init=KERNEL_INIT,
-                        dtype=x.dtype, name=f"proj_{i}")(x)
+                        dtype=x.dtype, name=f"projections_{i}")(x)
             b, h, w, c = p.shape
             # adaptive max pool to (k, k) with torch bin boundaries
             # floor(i*h/k)..ceil((i+1)*h/k) — exact for any h, incl. h < k
@@ -108,9 +108,11 @@ class ImagePoolingAttn(nn.Module):
             patches.append(p.reshape(b, self.k * self.k, c))
         kv = jnp.concatenate(patches, axis=1)  # (B, nf*k^2, ec)
 
-        q = nn.Dense(self.ec, kernel_init=KERNEL_INIT, name="query")(nn.LayerNorm(name="qn")(text))
-        kk = nn.Dense(self.ec, kernel_init=KERNEL_INIT, name="key")(nn.LayerNorm(name="kn")(kv))
-        vv = nn.Dense(self.ec, kernel_init=KERNEL_INIT, name="value")(nn.LayerNorm(name="vn")(kv))
+        # names mirror the reference's Sequential(LayerNorm, Linear) indices
+        # (ultralytics nn/modules/block.py ImagePoolingAttn: query/key/value.0/.1)
+        q = nn.Dense(self.ec, kernel_init=KERNEL_INIT, name="query_1")(nn.LayerNorm(name="query_0")(text))
+        kk = nn.Dense(self.ec, kernel_init=KERNEL_INIT, name="key_1")(nn.LayerNorm(name="key_0")(kv))
+        vv = nn.Dense(self.ec, kernel_init=KERNEL_INIT, name="value_1")(nn.LayerNorm(name="value_0")(kv))
         hc = self.ec // self.nh
         qh = q.reshape(bs, -1, self.nh, hc)
         kh = kk.reshape(bs, -1, self.nh, hc)

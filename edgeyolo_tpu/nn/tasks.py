@@ -449,6 +449,7 @@ class GraphNet(nn.Module):
         feats = []
         y: dict[int, Any] = {}
         out = x
+        ori_text = text  # WorldDetect always sees the un-refreshed features
         for sp, blk in zip(self.spec, self.blocks):
             if len(sp.f) == 1:
                 inp = out if sp.f[0] == -1 else y[sp.f[0]]
@@ -456,8 +457,16 @@ class GraphNet(nn.Module):
                 inp = [out if j == -1 else y[j] for j in sp.f]
             if sp.name in self.TEXT_MODULES:
                 if sp.name == "WorldDetect":
-                    out = blk(inp, train=train, text=text)
-                else:
+                    # the head sees the ORIGINAL text features even when an
+                    # ImagePoolingAttn refreshed the stream (reference
+                    # WorldModel.predict ori_txt_feats, nn/tasks.py:672,684)
+                    out = blk(inp, train=train, text=ori_text)
+                elif sp.name == "ImagePoolingAttn":
+                    # updates the TEXT stream for downstream C2fAttn layers;
+                    # the feature stream passes through unchanged (reference
+                    # nn/tasks.py:685-686: txt_feats = m(x, txt_feats))
+                    text = blk(inp, text, train=train)
+                else:  # C2fAttn
                     out = blk(inp, text, train=train)
             elif sp.name == "RTDETRDecoder" and dn is not None:
                 out = blk(inp, train=train, dn=dn)

@@ -157,9 +157,14 @@ def test_multichip_training_converges_and_matches_single_device(tmp_path_factory
 
     # (a) converges: last-epoch loss below first-epoch loss on the mesh run
     assert tot8[-1] < tot8[0], f"no loss decrease on 8-dev mesh: {tot8}"
-    # (b) sharding is semantics-free: same per-epoch losses as single-device
-    # (fp32 on CPU; only reduction order differs)
-    np.testing.assert_allclose(tot8, tot1, rtol=2e-3, err_msg="loss trajectory")
+    # (b) sharding is semantics-free. Epoch 1 is the tight check: identical
+    # params + identical global batch stats (GSPMD partitions the BN
+    # reductions over the same global batch), so only collective reduction
+    # ORDER differs — the first-epoch loss must agree to fp32 noise. Later
+    # epochs amplify that noise chaotically through SGD on 16 images (a
+    # trajectory property, not a semantics one), so they get a loose band.
+    np.testing.assert_allclose(tot8[0], tot1[0], rtol=1e-4, err_msg="epoch-1 loss")
+    np.testing.assert_allclose(tot8, tot1, rtol=2e-2, err_msg="loss trajectory")
     for k in ("metrics/mAP50-95(B)", "metrics/mAP50(B)"):
         np.testing.assert_allclose(res8[k], res1[k], atol=5e-3, err_msg=k)
 

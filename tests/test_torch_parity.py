@@ -385,3 +385,58 @@ def test_rhjm_module_parity():
     y = m.apply(v, x)
     d = float(np.abs(z["__y__"].transpose(0, 2, 3, 1) - np.asarray(y)).max())
     assert d < 1e-5, f"RHJM diverged from torch: {d}"
+
+
+WORLD_CASES = [
+    # v1 carries ImagePoolingAttn (refreshes the TEXT stream mid-graph while
+    # WorldDetect keeps the original features — reference WorldModel.predict
+    # ori_txt_feats, nn/tasks.py:672-686); v2 is the plain C2fAttn variant.
+    ("worldv1", "yolov8s-world.yaml", "yolov8s-world"),
+    ("worldv2", "yolov8s-worldv2.yaml", "yolov8s-worldv2"),
+]
+
+
+@pytest.mark.parametrize("name,ref_cfg,our_cfg", WORLD_CASES, ids=[c[0] for c in WORLD_CASES])
+def test_world_forward_parity(name, ref_cfg, our_cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from edgeyolo_tpu.nn.tasks import WorldModel
+    from edgeyolo_tpu.utils.torch_convert import convert_state_dict
+
+    out = CACHE / f"ref_{name}.npz"
+    if not out.exists():
+        CACHE.mkdir(exist_ok=True)
+        env = dict(os.environ, PYTHONPATH=f"{REPO}/tools/ref_shim:.")
+        code = (
+            "import numpy as np, torch\n"
+            "torch.manual_seed(0)\n"
+            "from ultralytics.nn.tasks import WorldModel\n"
+            f"m = WorldModel('{ref_cfg}', ch=3, verbose=False).eval().float()\n"
+            "x = torch.from_numpy(np.random.RandomState(42).rand(1,3,64,64).astype(np.float32))\n"
+            "with torch.no_grad(): y = m(x)\n"
+            "pred = y[0] if isinstance(y, (list, tuple)) else y\n"
+            "sd = {k: v.numpy() for k, v in m.state_dict().items()}\n"
+            f"np.savez(r'{out}', __pred__=pred.numpy(), __input__=x.numpy(),\n"
+            "         __txt__=m.txt_feats.numpy(), **sd)\n"
+        )
+        subprocess.run([sys.executable, "-c", code], cwd=REF, env=env, check=True,
+                       capture_output=True, text=True)
+    z = np.load(out)
+    sd = {k: z[k] for k in z.files if not k.startswith("__")}
+    m = WorldModel(our_cfg, verbose=False)
+    m.text = np.asarray(z["__txt__"])  # same placeholder bank the torch side used
+    m.nc = m.text.shape[1]
+    v = m.init(0, imgsz=64)
+    nv, rep = convert_state_dict(sd, v, strict=True)
+    assert [u for u in rep["unused"] if "dfl" not in u] == []
+
+    x = jnp.asarray(z["__input__"].transpose(0, 2, 3, 1))
+    m.variables = jax.tree.map(jnp.asarray, nv)
+    m.text = jnp.asarray(np.asarray(z["__txt__"]), jnp.float32)
+    pred = np.asarray(m.apply(m.variables, x, train=False)["pred"])
+    ref = z["__pred__"].transpose(0, 2, 1)
+    assert pred.shape == ref.shape
+    d = np.abs(pred - ref)
+    assert float(d[..., :4].max()) < 5e-3, f"box decode diverged: {d[..., :4].max()}"
+    assert float(d[..., 4:].max()) < 1e-3, f"cls scores diverged: {d[..., 4:].max()}"
