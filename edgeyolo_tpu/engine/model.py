@@ -312,7 +312,9 @@ class YOLO:
 
         args = get_cfg(overrides={**self.overrides, "mode": "export", "task": self.task, **kwargs})
         self._ensure_init(args.imgsz)
-        return Exporter(args)(self.model)
+        out_dir = Path(args.project) / (args.name or "export") if args.project \
+            else Path("runs/export")
+        return Exporter(args)(self.model, out_dir=out_dir)
 
     def benchmark(self, **kwargs):
         from edgeyolo_tpu.utils.benchmarks import benchmark as bench_fn

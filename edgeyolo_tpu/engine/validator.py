@@ -561,6 +561,8 @@ class OBBValidator(DetectionValidator):
 
         obb_m = DetMetrics(names)
         seen = 0
+        jdict = []
+        save_json = bool(getattr(args, "save_json", False))
         for batch in loader:
             img = jnp.asarray(batch["img"], jnp.float32) / 255.0
             det_b, n_b = self._infer(variables, img)
@@ -576,6 +578,8 @@ class OBBValidator(DetectionValidator):
                 cx, cy = (det[:, 0] - pw) / r, (det[:, 1] - ph) / r
                 w, h = det[:, 2] / r, det[:, 3] / r
                 pred_r = np.stack([cx, cy, w, h, det[:, 4]], 1) if n else np.zeros((0, 5), np.float32)
+                if save_json and n:
+                    self._pred_to_json(jdict, pred_r, det[:, 5], det[:, 6], meta["im_file"])
                 gt_cls = meta["ori_cls"]
                 ngt = int(meta["mask_gt"].sum())
                 # original-frame PIXEL rboxes (fit in pixel space by the
@@ -596,4 +600,80 @@ class OBBValidator(DetectionValidator):
         self.metrics = obb_m
         res = obb_m.results_dict
         LOGGER.info(f"obb val: probiou mAP50-95 {obb_m.box.map:.4f}")
+        if save_json and jdict:
+            self._eval_json_dota(jdict, names, data or args.data)
         return res
+
+    @staticmethod
+    def _pred_to_json(jdict, rboxes, conf, cls, im_file):
+        """COCO-style rotated entries (reference obb/val.py pred_to_json:
+        image_id from the filename stem, 1-based category_id for non-coco,
+        rbox [cx,cy,w,h,r] + 8-value poly, all in original-image space)."""
+        from edgeyolo_tpu.ops.boxes import xywhr2xyxyxyxy
+
+        stem = Path(im_file).stem
+        image_id = int(stem) if stem.isnumeric() else stem
+        polys = xywhr2xyxyxyxy(rboxes).reshape(-1, 8)
+        for rb, p, sc, c in zip(rboxes, polys, conf, cls):
+            jdict.append({
+                "image_id": image_id,
+                "category_id": int(c) + 1,
+                "score": round(float(sc), 5),
+                "rbox": [round(float(x), 3) for x in rb],
+                "poly": [round(float(x), 3) for x in p],
+            })
+
+    def _eval_json_dota(self, jdict, names, data_yaml):
+        """predictions.json + DOTA Task1 submission files, split and merged
+        (reference obb/val.py eval_json:147-200: per-class Task1_{name}.txt;
+        the merged pass re-offsets tile predictions by the __x___y window
+        origin and runs class-offset rotated NMS at IoU 0.3 per source image)."""
+        import json as _json
+        import re as _re
+        from collections import defaultdict
+
+        from edgeyolo_tpu.ops.boxes import probiou, xywhr2xyxyxyxy
+
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        (self.save_dir / "predictions.json").write_text(_json.dumps(jdict))
+        pred_txt = self.save_dir / "predictions_txt"
+        pred_txt.mkdir(parents=True, exist_ok=True)
+        LOGGER.info(f"saving DOTA-format predictions to {pred_txt}")
+        for d in jdict:
+            cname = str(names[d["category_id"] - 1]).replace(" ", "-")
+            p = d["poly"]
+            with open(pred_txt / f"Task1_{cname}.txt", "a") as f:
+                f.write(f"{d['image_id']} {d['score']} " + " ".join(str(x) for x in p[:8]) + "\n")
+        # merged submission only applies to DOTA-split tiles (name__scale__x___y)
+        tile_pat = _re.compile(r"\d+___\d+")
+        if not any(tile_pat.search(str(d["image_id"])) for d in jdict):
+            return
+        merged = defaultdict(list)
+        for d in jdict:
+            image_id = str(d["image_id"]).split("__")[0]
+            x, y = (int(c) for c in tile_pat.findall(str(d["image_id"]))[0].split("___"))
+            rb = list(d["rbox"])
+            rb[0] += x
+            rb[1] += y
+            merged[image_id].append(rb + [d["score"], d["category_id"] - 1])
+        out_dir = self.save_dir / "predictions_merged_txt"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for image_id, rows in merged.items():
+            arr = np.asarray(rows, np.float32)  # (n, 7)
+            max_wh = float(arr[:, :2].max()) * 2
+            shifted = arr[:, :5].copy()
+            shifted[:, :2] += arr[:, 6:7] * max_wh  # class-offset trick
+            order = np.argsort(-arr[:, 5])
+            keep = []
+            for j in order:  # greedy rotated NMS at IoU 0.3 (host-side; tiny n)
+                if all(float(np.asarray(probiou(jnp.asarray(shifted[j]),
+                                                jnp.asarray(shifted[k])))[0]) < 0.3
+                       for k in keep):
+                    keep.append(int(j))
+            kept = arr[keep]
+            polys = xywhr2xyxyxyxy(kept[:, :5]).reshape(-1, 8)
+            for row, p in zip(kept, polys):
+                cname = str(names[int(row[6])]).replace(" ", "-")
+                with open(out_dir / f"Task1_{cname}.txt", "a") as f:
+                    f.write(f"{image_id} {round(float(row[5]), 3)} "
+                            + " ".join(str(round(float(x), 3)) for x in p) + "\n")

@@ -71,6 +71,13 @@ class Exporter:
 
         variables = model.variables
         assert variables is not None, "model not initialized"
+        # fold conv+BN for the exported artifact (reference Exporter fuses the
+        # deepcopied model before tracing); output-identical, and non-XLA
+        # consumers (tflite interpreters) get a simpler graph. The caller's
+        # live variables are untouched.
+        from edgeyolo_tpu.nn.tasks import fuse_conv_bn
+
+        variables = fuse_conv_bn(variables)
 
         def fwd(img):
             return model.net.apply(variables, img, train=False)["pred"]

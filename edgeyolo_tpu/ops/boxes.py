@@ -229,3 +229,17 @@ def crop_mask(masks, boxes):
     c = jnp.arange(w, dtype=boxes.dtype)[None, None, :]
     r = jnp.arange(h, dtype=boxes.dtype)[None, :, None]
     return masks * ((c >= x1) & (c < x2) & (r >= y1) & (r < y2))
+
+
+def xywhr2xyxyxyxy(rbox):
+    """(..., 5) [cx, cy, w, h, angle(rad)] -> (..., 4, 2) corner points
+    (reference utils/ops.py xywhr2xyxyxyxy). numpy in, numpy out."""
+    import numpy as _np
+
+    rbox = _np.asarray(rbox, _np.float32)
+    cx, cy, w, h, r = (rbox[..., i] for i in range(5))
+    cos, sin = _np.cos(r), _np.sin(r)
+    dx = _np.stack([w / 2 * cos, w / 2 * sin], -1)
+    dy = _np.stack([-h / 2 * sin, h / 2 * cos], -1)
+    c = _np.stack([cx, cy], -1)
+    return _np.stack([c - dx - dy, c + dx - dy, c + dx + dy, c - dx + dy], -2)

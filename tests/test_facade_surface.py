@@ -109,3 +109,33 @@ def test_predict_augment_tta():
     if len(r.boxes):
         b = r.boxes.xyxy
         assert float(np.min(b)) >= 0.0 and float(np.max(b)) <= 96.0
+
+
+def test_obb_dota_json_and_merged_submission(tmp_path):
+    """OBB save_json surface (reference obb/val.py pred_to_json/eval_json):
+    per-class Task1 files plus the merged pass that re-offsets DOTA tile
+    predictions by the __x___y window origin and class-offset rotated-NMS
+    dedups across overlapping tiles."""
+    from edgeyolo_tpu.cfg import get_cfg
+    from edgeyolo_tpu.engine.validator import OBBValidator
+
+    v = OBBValidator(get_cfg(overrides={"mode": "val", "task": "obb", "save_json": True}),
+                     save_dir=tmp_path)
+    names = {0: "plane", 1: "small vehicle"}
+    jdict = []
+    # two tiles of the same source image P0001; the same physical object seen
+    # in both (global center 600,300 after offset) plus one distinct object
+    v._pred_to_json(jdict, np.array([[600.0, 300.0, 60, 30, 0.1]], np.float32),
+                    np.array([0.9]), np.array([0.0]), "P0001__1024__0___0.jpg")
+    v._pred_to_json(jdict, np.array([[100.0, 300.0, 60, 30, 0.1],
+                                     [400.0, 100.0, 40, 20, 0.0]], np.float32),
+                    np.array([0.8, 0.7]), np.array([0.0, 1.0]), "P0001__1024__500___0.jpg")
+    v._eval_json_dota(jdict, names, None)
+    assert (tmp_path / "predictions.json").exists()
+    plain = (tmp_path / "predictions_txt" / "Task1_plane.txt").read_text().splitlines()
+    assert len(plain) == 2  # split predictions keep both tile hits
+    merged = (tmp_path / "predictions_merged_txt" / "Task1_plane.txt").read_text().splitlines()
+    assert len(merged) == 1  # the duplicate collapses to the higher score
+    assert merged[0].startswith("P0001 0.9")
+    other = (tmp_path / "predictions_merged_txt" / "Task1_small-vehicle.txt").read_text().splitlines()
+    assert len(other) == 1  # different class survives class-offset NMS

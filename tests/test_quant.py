@@ -46,8 +46,10 @@ def test_quantized_conv_matches_manual_dequant():
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32) * (sx * sw)
     # y_q passed through BN(eps) — undo with the init-state BN transform
+    from edgeyolo_tpu.nn.modules.conv import BN_EPS
+
     bn = v["params"]["bn"]
-    y_expect = (y_ref - 0.0) / np.sqrt(1.0 + 1e-3) * np.asarray(bn["scale"]) + np.asarray(bn["bias"])
+    y_expect = (y_ref - 0.0) / np.sqrt(1.0 + BN_EPS) * np.asarray(bn["scale"]) + np.asarray(bn["bias"])
     np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_expect), atol=1e-5)
 
 
