@@ -161,16 +161,50 @@ class YOLO:
         self._ensure_init()
         return self.model.info(verbose)
 
+    # -- callbacks (reference Model.add_callback/reset_callbacks:905-940) -----
+    def add_callback(self, event: str, func):
+        """Register a hook fired by the trainer at the named event; the full
+        event table lives in utils/callbacks.EVENTS."""
+        from edgeyolo_tpu.utils.callbacks import EVENTS, get_default_callbacks
+
+        if not hasattr(self, "callbacks"):
+            self.callbacks = get_default_callbacks()
+        if event not in EVENTS:
+            raise KeyError(f"unknown callback event '{event}'; valid: {EVENTS}")
+        self.callbacks[event].append(func)
+
+    def reset_callbacks(self):
+        from edgeyolo_tpu.utils.callbacks import get_default_callbacks
+
+        self.callbacks = get_default_callbacks()
+
     # -- modes -------------------------------------------------------------------
     def train(self, **kwargs):
         args = get_cfg(overrides={**self.overrides, "mode": "train",
                                   "model": self.model_name, "task": self.task, **kwargs})
         if not args.data:
             raise ValueError("train() requires data=<dataset.yaml>")
+        # a yaml-built model with no weights yet adapts its head to the
+        # dataset's class count, like the reference trainer's
+        # get_model(cfg, nc=data['nc']) (models/yolo/detect/train.py:86-91);
+        # once weights exist the trainer's strict nc check stands
+        if self.model.variables is None and self.task != "classify":
+            try:
+                from edgeyolo_tpu.data.dataset import check_det_dataset
+
+                nc = int(check_det_dataset(args.data)["nc"])
+            except Exception:
+                nc = None
+            if nc and nc != self.model.nc:
+                LOGGER.info(f"rebuilding model head for dataset nc={nc} (was {self.model.nc})")
+                d = dict(self.model.yaml)
+                d["nc"] = nc
+                self.model = type(self.model)(d)  # trainer sets dataset names
         trainer_cls = self.task_map[self.task]["trainer"]
         save_dir = get_save_dir(args, name=args.name or "train")
         self._ensure_init(args.imgsz)
-        trainer = trainer_cls(self.model, args, save_dir=save_dir)
+        trainer = trainer_cls(self.model, args, save_dir=save_dir,
+                              callbacks=getattr(self, "callbacks", None))
         self.trainer = trainer
         best = trainer.train()
         self.overrides["imgsz"] = args.imgsz

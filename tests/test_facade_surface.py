@@ -139,3 +139,21 @@ def test_obb_dota_json_and_merged_submission(tmp_path):
     assert merged[0].startswith("P0001 0.9")
     other = (tmp_path / "predictions_merged_txt" / "Task1_small-vehicle.txt").read_text().splitlines()
     assert len(other) == 1  # different class survives class-offset NMS
+
+
+def test_facade_add_callback_fires(tmp_path):
+    """YOLO.add_callback routes hooks into the trainer bus (reference
+    Model.add_callback, engine/model.py:905; test_python.py:239 injection)."""
+    from edgeyolo_tpu.data.synthetic import generate_dataset
+
+    data = generate_dataset(tmp_path / "ds", n_train=4, n_val=2, imgsz=64, nc=2)
+    m = YOLO("yolo11n.yaml")
+    fired = []
+    m.add_callback("on_train_start", lambda tr: fired.append("start"))
+    m.add_callback("on_train_epoch_end", lambda tr: fired.append(tr.epoch))
+    with pytest.raises(KeyError):
+        m.add_callback("not_an_event", lambda tr: None)
+    m.train(data=str(data), epochs=1, imgsz=64, batch=4, nbs=4, val=False,
+            plots=False, workers=0, mosaic=0.0, warmup_epochs=0,
+            project=str(tmp_path / "runs"), name="cb")
+    assert fired and fired[0] == "start" and len(fired) == 2
