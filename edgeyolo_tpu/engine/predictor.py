@@ -42,6 +42,7 @@ class DetectionPredictor:
         self.args = args if args is not None else get_cfg(overrides={"mode": "predict"})
         self.save_dir = Path(save_dir)
         self._infer = None
+        self._vis_fn = None
 
     @staticmethod
     def _classes_filter(args):
@@ -173,6 +174,8 @@ class DetectionPredictor:
             t1 = time.perf_counter()
             outs = self._infer(variables, x)
             outs = jax.tree.map(np.asarray, jax.device_get(outs))
+            if getattr(args, "visualize", False):
+                self._visualize(model, variables, x, Path(path).stem)
             t2 = time.perf_counter()
             speed = {"preprocess": (t1 - t0) * 1e3, "inference": (t2 - t1) * 1e3,
                      "postprocess": 0.0}
@@ -189,6 +192,28 @@ class DetectionPredictor:
                 LOGGER.info(f"{path}: {res.verbose_str} "
                             f"({res.speed['inference']:.1f}ms inference)")
             yield res
+
+    def _visualize(self, model, variables, x, stem: str):
+        """Save per-layer feature-map grids (reference predict visualize=True
+        -> feature_visualization per non-head layer, nn/tasks.py:173). Runs a
+        second capture forward — visualize is a debug mode, not a hot path."""
+        from edgeyolo_tpu.utils.plotting import feature_visualization
+
+        if self._vis_fn is None:
+            idxs = tuple(sp.i for sp in model.spec[:-1])  # head excluded
+
+            @jax.jit
+            def vis(v, img):
+                return model.apply(v, img, train=False, capture=idxs)[1]
+
+            self._vis_fn = vis
+        feats = jax.device_get(self._vis_fn(variables, x))
+        out_dir = self.save_dir / stem
+        for sp in model.spec[:-1]:
+            f = feats.get(sp.i)
+            if f is not None and hasattr(f, "ndim"):  # skip list outputs (CBLinear)
+                feature_visualization(f, sp.name, sp.i, out_dir)
+        LOGGER.info(f"saved feature maps to {out_dir}")
 
     def __call__(self, model, source, variables=None):
         return list(self.stream(model, source, variables))

@@ -434,19 +434,27 @@ class GraphNet(nn.Module):
 
     TEXT_MODULES = frozenset({"C2fAttn", "ImagePoolingAttn", "WorldDetect"})
 
-    def __call__(self, x, train: bool = False, text=None, dn=None, embed=None):
+    def __call__(self, x, train: bool = False, text=None, dn=None, embed=None,
+                 capture=None):
         from edgeyolo_tpu.nn.modules.conv import default_act as _act_scope
 
         with _act_scope(self.default_act):
-            return self._walk(x, train=train, text=text, dn=dn, embed=embed)
+            return self._walk(x, train=train, text=text, dn=dn, embed=embed,
+                              capture=capture)
 
-    def _walk(self, x, train: bool = False, text=None, dn=None, embed=None):
+    def _walk(self, x, train: bool = False, text=None, dn=None, embed=None,
+              capture=None):
         # embed: static tuple of layer indices -> return concatenated GAP
         # features instead of the head output (reference _predict_once embed
         # collection, nn/tasks.py:175-178: adaptive_avg_pool2d + cat + unbind)
         embed = tuple(embed) if embed else ()
         stop_at = max(embed) if embed else -1
         feats = []
+        # capture: static layer indices whose raw outputs are returned
+        # alongside the head output — feature visualization (reference
+        # _predict_once visualize hook, nn/tasks.py:173-174)
+        capture = tuple(capture) if capture else ()
+        captured: dict[int, Any] = {}
         y: dict[int, Any] = {}
         out = x
         ori_text = text  # WorldDetect always sees the un-refreshed features
@@ -474,10 +482,14 @@ class GraphNet(nn.Module):
                 out = blk(inp, train=train)
             if sp.i in self.save:
                 y[sp.i] = out
+            if sp.i in capture:
+                captured[sp.i] = out
             if sp.i in embed:
                 feats.append(jnp.mean(out, axis=(1, 2)))  # NHWC global avg pool
                 if sp.i == stop_at:
                     return jnp.concatenate(feats, axis=-1)
+        if capture:
+            return out, captured
         return out
 
 

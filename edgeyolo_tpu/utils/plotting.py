@@ -128,3 +128,31 @@ def plot_confusion_matrix(matrix: np.ndarray, names: dict, save_path: Path, norm
     fig.savefig(save_path, dpi=150)
     plt.close(fig)
     return str(save_path)
+
+
+def feature_visualization(x, module_type: str, stage: int, save_dir, n: int = 32):
+    """Save the first n channels of one layer's NHWC feature map as a
+    grayscale grid PNG (reference utils/plotting.py feature_visualization —
+    same stage{i}_{type}_features.png naming, head/final layers skipped by
+    the caller)."""
+    import math
+
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    x = np.asarray(x)
+    if x.ndim != 4 or 1 in x.shape[1:3]:
+        return None
+    _, h, w, c = x.shape
+    n = min(n, c)
+    cols = 8
+    rows = math.ceil(n / cols)
+    fig, axs = plt.subplots(rows, cols, figsize=(cols * 1.6, rows * 1.6), tight_layout=True)
+    axs = np.atleast_1d(axs).ravel()
+    for i in range(len(axs)):
+        axs[i].axis("off")
+        if i < n:
+            axs[i].imshow(x[0, :, :, i], cmap="gray")
+    f = save_dir / f"stage{stage}_{module_type}_features.png"
+    fig.savefig(f, dpi=96, bbox_inches="tight")
+    plt.close(fig)
+    return f

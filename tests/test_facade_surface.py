@@ -157,3 +157,16 @@ def test_facade_add_callback_fires(tmp_path):
             plots=False, workers=0, mosaic=0.0, warmup_epochs=0,
             project=str(tmp_path / "runs"), name="cb")
     assert fired and fired[0] == "start" and len(fired) == 2
+
+
+def test_predict_visualize_saves_feature_maps(tmp_path):
+    """visualize=True dumps stage{i}_{type}_features.png per non-head layer
+    (reference nn/tasks.py:173 + utils/plotting feature_visualization)."""
+    m = YOLO("yolo11n.yaml")
+    img = (np.random.RandomState(5).rand(64, 64, 3) * 255).astype(np.uint8)
+    m.predict(img, imgsz=64, conf=0.25, visualize=True, verbose=False,
+              project=str(tmp_path), name="vis")
+    pngs = list((tmp_path / "vis").rglob("stage*_features.png"))
+    assert len(pngs) > 15  # yolo11n has 23 non-head layers; Concat/Upsample included
+    names = {p.name for p in pngs}
+    assert any("Conv" in n for n in names) and any("C3k2" in n for n in names)
