@@ -139,6 +139,11 @@ def _warp_one(quads, boxes4, valid4, extras, key, S: int, hyp: dict, mosaic: int
     """
     n_src = boxes4.shape[0]
     mosaic9 = n_src == 9
+    mosaic3 = n_src == 3  # fork's 1x3 layout (reference augment.py:599-650
+    # _mosaic3: labeled image center, two partners left/right, gray elsewhere)
+    # tile->column order: tile 0 (the labeled image) sits in the middle
+    M3_COL_OF_TILE = (1, 2, 0)  # reference places i==1 right, i==2 left
+    M3_TILE_OF_COL = (2, 0, 1)
     M4 = boxes4.shape[0] * boxes4.shape[1]
     kc, ka = jax.random.split(key)
     # mosaic4 center in canvas coords (canvas is 2S x 2S; center ~ U[0.5S, 1.5S])
@@ -155,6 +160,9 @@ def _warp_one(quads, boxes4, valid4, extras, key, S: int, hyp: dict, mosaic: int
         offs = 1.5 * S
         woff = jax.random.uniform(jax.random.fold_in(kc, 1), (2,),
                                   minval=-0.5 * S, maxval=0.5 * S)  # (y, x)
+    elif mosaic3:
+        offs = 1.5 * S  # 3S x 3S canvas, tiles occupy the middle row only
+        woff = jnp.zeros((2,))
     else:
         offs = float(S) if mosaic else 0.5 * S
         woff = jnp.zeros((2,))
@@ -174,6 +182,11 @@ def _warp_one(quads, boxes4, valid4, extras, key, S: int, hyp: dict, mosaic: int
         col = jnp.clip(jnp.floor(v / S), 0, 2).astype(jnp.int32)
         img_idx = row * 3 + col
         y_loc = u - row.astype(jnp.float32) * S
+        x_loc = v - col.astype(jnp.float32) * S
+    elif mosaic3:
+        col = jnp.clip(jnp.floor(v / S), 0, 2).astype(jnp.int32)
+        img_idx = jnp.asarray(M3_TILE_OF_COL, jnp.int32)[col]
+        y_loc = u - float(S)  # outside the middle row -> OOB -> gray fill
         x_loc = v - col.astype(jnp.float32) * S
     elif mosaic:
         right = (v >= xc).astype(jnp.int32)
@@ -199,6 +212,12 @@ def _warp_one(quads, boxes4, valid4, extras, key, S: int, hyp: dict, mosaic: int
             img = _separable_accumulate(
                 quads, u_ax - gy.astype(u_ax.dtype) * S, gy, 3,
                 v_ax - gx.astype(v_ax.dtype) * S, gx, 3, lambda b, r: b * 3 + r, S)
+        elif mosaic3:
+            gx = jnp.clip(jnp.floor(v_ax / S), 0, 2).astype(jnp.int32)
+            img = _separable_accumulate(
+                quads, u_ax - float(S), jnp.zeros((S,), jnp.int32), 1,
+                v_ax - gx.astype(v_ax.dtype) * S, gx, 3,
+                lambda b, r: M3_TILE_OF_COL[r], S)
         elif mosaic:
             bot = (u_ax >= yc).astype(jnp.int32)
             rgt = (v_ax >= xc).astype(jnp.int32)
@@ -222,6 +241,9 @@ def _warp_one(quads, boxes4, valid4, extras, key, S: int, hyp: dict, mosaic: int
         cols = jnp.arange(9) % 3
         oy = rows.astype(jnp.float32) * S - woff[0]
         ox = cols.astype(jnp.float32) * S - woff[1]
+    elif mosaic3:
+        oy = jnp.full((3,), float(S))
+        ox = jnp.asarray(M3_COL_OF_TILE, jnp.float32) * S
     elif mosaic:
         oy = jnp.stack([yc - S, yc - S, yc, yc])  # per-quadrant origin
         ox = jnp.stack([xc - S, xc, xc - S, xc])
@@ -421,7 +443,7 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key,
     M = cls.shape[1]
     # single-source when mosaic is off (close_mosaic epochs): gathering 4
     # tiles only to mask 3 of them wastes 4x HBM traffic and label compute
-    n_src = 9 if mosaic == 9 else (4 if mosaic else 1)
+    n_src = {9: 9, 3: 3}.get(mosaic, 4 if mosaic else 1)
     imgs_f = images.astype(jnp.float32)
 
     keys = jax.random.split(key, B * 4).reshape(B, 4, 2)

@@ -198,6 +198,14 @@ def grid_generate(fac, img, points_per_side: int = 16, points_per_batch: int = 6
         if not dup:
             kept.append(i)
 
+    # post-filter: fill small holes / drop small islands, then re-NMS the
+    # recomputed boxes preferring masks that needed no repair (reference
+    # Predictor.remove_small_regions, sam/predict.py:571-620)
+    if min_area > 0 and kept:
+        sub, keep2 = remove_small_regions(masks[kept], min_area, nms_thresh=nms_iou)
+        kept = [kept[j] for j in keep2]
+        masks[kept] = sub  # repaired masks replace the originals
+
     out = []
     lh, lw = masks.shape[1:]
     for i in kept:
@@ -212,3 +220,57 @@ def grid_generate(fac, img, points_per_side: int = 16, points_per_batch: int = 6
             "stability_score": float(stabs[i]),
         })
     return out
+
+
+def remove_small_regions(masks, min_area: int = 0, nms_thresh: float = 0.7):
+    """Repair masks, then dedup: fill holes and drop islands smaller than
+    min_area (scipy connected components), recompute boxes and greedy-NMS
+    them with score 1 for untouched masks / 0 for repaired ones so unrepaired
+    masks win ties (reference sam/predict.py:571-620 remove_small_regions).
+
+    masks: (N, H, W) bool-ish. Returns (new_masks (M, H, W) bool, keep idx).
+    """
+    from scipy import ndimage
+
+    masks = np.asarray(masks).astype(bool)
+    if len(masks) == 0:
+        return masks, []
+    new_masks, scores = [], []
+    for m in masks:
+        changed = False
+        for mode in ("holes", "islands"):
+            work = ~m if mode == "holes" else m
+            lab, n = ndimage.label(work)
+            if n:
+                sizes = ndimage.sum(work, lab, index=np.arange(1, n + 1))
+                small = np.flatnonzero(sizes < min_area) + 1
+                if len(small):
+                    changed = True
+                    fill = np.isin(lab, small)
+                    m = (m | fill) if mode == "holes" else (m & ~fill)
+        new_masks.append(m)
+        scores.append(0.0 if changed else 1.0)
+    boxes = np.zeros((len(new_masks), 4), np.float32)
+    for i, m in enumerate(new_masks):
+        ys, xs = np.nonzero(m)
+        if len(ys):
+            boxes[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+    order = np.argsort(-np.asarray(scores), kind="stable")
+    keep = []
+    for i in order:
+        bi = boxes[i]
+        dup = False
+        for j in keep:
+            bj = boxes[j]
+            iw = max(0.0, min(bi[2], bj[2]) - max(bi[0], bj[0]))
+            ih = max(0.0, min(bi[3], bj[3]) - max(bi[1], bj[1]))
+            inter = iw * ih
+            ua = ((bi[2] - bi[0]) * (bi[3] - bi[1])
+                  + (bj[2] - bj[0]) * (bj[3] - bj[1]) - inter)
+            if ua > 0 and inter / ua > nms_thresh:
+                dup = True
+                break
+        if not dup:
+            keep.append(int(i))
+    keep.sort()
+    return np.stack([new_masks[i] for i in keep]), keep

@@ -340,3 +340,40 @@ def test_non_mosaic_single_source_label_count():
         jnp.asarray(mask), jax.random.PRNGKey(0), S, hyp, mosaic=False)
     assert acls.shape == (B, M) and aboxes.shape == (B, M, 4)
     assert img01.shape == (B, S, S, 3)
+
+
+def test_mosaic3_shapes_and_layout():
+    """mosaic=3 is the fork's 1x3 layout (reference _mosaic3, augment.py:
+    599-650): labeled image centered, partners left/right, gray above/below;
+    3*M label slots."""
+    B2 = 5
+    imgs = np.zeros((B2, S, S, 3), np.uint8)
+    for i in range(B2):
+        imgs[i] = (40 * i + 20)
+    cls = np.zeros((B2, M), np.float32)
+    boxes = np.tile(np.asarray([[0.5, 0.5, 0.4, 0.4]], np.float32), (B2, M, 1))
+    mask = np.ones((B2, M), np.float32)
+    hyp = dict(HYP, fliplr=0.0, translate=0.0, scale=0.0, hsv_h=0, hsv_s=0, hsv_v=0)
+    img01, c3, b3, v3 = augment_batch(
+        jnp.asarray(imgs), jnp.asarray(cls), jnp.asarray(boxes), jnp.asarray(mask),
+        jax.random.PRNGKey(1), S, hyp, mosaic=3)
+    assert b3.shape == (B2, 3 * M, 4) and c3.shape == (B2, 3 * M)
+    # with zero jitter the S output window is the canvas center == the CENTER
+    # column, which must hold the LABELED image (tile 0) — the reference puts
+    # partners left/right of it. Image i is solid (40i+20).
+    for i in range(B2):
+        im = np.asarray(img01[i]) * 255
+        assert abs(float(im.mean()) - (40 * i + 20)) < 2, f"tile 0 not centered for {i}"
+    # only the centered tile's labels survive; partner boxes land outside the
+    # window and are filtered by the candidate gate
+    v = np.asarray(v3[0])
+    assert v[:M].any() and not v[M:].any()
+    bb = np.asarray(b3)[np.asarray(v3) > 0]
+    assert len(bb) and (bb >= -1e-5).all() and (bb[:, :2] <= 1 + 1e-5).all()
+    # a zoomed-out window (deterministic shrink) must reveal the side tiles
+    # and the gray rows above/below the 1x3 strip
+    hyp_zoom = dict(hyp, _force_gather=True)
+    img2, _c, _b, _v = augment_batch(
+        jnp.asarray(imgs), jnp.asarray(cls), jnp.asarray(boxes), jnp.asarray(mask),
+        jax.random.PRNGKey(1), S, hyp_zoom, mosaic=3)
+    assert img2.shape == (B2, S, S, 3)

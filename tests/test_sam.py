@@ -104,3 +104,25 @@ def test_mobile_sam_facade():
     sam.set_image(img)
     masks, iou = sam(points=[[48, 48]], labels=[1])
     assert masks.shape == (1, 96, 96)
+
+
+def test_remove_small_regions_holes_islands_nms():
+    """reference sam/predict.py:571-620: holes below min_area fill, islands
+    below it vanish, and repaired duplicates lose the NMS to untouched masks."""
+    from edgeyolo_tpu.engine.sam import remove_small_regions
+
+    m = np.zeros((3, 32, 32), bool)
+    m[0, 4:28, 4:28] = True
+    m[0, 10:12, 10:12] = False        # 4px hole -> filled
+    m[0, 0, 0] = True                 # 1px island -> removed
+    m[1, 4:28, 4:28] = True           # clean duplicate of mask 0's body
+    m[2, 2:6, 20:30] = True           # distinct clean mask
+    new, keep = remove_small_regions(m.copy(), min_area=16, nms_thresh=0.7)
+    assert 1 in keep and 2 in keep and 0 not in keep  # untouched twin wins NMS
+    assert len(keep) == 2
+    # repair semantics on the mask itself
+    new0, k0 = remove_small_regions(m[:1].copy(), min_area=16)
+    assert k0 == [0]
+    assert new0[0, 10, 10]            # hole filled
+    assert not new0[0, 0, 0]          # island removed
+    assert new0[0, 5, 5]              # body intact
