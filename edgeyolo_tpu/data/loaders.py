@@ -177,13 +177,18 @@ def open_video(path: str):
 
 class LoadVideo:
     """Frame iterator over one video file through the decoder registry
-    (reference LoadImagesAndVideos video branch, loaders.py:284)."""
+    (reference LoadImagesAndVideos video branch, loaders.py:284).
+    vid_stride keeps frame 0 then every stride-th frame (reference
+    predictor arg of the same name)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, vid_stride: int = 1):
         self.path = str(path)
+        self.vid_stride = max(1, int(vid_stride))
 
     def __iter__(self):
         for i, frame in enumerate(open_video(self.path)):
+            if i % self.vid_stride:
+                continue
             yield f"{self.path}:{i}", np.asarray(frame)
 
 
@@ -191,7 +196,8 @@ class LoadImages:
     """Batched walker over image files/dirs/globs; video files stream
     through the decoder registry."""
 
-    def __init__(self, source, batch: int = 1):
+    def __init__(self, source, batch: int = 1, vid_stride: int = 1):
+        self.vid_stride = vid_stride
         p = Path(str(source))
         self.videos: list[Path] = []
         if p.is_dir():
@@ -217,7 +223,7 @@ class LoadImages:
         for f in self.files:
             yield str(f), load_image_rgb(str(f))
         for v in self.videos:
-            yield from LoadVideo(str(v))
+            yield from LoadVideo(str(v), vid_stride=self.vid_stride)
 
 
 class LoadPilAndNumpy:
@@ -427,7 +433,7 @@ class LoadStreams:
         self.close()
 
 
-def load_inference_source(source, batch: int = 1):
+def load_inference_source(source, batch: int = 1, vid_stride: int = 1):
     """Dispatch any source to a (path, frame) iterator + SourceTypes flags."""
     st = SourceTypes()
     if isinstance(source, np.ndarray) and source.ndim == 4:
@@ -466,4 +472,4 @@ def load_inference_source(source, batch: int = 1):
     if s == "screen":
         raise NotImplementedError(
             "screenshot capture needs mss (import probe: not installed)")
-    return LoadImages(source, batch), st
+    return LoadImages(source, batch, vid_stride=vid_stride), st

@@ -24,12 +24,12 @@ from edgeyolo_tpu.utils import LOGGER
 IMG_EXTS = {".bmp", ".jpeg", ".jpg", ".png", ".tif", ".tiff", ".webp"}
 
 
-def _iter_source(source):
+def _iter_source(source, vid_stride: int = 1):
     """Yield (path, HWC RGB uint8) frames via the loaders dispatcher
     (images/dirs/globs/arrays/PIL/tensors/frame-iterables; data/loaders.py)."""
     from edgeyolo_tpu.data.loaders import load_inference_source
 
-    loader, _types = load_inference_source(source)
+    loader, _types = load_inference_source(source, vid_stride=vid_stride)
     yield from loader
 
 
@@ -135,20 +135,24 @@ class DetectionPredictor:
         det[:, [1, 3]] = ((det[:, [1, 3]] - ph) / r).clip(0, h0)
         return det
 
-    def _to_results(self, outs, img0, path, names, r, pads, speed) -> Results:
-        """Convert one frame's device outputs to a Results (task hook)."""
+    def _to_results(self, outs, i, img0, path, names, r, pads, speed) -> Results:
+        """Convert frame i of a batch's device outputs to a Results (task hook)."""
         dets, nvalid = outs
-        n = int(np.asarray(nvalid)[0])
-        det = np.asarray(jax.device_get(dets))[0][:n].copy()
+        n = int(np.asarray(nvalid)[i])
+        det = np.asarray(dets)[i][:n].copy()
         if n:
             det = self._unletterbox_boxes(det, r, *pads, img0.shape[:2])
         return Results(img0, path, names, boxes=det, speed=speed)
 
     def stream(self, model, source, variables=None):
-        """Generator over Results (one per frame)."""
+        """Generator over Results (one per frame). Frames are letterboxed to
+        one static square shape, so args.batch frames ride a single compiled
+        forward+NMS call (reference batched LoadImagesAndVideos predict;
+        batch=1 keeps frame-by-frame latency)."""
         args = self.args
         conf = args.conf if args.conf is not None else 0.25
         imgsz = int(args.imgsz)
+        bs = max(1, int(getattr(args, "batch", 1) or 1))
         variables = variables if variables is not None else model.variables
         if self._infer is None:
             self._infer = self._build_infer(model, conf)
@@ -161,37 +165,52 @@ class DetectionPredictor:
             model.quant = getattr(model, "_quant_stash", None)
         elif not want_int8 and model.quant is not None:
             model._quant_stash, model.quant = model.quant, None
-        for path, img0 in _iter_source(source):
-            t0 = time.perf_counter()
-            img, r, (pw, ph) = letterbox(img0, imgsz, scaleup=True)
-            x = jnp.asarray(img[None], jnp.float32) / 255.0
+
+        def run_batch(frames):
+            # pad a partial final chunk with the last frame — the program
+            # stays one compiled shape; padded outputs are simply not read
+            n_real = len(frames)
+            imgs = [f[2] for f in frames] + [frames[-1][2]] * (bs - n_real)
+            x = jnp.asarray(np.stack(imgs), jnp.float32) / 255.0
             if want_int8 and model.quant is None:
-                # PTQ auto-calibration on the first frame (validator calibrates
-                # on a full val batch; a single stream frame is the best
-                # available representative here)
+                # PTQ auto-calibration on the first chunk (validator
+                # calibrates on a full val batch; the first frames are the
+                # best available representative here)
                 model.quantize(x, variables=variables)
-                LOGGER.info(f"int8: calibrated {len(model.quant.wq)} convs on first frame")
+                LOGGER.info(f"int8: calibrated {len(model.quant.wq)} convs on first batch")
             t1 = time.perf_counter()
             outs = self._infer(variables, x)
             outs = jax.tree.map(np.asarray, jax.device_get(outs))
-            if getattr(args, "visualize", False):
-                self._visualize(model, variables, x, Path(path).stem)
-            t2 = time.perf_counter()
-            speed = {"preprocess": (t1 - t0) * 1e3, "inference": (t2 - t1) * 1e3,
-                     "postprocess": 0.0}
-            res = self._to_results(outs, img0, path, names, r, (pw, ph), speed)
-            res.speed["postprocess"] = (time.perf_counter() - t2) * 1e3
-            if args.save or args.save_txt:
-                self.save_dir.mkdir(parents=True, exist_ok=True)
-                if args.save:
-                    res.save(self.save_dir / (Path(path).stem + ".jpg"))
-                if args.save_txt:
-                    res.save_txt(self.save_dir / "labels" / (Path(path).stem + ".txt"),
-                                 save_conf=args.save_conf)
-            if args.verbose:
-                LOGGER.info(f"{path}: {res.verbose_str} "
-                            f"({res.speed['inference']:.1f}ms inference)")
-            yield res
+            infer_ms = (time.perf_counter() - t1) * 1e3 / n_real
+            for i, (path, img0, _img, r, pads, pre_ms) in enumerate(frames):
+                if getattr(args, "visualize", False):
+                    self._visualize(model, variables, x[i : i + 1], Path(path).stem)
+                t2 = time.perf_counter()
+                speed = {"preprocess": pre_ms, "inference": infer_ms, "postprocess": 0.0}
+                res = self._to_results(outs, i, img0, path, names, r, pads, speed)
+                res.speed["postprocess"] = (time.perf_counter() - t2) * 1e3
+                if args.save or args.save_txt:
+                    self.save_dir.mkdir(parents=True, exist_ok=True)
+                    if args.save:
+                        res.save(self.save_dir / (Path(path).stem + ".jpg"))
+                    if args.save_txt:
+                        res.save_txt(self.save_dir / "labels" / (Path(path).stem + ".txt"),
+                                     save_conf=args.save_conf)
+                if args.verbose:
+                    LOGGER.info(f"{path}: {res.verbose_str} "
+                                f"({res.speed['inference']:.1f}ms inference)")
+                yield res
+
+        buf = []
+        for path, img0 in _iter_source(source, vid_stride=int(getattr(args, 'vid_stride', 1) or 1)):
+            t0 = time.perf_counter()
+            img, r, (pw, ph) = letterbox(img0, imgsz, scaleup=True)
+            buf.append((path, img0, img, r, (pw, ph), (time.perf_counter() - t0) * 1e3))
+            if len(buf) == bs:
+                yield from run_batch(buf)
+                buf = []
+        if buf:
+            yield from run_batch(buf)
 
     def _visualize(self, model, variables, x, stem: str):
         """Save per-layer feature-map grids (reference predict visualize=True
@@ -249,17 +268,17 @@ class SegmentationPredictor(DetectionPredictor):
 
         return infer
 
-    def _to_results(self, outs, img0, path, names, r, pads, speed) -> Results:
+    def _to_results(self, outs, i, img0, path, names, r, pads, speed) -> Results:
         from edgeyolo_tpu.ops.segments import unletterbox_masks
 
         dets, nvalid, masks = outs
-        n = int(np.asarray(nvalid)[0])
-        det = np.asarray(dets)[0][:n].copy()
+        n = int(np.asarray(nvalid)[i])
+        det = np.asarray(dets)[i][:n].copy()
         res_masks = None
         if n:
             pw, ph = pads
             det = self._unletterbox_boxes(det, r, pw, ph, img0.shape[:2])
-            pm = np.asarray(masks)[0][:n]  # (n, ph, pw) proto-res [0,1]
+            pm = np.asarray(masks)[i][:n]  # (n, ph, pw) proto-res [0,1]
             s = pm.shape[1] / (img0.shape[0] * r + 2 * ph)  # proto/input scale
             res_masks = unletterbox_masks(pm, (pw * s, ph * s), img0.shape[:2]) > 0.5
         return Results(img0, path, names, boxes=det, masks=res_masks, speed=speed)
@@ -299,16 +318,16 @@ class PosePredictor(DetectionPredictor):
 
         return infer
 
-    def _to_results(self, outs, img0, path, names, r, pads, speed) -> Results:
+    def _to_results(self, outs, i, img0, path, names, r, pads, speed) -> Results:
         dets, nvalid, kpts = outs
-        n = int(np.asarray(nvalid)[0])
-        det = np.asarray(dets)[0][:n].copy()
+        n = int(np.asarray(nvalid)[i])
+        det = np.asarray(dets)[i][:n].copy()
         res_kpts = None
         if n:
             pw, ph = pads
             det = self._unletterbox_boxes(det, r, pw, ph, img0.shape[:2])
             K, D = self.kpt_shape
-            pk = np.asarray(kpts)[0][:n].reshape(n, K, D).copy()
+            pk = np.asarray(kpts)[i][:n].reshape(n, K, D).copy()
             pk[..., 0] = (pk[..., 0] - pw) / r
             pk[..., 1] = (pk[..., 1] - ph) / r
             res_kpts = pk
@@ -336,10 +355,10 @@ class OBBPredictor(DetectionPredictor):
 
         return infer
 
-    def _to_results(self, outs, img0, path, names, r, pads, speed) -> Results:
+    def _to_results(self, outs, i, img0, path, names, r, pads, speed) -> Results:
         dets, nvalid = outs
-        n = int(np.asarray(nvalid)[0])
-        det = np.asarray(dets)[0][:n].copy()  # (n, 7) cx,cy,w,h,angle,conf,cls
+        n = int(np.asarray(nvalid)[i])
+        det = np.asarray(dets)[i][:n].copy()  # (n, 7) cx,cy,w,h,angle,conf,cls
         if n:
             pw, ph = pads
             det[:, 0] = (det[:, 0] - pw) / r

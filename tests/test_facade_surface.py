@@ -170,3 +170,28 @@ def test_predict_visualize_saves_feature_maps(tmp_path):
     assert len(pngs) > 15  # yolo11n has 23 non-head layers; Concat/Upsample included
     names = {p.name for p in pngs}
     assert any("Conv" in n for n in names) and any("C3k2" in n for n in names)
+
+
+def test_batched_predict_matches_single(tmp_path):
+    """batch=N predict yields the same per-image detections as batch=1
+    (frames letterbox to one static shape, so batching is a pure reshape),
+    including the padded partial final chunk."""
+    rng = np.random.RandomState(7)
+    paths = []
+    from PIL import Image
+    for i in range(5):
+        a = (rng.rand(70 + 6 * i, 90, 3) * 255).astype(np.uint8)
+        p = tmp_path / f"im{i}.png"
+        Image.fromarray(a).save(p)
+        paths.append(str(p))
+    m = YOLO("yolo11n.yaml")
+    m.model.init(0, imgsz=96)
+    r1 = m.predict(str(tmp_path), imgsz=96, conf=0.0001, verbose=False)
+    m.predictor = None
+    r2 = m.predict(str(tmp_path), imgsz=96, conf=0.0001, batch=2, verbose=False)
+    assert len(r1) == len(r2) == 5
+    for a, b in zip(r1, r2):
+        assert len(a.boxes) == len(b.boxes)
+        if len(a.boxes):
+            np.testing.assert_allclose(a.boxes.xyxy, b.boxes.xyxy, atol=1e-3)
+            np.testing.assert_allclose(a.boxes.conf, b.boxes.conf, atol=1e-5)

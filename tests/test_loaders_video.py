@@ -241,3 +241,19 @@ def test_predict_streams_mp4(tmp_path):
     m.model = DetectionModel("yolo11n.yaml", nc=3)
     res = m.predict(str(p), imgsz=64, conf=0.5, verbose=False)
     assert len(res) == 3
+
+
+def test_vid_stride_skips_frames(tmp_path):
+    """vid_stride keeps frame 0 then every stride-th frame (reference
+    LoadImagesAndVideos vid_stride, predictor arg)."""
+    from PIL import Image
+
+    from edgeyolo_tpu.data.loaders import LoadVideo
+
+    frames = [Image.fromarray(np.full((16, 16, 3), 10 * i, np.uint8)) for i in range(7)]
+    p = tmp_path / "clip.gif"
+    frames[0].save(p, save_all=True, append_images=frames[1:], duration=50, loop=0)
+    all_f = list(LoadVideo(str(p)))
+    strided = list(LoadVideo(str(p), vid_stride=3))
+    assert len(all_f) == 7 and len(strided) == 3  # frames 0, 3, 6
+    assert [s[0].rsplit(":", 1)[1] for s in strided] == ["0", "3", "6"]
