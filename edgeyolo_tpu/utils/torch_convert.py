@@ -26,10 +26,18 @@ _PARAM_SUFFIX = {"kernel": "weight", "scale": "weight", "bias": "bias",
 def flax_path_to_torch_key(path: tuple[str, ...]) -> str:
     """Translate one flax param path to the reference state_dict key."""
     parts = list(path)
-    # layer root: l{i}_{Type} -> model.{i}
-    m = re.match(r"^l(\d+)_", parts[0])
+    # layer root: l{i}_{Type} -> model.{i}; a repeated plain module (yaml
+    # n>1 outside the CSP-insert set) is built as l{i}_{Type}_{j} inside a
+    # Sequential wrapper -> model.{i}.{j} (torch nn.Sequential indexing).
+    # No registry type name ends in _<digit>, so the suffix is unambiguous.
+    m = re.match(r"^l(\d+)_(.+)$", parts[0])
     if m:
-        parts[0] = f"model.{m.group(1)}"
+        j = re.search(r"_(\d+)$", m.group(2))
+        parts[0] = f"model.{m.group(1)}" + (f".{j.group(1)}" if j else "")
+        if m.group(2).startswith("nn_ConvTranspose2d") and "conv_transpose" in parts:
+            # raw torch ConvTranspose2d layer: weights live on the module
+            # itself (model.{i}.weight), not under a wrapper child scope
+            parts.remove("conv_transpose")
     out = []
     for p in parts[:-1]:
         # name_0 -> name.0, name_0_1 -> name.0.1 (nested ModuleList indexing)

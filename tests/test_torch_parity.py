@@ -39,6 +39,8 @@ CASES = [
     ("v9t", "ultralytics/cfg/models/v9/yolov9t.yaml", "yolov9t", 5e-3),  # ELAN1/AConv/ADown/SPPELAN/RepNCSPELAN4
     ("v12n", "yolov12n.yaml", "yolov12n", 5e-3),        # A2C2f area attention
     ("v13n", "yolov13n.yaml", "yolov13n", 5e-3),        # HyperACE/FullPAD_Tunnel/DSC3K2
+    ("v6n", "yolov6n.yaml", "yolov6n", 5e-4),           # yaml `activation: nn.ReLU()` override
+    ("v3t", "yolov3-tiny.yaml", "yolov3-tiny", 5e-4),   # plain conv/maxpool lineage
 ]
 
 
