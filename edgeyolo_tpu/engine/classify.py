@@ -102,21 +102,37 @@ class ClassificationPredictor:
 
             self._infer = infer
 
+        bs = max(1, int(getattr(args, "batch", 1) or 1))
+
+        def run_batch(frames):
+            # pad the partial final chunk (one compiled shape; padding unread)
+            n_real = len(frames)
+            imgs = [f[2] for f in frames] + [frames[-1][2]] * (bs - n_real)
+            t1 = time.perf_counter()
+            probs_b = np.asarray(self._infer(variables,
+                                             jnp.asarray(np.stack(imgs), jnp.float32) / 255.0))
+            infer_ms = (time.perf_counter() - t1) * 1e3 / n_real
+            for i, (path, img0, _img, pre_ms) in enumerate(frames):
+                probs = probs_b[i]
+                res = Results(img0, path, names, probs=probs,
+                              speed={"preprocess": pre_ms,
+                                     "inference": infer_ms, "postprocess": 0.0})
+                if args.verbose:
+                    top = int(probs.argmax())
+                    LOGGER.info(f"{path}: {names.get(top, top)} {probs[top]:.3f}")
+                yield res
+
         loader, _types = load_inference_source(source)
+        buf = []
         for path, img0 in loader:
             t0 = time.perf_counter()
             img = _resize_center_crop(img0, imgsz)
-            x = jnp.asarray(img[None], jnp.float32) / 255.0
-            t1 = time.perf_counter()
-            probs = np.asarray(self._infer(variables, x))[0]
-            t2 = time.perf_counter()
-            res = Results(img0, path, names, probs=probs,
-                          speed={"preprocess": (t1 - t0) * 1e3,
-                                 "inference": (t2 - t1) * 1e3, "postprocess": 0.0})
-            if args.verbose:
-                top = int(probs.argmax())
-                LOGGER.info(f"{path}: {names.get(top, top)} {probs[top]:.3f}")
-            yield res
+            buf.append((path, img0, img, (time.perf_counter() - t0) * 1e3))
+            if len(buf) == bs:
+                yield from run_batch(buf)
+                buf = []
+        if buf:
+            yield from run_batch(buf)
 
     def __call__(self, model, source, variables=None):
         return list(self.stream(model, source, variables))

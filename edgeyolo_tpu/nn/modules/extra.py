@@ -657,17 +657,22 @@ class DySample(nn.Module):
         b, h, w, c = x.shape
         s = self.scale
         g = self.groups
-        # offsets in pixel units, 0.25-scaled, init ~0 (bias towards identity)
+        # offsets in pixel units, 0.25-scaled, init ~0 (bias towards identity).
+        # Channel layout matches the reference conv exactly: [xy(2)][g][s^2]
+        # (dysample.py:57 offset.view(B, 2, -1, H, W)), so converted torch
+        # weights land in the right slots.
         off = nn.Conv(2 * g * s * s, (1, 1), use_bias=True,
                       kernel_init=nn.initializers.zeros, dtype=x.dtype, name="offset")(x)
-        off = off.reshape(b, h, w, g, s * s, 2) * 0.25
-        # base grid: output pixel (i,j) samples input at ((i+0.5)/s - 0.5, ...)
+        off = off.reshape(b, h, w, 2, g, s, s) * 0.25  # (..., xy, g, p, q)
+        # base grid: output pixel (I,J) samples input at ((I+0.5)/s - 0.5, ...)
+        # — algebraically identical to the reference's cell+0.5 grid plus its
+        # init_pos subpixel bias and the align_corners=False un-normalization
         oy = (jnp.arange(h * s) + 0.5) / s - 0.5
         ox = (jnp.arange(w * s) + 0.5) / s - 0.5
         gy, gx = jnp.meshgrid(oy, ox, indexing="ij")  # (H', W')
-        # per-output-pixel offset: index into off by (i//? ...) pattern
-        off_full = off.transpose(0, 1, 2, 4, 3, 5).reshape(b, h, w, s, s, g, 2)
-        off_full = off_full.transpose(0, 1, 3, 2, 4, 5, 6).reshape(b, h * s, w * s, g, 2)
+        # distribute subpixels: pixel_shuffle semantics (p = row, q = col)
+        off_full = off.transpose(0, 1, 5, 2, 6, 4, 3)  # (b, h, p, w, q, g, xy)
+        off_full = off_full.reshape(b, h * s, w * s, g, 2)
         sy = gy[None, :, :, None] + off_full[..., 1]
         sx = gx[None, :, :, None] + off_full[..., 0]
         # bilinear gather per group

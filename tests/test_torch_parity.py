@@ -442,3 +442,45 @@ def test_world_forward_parity(name, ref_cfg, our_cfg):
     d = np.abs(pred - ref)
     assert float(d[..., :4].max()) < 5e-3, f"box decode diverged: {d[..., :4].max()}"
     assert float(d[..., 4:].max()) < 1e-3, f"cls scores diverged: {d[..., 4:].max()}"
+
+
+def test_dysample_module_parity():
+    """Module-level DySample vs torch ('lp' style): offset-conv channel
+    layout [xy][g][s^2], pixel_shuffle subpixel distribution, init_pos grid
+    bias, and grid_sample(align_corners=False, padding_mode=border)
+    bilinear semantics — no stock config exercises it, so whole-model parity
+    never touches it (reference nn/modules/dysample.py:20-93)."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgeyolo_tpu.nn.modules.extra import DySample
+
+    out = CACHE / "ref_dysample_micro.npz"
+    if not out.exists():
+        CACHE.mkdir(exist_ok=True)
+        env = dict(os.environ, PYTHONPATH=f"{REPO}/tools/ref_shim:.")
+        code = (
+            "import numpy as np, torch\n"
+            "torch.manual_seed(0)\n"
+            "from ultralytics.nn.modules.dysample import DySample\n"
+            "m = DySample(32, 2, 'lp', 4).eval().float()\n"
+            "with torch.no_grad():\n"
+            "    m.offset.weight += torch.randn_like(m.offset.weight) * 0.2\n"
+            "    m.offset.bias += torch.randn_like(m.offset.bias) * 0.5\n"  # exercise real offsets
+            "x = torch.from_numpy(np.random.RandomState(1).rand(2,32,6,9).astype(np.float32))\n"
+            "with torch.no_grad(): y = m(x)\n"
+            "sd = {k: v.numpy() for k, v in m.state_dict().items()}\n"
+            f"np.savez(r'{out}', __x__=x.numpy(), __y__=y.numpy(), **sd)\n"
+        )
+        subprocess.run([sys.executable, "-c", code], cwd=REF, env=env, check=True,
+                       capture_output=True, text=True)
+    z = np.load(out)
+    x = jnp.asarray(z["__x__"].transpose(0, 2, 3, 1))
+    m = DySample(c1=32, scale=2, style="lp", groups=4)
+    v = {"params": {"offset": {
+        "kernel": jnp.asarray(z["offset.weight"].transpose(2, 3, 1, 0)),
+        "bias": jnp.asarray(z["offset.bias"]),
+    }}}
+    y = m.apply(v, x)
+    d = float(np.abs(z["__y__"].transpose(0, 2, 3, 1) - np.asarray(y)).max())
+    assert d < 1e-5, f"DySample diverged from torch: {d}"
