@@ -21,6 +21,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from edgeyolo_tpu.nn.modules.block import C3, C3k, SPP, Bottleneck, max_pool_same
@@ -147,7 +148,6 @@ class AdaHyperedgeGen(nn.Module):
         Xp = nn.Dense(D, kernel_init=KERNEL_INIT, name="pre_head_proj")(X)
         Xh = Xp.reshape(B, N, H, hd)
         Ph = protos.reshape(B, E, H, hd)
-        logits = jnp.einsum("bnhd,behd->bne", Xh, Ph) / (math.sqrt(hd) * H) * H  # mean over heads
         logits = jnp.einsum("bnhd,behd->bhne", Xh, Ph) / math.sqrt(hd)
         logits = jnp.mean(logits, axis=1)  # (B,N,E)
         if train and self.dropout > 0:
@@ -695,60 +695,93 @@ class DySample(nn.Module):
         return out.reshape(b, h * s, w * s, c)
 
 
+class _Scale(nn.Module):
+    """Learned per-channel scale (reference _ScaleModule, conv.py:450 —
+    weight shape (1,C,1,1); ours is the NHWC channel vector)."""
+
+    ch: int
+    init: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", lambda _: jnp.full((self.ch,), self.init, jnp.float32))
+        return x * w.astype(x.dtype)
+
+
 class WTConv2d(nn.Module):
-    """Wavelet-domain depthwise conv: J-level DWT, per-level depthwise 5x5 on
-    the stacked sub-bands, inverse DWT accumulation + base scaled conv
-    (reference conv.py:408-465+)."""
+    """Wavelet-enhanced depthwise conv (reference conv.py:465-600):
+    spatial branch = scaled depthwise k x k; frequency branch = per-level
+    [DWT (stride-2 zero-pad k_w//2-1, subband order LL/HL/LH/HH per
+    create_2d_wavelet_filter) -> depthwise conv on the 4 stacked sub-bands in
+    [C][4] channel order -> 0.1-init scale] with bottom-up inverse-DWT
+    residual reconstruction; optional stride = subsampling (AvgPool2d(1,s)).
+    Torch weights load 1:1 (base_conv/base_scale/wavelet_convs.{i}/
+    wavelet_scale.{i}; the frozen wt/iwt filter banks are rebuilt here)."""
 
     c2: int
     k: int = 5
+    s: int = 1
+    bias: bool = True
     levels: int = 1
     wave: str = "db1"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from edgeyolo_tpu.ops.wavelets import idwt2d_kernel
+        from edgeyolo_tpu.ops.wavelets import dwt2d_kernel, idwt2d_kernel
 
         c = x.shape[-1]
+        assert self.c2 == c, "WTConv2d keeps channels (reference asserts in==out)"
+        # reference subband order from create_2d_wavelet_filter (conv.py:412):
+        # [lo*lo, HI-rows*lo-cols, lo-rows*HI-cols, hi*hi] = our bank's [0,2,1,3]
+        order = [0, 2, 1, 3]
+        dec = dwt2d_kernel(self.wave)[:, :, 0, :][..., order]  # (kw,kw,4)
+        rec = idwt2d_kernel(self.wave)[..., order]             # (kw,kw,4)
+        kw = dec.shape[0]
+        pad = kw // 2 - 1  # torch F.conv2d zero-pad (conv.py:432)
+        dec_k = jnp.asarray(np.tile(dec[:, :, None, :], (1, 1, 1, c)), x.dtype)  # (kw,kw,1,4c) [C][4]
+        # conv_transpose == dilated conv with the spatially FLIPPED kernels
+        rec_k = jnp.asarray(np.tile(rec[::-1, ::-1, :, None], (1, 1, 1, c)), x.dtype)  # (kw,kw,4,c)
+
         base = nn.Conv(c, (self.k, self.k), padding="SAME", feature_group_count=c,
-                       use_bias=True, kernel_init=KERNEL_INIT, dtype=x.dtype, name="base")(x)
-        scale = self.param("base_scale", nn.initializers.ones, (c,))
-        out = base * scale
+                       use_bias=self.bias, kernel_init=KERNEL_INIT, dtype=x.dtype,
+                       name="base_conv")(x)
+        out = _Scale(c, name="base_scale")(base)
+
+        lls, highs, shapes = [], [], []
         cur = x
-        recon = []
         for lv in range(self.levels):
-            ll, lh, hl, hh = DWT2D(self.wave, name=f"dwt_{lv}")(cur, train)
-            sub = jnp.concatenate([ll, lh, hl, hh], axis=-1)
-            sub = nn.Conv(4 * c, (self.k, self.k), padding="SAME", feature_group_count=4 * c,
-                          use_bias=True, kernel_init=KERNEL_INIT, dtype=x.dtype,
-                          name=f"wconv_{lv}")(sub)
-            lvl_scale = self.param(f"wt_scale_{lv}", nn.initializers.ones, (4 * c,))
-            sub = sub * lvl_scale
-            recon.append(sub)
-            cur = ll
-        # inverse: accumulate levels coarsest->finest
-        kern = jnp.asarray(idwt2d_kernel(self.wave), x.dtype)  # (k,k,4)
-        up = None
+            shapes.append(cur.shape)
+            if cur.shape[1] % 2 or cur.shape[2] % 2:  # zero-pad odd dims (F.pad)
+                cur = jnp.pad(cur, ((0, 0), (0, cur.shape[1] % 2),
+                                    (0, cur.shape[2] % 2), (0, 0)))
+            sub = jax.lax.conv_general_dilated(
+                cur, dec_k, window_strides=(2, 2), padding=[(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+            )  # (b, h/2, w/2, 4c) channel order [C][4]
+            cur = sub.reshape(*sub.shape[:3], c, 4)[..., 0]  # next-level LL
+            sub = nn.Conv(4 * c, (self.k, self.k), padding="SAME",
+                          feature_group_count=4 * c, use_bias=False,
+                          kernel_init=KERNEL_INIT, dtype=x.dtype,
+                          name=f"wavelet_convs_{lv}")(sub)
+            sub = _Scale(4 * c, init=0.1, name=f"wavelet_scale_{lv}")(sub)
+            g = sub.reshape(*sub.shape[:3], c, 4)
+            lls.append(g[..., 0])
+            highs.append(g[..., 1:])
+
+        # bottom-up inverse DWT with LL residual accumulation
+        nxt = 0.0
         for lv in reversed(range(self.levels)):
-            sub = recon[lv]
-            ll, lh, hl, hh = jnp.split(sub, 4, axis=-1)
-            if up is not None:
-                ll = ll + up
-            stack = jnp.stack([ll, lh, hl, hh], axis=-1)  # (b,h,w,c,4)
-            b_, hh_, ww_, c_, _ = stack.shape
-            # synthesis: transposed depthwise conv per sub-band, summed
-            parts = []
-            for si in range(4):
-                kk = jnp.tile(kern[:, :, si][:, :, None, None], (1, 1, 1, c_))
-                parts.append(jax.lax.conv_general_dilated(
-                    stack[..., si], kk, window_strides=(1, 1),
-                    padding=[(kern.shape[0] - 1, kern.shape[0] - 1)] * 2 if False else "SAME",
-                    lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    feature_group_count=c_,
-                ))
-            up = sum(parts)
-        if up is not None:
-            # crop/pad to input size
-            up = up[:, : x.shape[1], : x.shape[2], :]
-            out = out + up
+            ll = lls[lv] + nxt
+            g = jnp.concatenate([ll[..., None], highs[lv]], axis=-1)  # (b,h,w,c,4)
+            g = g.reshape(*g.shape[:3], 4 * c)  # [C][4]
+            nxt = jax.lax.conv_general_dilated(
+                g, rec_k, window_strides=(1, 1), lhs_dilation=(2, 2),
+                padding=[(kw - 1 - pad, kw - 1 - pad)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+            )
+            h0, w0 = shapes[lv][1], shapes[lv][2]
+            nxt = nxt[:, :h0, :w0, :]
+        out = out + nxt
+        if self.s > 1:  # AvgPool2d(kernel_size=1, stride=s) == subsampling
+            out = out[:, :: self.s, :: self.s, :]
         return out

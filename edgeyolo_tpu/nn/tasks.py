@@ -88,7 +88,7 @@ _REG: dict[str, tuple[type, list[str]]] = {
     "HGBlock": (M.HGBlock, ["cm", "c2", "k", "n", "lightconv", "shortcut", "act"]),
     "ResNetLayer": (M.ResNetLayer, ["c2", "s", "is_first", "n", "e"]),
     "DySample": (M.DySample, ["c1", "scale", "style", "groups"]),
-    "WTConv2d": (M.WTConv2d, ["c2", "k", "levels", "wave"]),
+    "WTConv2d": (M.WTConv2d, ["c2", "k", "s", "bias", "levels", "wave"]),
     # glue
     "Concat": (M.Concat, ["dim"]),
     "nn.Upsample": (M.Upsample, ["size", "scale_factor", "mode"]),

@@ -484,3 +484,50 @@ def test_dysample_module_parity():
     y = m.apply(v, x)
     d = float(np.abs(z["__y__"].transpose(0, 2, 3, 1) - np.asarray(y)).max())
     assert d < 1e-5, f"DySample diverged from torch: {d}"
+
+
+def test_wtconv2d_module_parity():
+    """Module-level WTConv2d vs torch at 2 wavelet levels on odd spatial dims
+    (exercises the odd-dim zero-pad + post-IWT crop): DWT/IWT filter banks,
+    [C][4] sub-band channel order, 0.1-init scales, stride subsampling
+    (reference conv.py:408-600). No stock config uses WTConv2d."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgeyolo_tpu.nn.modules.extra import WTConv2d
+
+    out = CACHE / "ref_wtconv_micro.npz"
+    if not out.exists():
+        CACHE.mkdir(exist_ok=True)
+        env = dict(os.environ, PYTHONPATH=f"{REPO}/tools/ref_shim:.")
+        code = (
+            "import numpy as np, torch\n"
+            "torch.manual_seed(0)\n"
+            "from ultralytics.nn.modules.conv import WTConv2d\n"
+            "m = WTConv2d(8, 8, kernel_size=5, stride=2, wt_levels=2).eval().float()\n"
+            "with torch.no_grad():\n"
+            "    for p in m.parameters():\n"
+            "        if p.requires_grad: p += torch.randn_like(p) * 0.05\n"
+            "x = torch.from_numpy(np.random.RandomState(1).rand(2,8,13,11).astype(np.float32))\n"
+            "with torch.no_grad(): y = m(x)\n"
+            "sd = {k: v.numpy() for k, v in m.state_dict().items()}\n"
+            f"np.savez(r'{out}', __x__=x.numpy(), __y__=y.numpy(), **sd)\n"
+        )
+        subprocess.run([sys.executable, "-c", code], cwd=REF, env=env, check=True,
+                       capture_output=True, text=True)
+    z = np.load(out)
+    x = jnp.asarray(z["__x__"].transpose(0, 2, 3, 1))
+    m = WTConv2d(c2=8, k=5, s=2, levels=2, wave="db1")
+    v = m.init(jax.random.PRNGKey(0), x)
+    from edgeyolo_tpu.utils.torch_convert import convert_state_dict
+
+    sd = {k: z[k] for k in z.files
+          if not k.startswith("__") and "wt_filter" not in k and "iwt_filter" not in k}
+    key_fn = lambda path: ".".join(  # module-level: no l{i}_ root to strip
+        __import__("re").sub(r"_(?=\d+$)", ".", p) for p in path[:-1]
+    ) + "." + {"kernel": "weight", "bias": "bias", "weight": "weight"}[path[-1]]
+    nv, rep = convert_state_dict(sd, v, strict=True, key_fn=key_fn)
+    assert rep["unused"] == []
+    y = m.apply(jax.tree.map(jnp.asarray, nv), x)
+    d = float(np.abs(z["__y__"].transpose(0, 2, 3, 1) - np.asarray(y)).max())
+    assert d < 1e-5, f"WTConv2d diverged from torch: {d}"
