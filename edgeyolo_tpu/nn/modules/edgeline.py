@@ -327,7 +327,12 @@ class SPPF_Wavelet(nn.Module):
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
         y0 = ConvBN(c_, 1, name="cv1")(x, train)
-        ll, lh, hl, hh = DWT2D(self.wave, name="dwt")(y0, train)
+        # NOTE the reference's HaarDWT2D (block.py:225-259) labels LH as the
+        # VERTICAL-detail band (hi along rows) — the opposite of its own
+        # _PywtDWT2D (block.py:3602-3605, which our DWT2D follows). Unpack in
+        # the HaarDWT2D order so cv2's per-channel weights line up 1:1 with
+        # torch checkpoints of this module.
+        ll, hl, lh, hh = DWT2D(self.wave, name="dwt")(y0, train)
         H, W = y0.shape[1:3]
         f_h = ConvBN(c_ // 2, 3, name="f_h")
         parts = [

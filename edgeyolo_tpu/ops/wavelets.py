@@ -66,13 +66,20 @@ def get_filter_bank(wave: str = "haar") -> tuple[np.ndarray, np.ndarray, np.ndar
         dec_lo = _daubechies_dec_lo(n)
     else:
         raise ValueError(f"unsupported wavelet '{wave}'; supported: haar, db1-db20, sym1-sym3")
-    # QMF relations (pywt convention)
+    # QMF relations, pywt sign convention (verified against pywt's published
+    # filter banks: haar dec_hi = [-r, r], db2 dec_hi starts negative):
+    #   dec_hi[k] = (-1)^(k+1) rec_lo[k]   (flip EVEN indices)
+    #   rec_hi[k] = (-1)^k     dec_lo[k]   (flip ODD indices)
+    # The previous convention negated both — internally consistent (the two
+    # flips cancel through DWT->IWT) but the LH/HL band VALUES came out
+    # negated vs the reference's pywt-built kernels, which cross-framework
+    # weight transfer of per-band convs can see.
     L = len(dec_lo)
     rec_lo = dec_lo[::-1].copy()
     dec_hi = rec_lo.copy()
-    dec_hi[1::2] *= -1  # dec_hi[k] = (-1)^k rec_lo[k]
+    dec_hi[::2] *= -1
     rec_hi = dec_lo.copy()
-    rec_hi[::2] *= -1  # rec_hi[k] = (-1)^(k+1) dec_lo[k]
+    rec_hi[1::2] *= -1
     assert len(dec_hi) == L
     return dec_lo, dec_hi, rec_lo, rec_hi
 

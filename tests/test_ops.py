@@ -94,10 +94,21 @@ def test_nms_output_is_xyxy():
 
 
 def test_filter_banks_match_pywt_published_values():
-    lo, hi, _, _ = get_filter_bank("db2")
+    lo, hi, rlo, rhi = get_filter_bank("db2")
     np.testing.assert_allclose(
         lo, [-0.12940952255092145, 0.22414386804185735, 0.836516303737469, 0.48296291314469025], atol=1e-9
     )
+    # SIGNS matter cross-framework (the reference builds DWT kernels from
+    # pywt's dec_hi): pin pywt's published db2/haar high-pass values
+    np.testing.assert_allclose(
+        hi, [-0.48296291314469025, 0.836516303737469, -0.22414386804185735, -0.12940952255092145],
+        atol=1e-9)
+    np.testing.assert_allclose(
+        rhi, [-0.12940952255092145, -0.22414386804185735, 0.836516303737469, -0.48296291314469025],
+        atol=1e-9)
+    lo_h, hi_h, _, rhi_h = get_filter_bank("haar")
+    np.testing.assert_allclose(hi_h, [-(2**-0.5), 2**-0.5], atol=1e-12)
+    np.testing.assert_allclose(rhi_h, [2**-0.5, -(2**-0.5)], atol=1e-12)
     for w in ("haar", "db2", "db3", "db4", "db8"):
         lo, hi, rlo, rhi = get_filter_bank(w)
         assert abs(float(np.sum(lo)) - np.sqrt(2)) < 1e-9  # DC gain

@@ -531,3 +531,47 @@ def test_wtconv2d_module_parity():
     y = m.apply(jax.tree.map(jnp.asarray, nv), x)
     d = float(np.abs(z["__y__"].transpose(0, 2, 3, 1) - np.asarray(y)).max())
     assert d < 1e-5, f"WTConv2d diverged from torch: {d}"
+
+
+def test_sppf_wavelet_module_parity():
+    """Module-level SPPF_Wavelet vs torch (no stock config uses it): cv1 ->
+    Haar DWT -> f_ll 1x1 / SHARED f_h 3x3 -> bilinear upsample -> concat ->
+    cv2 (reference block.py:261-322). Interior is tight; the documented 2x-
+    bilinear fast path differs from edge-clamped F.interpolate only on the
+    1px border (edgeline.py _bilinear_resize), which the 1x1 cv2 keeps local
+    — so border columns get a loose band."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgeyolo_tpu.nn.modules.edgeline import SPPF_Wavelet
+    from edgeyolo_tpu.utils.torch_convert import convert_state_dict, flax_path_to_torch_key
+
+    out = CACHE / "ref_sppfwav_micro.npz"
+    if not out.exists():
+        CACHE.mkdir(exist_ok=True)
+        env = dict(os.environ, PYTHONPATH=f"{REPO}/tools/ref_shim:.")
+        code = (
+            "import numpy as np, torch\n"
+            "torch.manual_seed(0)\n"
+            "from ultralytics.nn.modules.block import SPPF_Wavelet\n"
+            "m = SPPF_Wavelet(32, 48).eval().float()\n"
+            "x = torch.from_numpy(np.random.RandomState(1).rand(2,32,12,10).astype(np.float32))\n"
+            "with torch.no_grad(): y = m(x)\n"
+            "sd = {k: v.numpy() for k, v in m.state_dict().items()}\n"
+            f"np.savez(r'{out}', __x__=x.numpy(), __y__=y.numpy(), **sd)\n"
+        )
+        subprocess.run([sys.executable, "-c", code], cwd=REF, env=env, check=True,
+                       capture_output=True, text=True)
+    z = np.load(out)
+    x = jnp.asarray(z["__x__"].transpose(0, 2, 3, 1))
+    m = SPPF_Wavelet(c2=48)
+    v = m.init(jax.random.PRNGKey(0), x)
+    sd = {k: z[k] for k in z.files if not k.startswith("__") and "dwt" not in k}
+    key_fn = lambda path: flax_path_to_torch_key(("l0_X", *path)).removeprefix("model.0.")
+    nv, rep = convert_state_dict(sd, v, strict=True, key_fn=key_fn)
+    assert rep["unused"] == []
+    y = np.asarray(m.apply(jax.tree.map(jnp.asarray, nv), x))
+    ref = z["__y__"].transpose(0, 2, 3, 1)
+    d_int = float(np.abs(ref[:, 1:-1, 1:-1] - y[:, 1:-1, 1:-1]).max())
+    assert d_int < 1e-5, f"SPPF_Wavelet interior diverged: {d_int}"
+    assert float(np.abs(ref - y).max()) < 0.5  # border fast-path band
