@@ -575,3 +575,52 @@ def test_sppf_wavelet_module_parity():
     d_int = float(np.abs(ref[:, 1:-1, 1:-1] - y[:, 1:-1, 1:-1]).max())
     assert d_int < 1e-5, f"SPPF_Wavelet interior diverged: {d_int}"
     assert float(np.abs(ref - y).max()) < 0.5  # border fast-path band
+
+
+def test_mulgate_module_parity():
+    """Module-level MulGate vs torch (registry-only; rebuilt this round to the
+    reference's exact structure — DSConv k=7 pre, biased plain-conv gates,
+    zero-init mix + zero-init BN, per-channel gamma 1e-2, unconditional
+    residual; block.py:93-109). Weights are randomized so the zero-inits
+    don't mask layout errors."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgeyolo_tpu.nn.modules.edgeline import MulGate
+    from edgeyolo_tpu.utils.torch_convert import convert_state_dict
+
+    out = CACHE / "ref_mulgate_micro.npz"
+    if not out.exists():
+        CACHE.mkdir(exist_ok=True)
+        env = dict(os.environ, PYTHONPATH=f"{REPO}/tools/ref_shim:.")
+        code = (
+            "import numpy as np, torch\n"
+            "torch.manual_seed(0)\n"
+            "from ultralytics.nn.modules.block import MulGate\n"
+            "m = MulGate(16).eval().float()\n"
+            "with torch.no_grad():\n"
+            "    for p in m.parameters(): p += torch.randn_like(p) * 0.1\n"
+            "x = torch.from_numpy(np.random.RandomState(1).rand(2,16,10,12).astype(np.float32))\n"
+            "with torch.no_grad(): y = m(x)\n"
+            "sd = {k: v.numpy() for k, v in m.state_dict().items()}\n"
+            f"np.savez(r'{out}', __x__=x.numpy(), __y__=y.numpy(), **sd)\n"
+        )
+        subprocess.run([sys.executable, "-c", code], cwd=REF, env=env, check=True,
+                       capture_output=True, text=True)
+    z = np.load(out)
+    x = jnp.asarray(z["__x__"].transpose(0, 2, 3, 1))
+    m = MulGate(c2=16)
+    v = m.init(jax.random.PRNGKey(0), x)
+    sd = {k: z[k] for k in z.files if not k.startswith("__")}
+    import re as _re
+
+    key_fn = lambda path: ".".join(
+        _re.sub(r"_(?=\d+$)", ".", p) for p in path[:-1]
+    ) + ("." + {"kernel": "weight", "scale": "weight", "bias": "bias",
+                "mean": "running_mean", "var": "running_var"}.get(path[-1], path[-1])
+         if path[:-1] else path[-1])
+    nv, rep = convert_state_dict(sd, v, strict=True, key_fn=key_fn)
+    assert [u for u in rep["unused"] if "num_batches" not in u] == []
+    y = m.apply(jax.tree.map(jnp.asarray, nv), x)
+    d = float(np.abs(z["__y__"].transpose(0, 2, 3, 1) - np.asarray(y)).max())
+    assert d < 1e-5, f"MulGate diverged from torch: {d}"
