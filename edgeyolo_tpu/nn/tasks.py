@@ -63,8 +63,8 @@ _REG: dict[str, tuple[type, list[str]]] = {
     "DSC3K2": (M.DSC3K2, ["c2", "n", "dsc3k", "e", "g", "shortcut", "k1", "k2", "d2"]),
     "DSC3K2_Wavelet": (M.DSC3K2_Wavelet, ["c2", "n", "dsc3k", "e", "g", "shortcut", "k1", "k2", "d2"]),
     "SPPF_Wavelet": (M.SPPF_Wavelet, ["c2", "k"]),
-    "MulGate": (M.MulGate, ["c2", "e"]),
-    "RHJM": (M.RHJM, ["c2", "local_size", "local_weight"]),
+    "MulGate": (M.MulGate, ["c2", "e", "k", "d", "gamma0"]),
+    "RHJM": (M.RHJM, ["c2", "local_size", "gamma", "b", "local_weight"]),
     # v12/v13/v10/v9 families
     "A2C2f": (M.A2C2f, ["c2", "n", "a2", "area", "residual", "mlp_ratio", "e", "g", "shortcut"]),
     "HyperACE": (M.HyperACE, ["c2", "n", "num_hyperedges", "dsc3k", "shortcut", "e1", "e2", "context", "channel_adjust"]),
