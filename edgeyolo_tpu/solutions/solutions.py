@@ -47,8 +47,10 @@ class BaseSolution:
         ids = getattr(res, "track_ids", None)
         if res.boxes is None or ids is None:
             return out
-        for tid, b in zip(ids, res.boxes.data):
-            c = int(b[5])
+        # layout-safe accessors: tracked Boxes are (N, 7) with the id at
+        # column 4, so cls/conf positions shift vs plain (N, 6) data
+        for tid, b, c in zip(ids, res.boxes.xyxy, res.boxes.cls):
+            c = int(c)
             if self.classes and c not in self.classes:
                 continue
             center = ((b[0] + b[2]) / 2.0, (b[1] + b[3]) / 2.0)

@@ -116,3 +116,31 @@ def test_parking_pts_selection_state_machine(tmp_path):
     p = s.save_to_json(tmp_path / "boxes.json")
     data = json.loads((tmp_path / "boxes.json").read_text())
     assert data == [{"points": [[20, 20], [100, 20], [100, 80], [20, 80]]}]
+
+
+def test_solutions_handle_tracked_7col_boxes():
+    """track_stream emits (N,7) Boxes ([xyxy, id, conf, cls]); class reads
+    must use the layout-safe accessors, not positional [5] (which is conf in
+    the 7-col layout — the classes filter silently broke on real tracked
+    streams)."""
+    def stream(n=10):
+        for t in range(n):
+            boxes = np.array([
+                [40 + 10 * t, 90, 60 + 10 * t, 110, 1.0, 0.9, 0],   # id 1, cls 0
+                [150, 150, 170, 170, 2.0, 0.8, 1],                  # id 2, cls 1
+            ], np.float32)
+            r = Results(IMG, f"f{t}", {0: "a", 1: "b"}, boxes=boxes)
+            r.track_ids = np.array([1, 2], np.int64)
+            yield r
+
+    oc = ObjectCounter(region=[(100, 0), (100, 200)])
+    list(oc(stream()))
+    assert oc.in_count + oc.out_count == 1
+    # classes filter keeps only cls 0 (the crosser)
+    oc0 = ObjectCounter(region=[(100, 0), (100, 200)], classes=[0])
+    list(oc0(stream()))
+    assert oc0.in_count + oc0.out_count == 1
+    # filtering to cls 1 (the static box) must count nothing
+    oc1 = ObjectCounter(region=[(100, 0), (100, 200)], classes=[1])
+    list(oc1(stream()))
+    assert oc1.in_count + oc1.out_count == 0
