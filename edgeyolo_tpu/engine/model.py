@@ -334,12 +334,18 @@ class YOLO:
         LOGGER.info(f"load: transferred {kept} tensors, kept {skipped} (shape mismatch/absent)")
         return self
 
-    def track(self, source, **kwargs):
-        from edgeyolo_tpu.trackers.track import track_stream
+    def track(self, source, persist: bool = False, **kwargs):
+        """Tracked prediction stream. persist=True keeps the tracker (and its
+        ids) alive across calls — the reference's frame-by-frame pattern
+        `for f in frames: model.track(f, persist=True)` (track.py:18-50)."""
+        from edgeyolo_tpu.trackers.track import make_tracker, track_stream
 
         kwargs.setdefault("conf", 0.1)
+        cfg = kwargs.pop("tracker", "bytetrack")
+        if not persist or getattr(self, "_tracker", None) is None:
+            self._tracker = make_tracker(cfg)
         results = self.predict(source, stream=True, **kwargs)
-        return track_stream(results, tracker_cfg=kwargs.get("tracker", "bytetrack"))
+        return track_stream(results, tracker=self._tracker)
 
     def export(self, **kwargs):
         from edgeyolo_tpu.export.exporter import Exporter

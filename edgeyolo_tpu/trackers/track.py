@@ -54,10 +54,13 @@ def make_tracker(cfg: str = "bytetrack", frame_rate: int = 30):
     return TRACKER_MAP[ttype](frame_rate=frame_rate, **kw)
 
 
-def track_stream(results_iter, tracker_cfg: str = "bytetrack", persist: bool = False, frame_rate: int = 30):
+def track_stream(results_iter, tracker_cfg: str = "bytetrack", persist: bool = False,
+                 frame_rate: int = 30, tracker=None):
     """Generator: annotate each Results with track ids (boxes gain id column
-    semantics via filtering to tracked detections)."""
-    tracker = make_tracker(tracker_cfg, frame_rate)
+    semantics via filtering to tracked detections). Pass an existing tracker
+    to keep id continuity across calls (reference persist=True semantics,
+    track.py:18-50 reuses predictor.trackers between predict calls)."""
+    tracker = tracker if tracker is not None else make_tracker(tracker_cfg, frame_rate)
     for res in results_iter:
         if res.boxes is None or len(res.boxes) == 0:
             res.track_ids = np.zeros((0,), np.int64)
