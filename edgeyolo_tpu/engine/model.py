@@ -223,10 +223,16 @@ class YOLO:
     def predict(self, source, stream: bool = False, **kwargs):
         args = get_cfg(overrides={**self.overrides, "mode": "predict", "task": self.task, **kwargs})
         predictor_cls = self.task_map[self.task]["predictor"]
-        save_dir = get_save_dir(args, name=args.name or "predict")
         self._ensure_init(args.imgsz)
-        if self.predictor is None or kwargs:
+        # cache the predictor per effective-args so repeated calls (incl. the
+        # frame-by-frame track(persist=True) loop) reuse the compiled device
+        # program instead of re-jitting (reference caches its predictor too,
+        # engine/model.py:554)
+        args_key = repr(sorted(vars(args).items(), key=lambda kv: kv[0]))
+        if self.predictor is None or args_key != getattr(self, "_predictor_args", None):
+            save_dir = get_save_dir(args, name=args.name or "predict")
             self.predictor = predictor_cls(args, save_dir=save_dir)
+            self._predictor_args = args_key
         if stream:
             return self.predictor.stream(self.model, source)
         return self.predictor(self.model, source)

@@ -234,3 +234,16 @@ def test_track_persist_keeps_ids_across_calls(tmp_path):
         seen.append(len(out[0].track_ids))
     # a single frame can still activate a track on frame 1 depending on
     # thresholds; the point is the persistent path above holds ONE id
+
+
+def test_predictor_cached_across_identical_calls():
+    """Identical predict args reuse the predictor (and its compiled program);
+    changed args rebuild it (reference predictor caching, model.py:554)."""
+    m = YOLO("yolo11n.yaml")
+    img = (np.random.RandomState(9).rand(64, 64, 3) * 255).astype(np.uint8)
+    m.predict(img, imgsz=64, conf=0.5, verbose=False)
+    p1 = m.predictor
+    m.predict(img, imgsz=64, conf=0.5, verbose=False)
+    assert m.predictor is p1
+    m.predict(img, imgsz=64, conf=0.25, verbose=False)
+    assert m.predictor is not p1
