@@ -623,4 +623,26 @@ def classify_augment_batch(images, key, hyp: dict):
         img01 = jnp.where(do[:, None, None, None], img01[:, ::-1, :, :], img01)
     hkeys = jax.random.split(jax.random.fold_in(key, 19), B)
     img01 = jax.vmap(lambda im, k: _hsv_aug(im, k, hyp))(img01, hkeys)
+    # RandomErasing (reference classify_augmentations appends
+    # T.RandomErasing(p=erasing), augment.py:2403-2520; torchvision samples a
+    # rect with area scale (0.02, 0.33) and log-uniform aspect (0.3, 3.3),
+    # fill 0 — here clamped to fit instead of retry-sampled)
+    per = float(hyp.get("erasing", 0.0))
+    if per > 0:
+        def erase_one(im, k):
+            ka, kb, kc, kd = jax.random.split(k, 4)
+            do = jax.random.uniform(ka, ()) < per
+            area = jax.random.uniform(kb, (), minval=0.02, maxval=0.33) * S * S
+            r = jnp.exp(jax.random.uniform(kc, (), minval=jnp.log(0.3), maxval=jnp.log(3.3)))
+            eh = jnp.minimum(jnp.sqrt(area * r), S)
+            ew = jnp.minimum(jnp.sqrt(area / r), S)
+            off = jax.random.uniform(kd, (2,))
+            oy, ox = off[0] * (S - eh), off[1] * (S - ew)
+            yy = jnp.arange(S, dtype=jnp.float32)[:, None]
+            xx = jnp.arange(S, dtype=jnp.float32)[None, :]
+            inside = (yy >= oy) & (yy < oy + eh) & (xx >= ox) & (xx < ox + ew)
+            return jnp.where((inside & do)[:, :, None], 0.0, im)
+
+        ekeys = jax.random.split(jax.random.fold_in(key, 23), B)
+        img01 = jax.vmap(erase_one)(img01, ekeys)
     return img01

@@ -295,6 +295,29 @@ class DetectionTrainer(CallbackMixin):
             params, _decay_mask(params)))
         if pad:
             mask_flat = jnp.pad(mask_flat, (0, pad))
+        # freeze: zero grads AND updates of the named layer indices (reference
+        # trainer.py:246 sets requires_grad=False per `model.{i}.` prefix —
+        # masking the update too keeps weight decay off frozen params, like
+        # torch skipping them entirely)
+        freeze_arg = getattr(args, "freeze", None)
+        freeze_flat = None
+        if freeze_arg not in (None, 0, False):
+            import re as _re
+
+            idxs = ({int(i) for i in freeze_arg} if isinstance(freeze_arg, (list, tuple))
+                    else set(range(int(freeze_arg))))
+
+            def _keep(top: str) -> float:
+                m = _re.match(r"^l(\d+)_", top)
+                return 0.0 if (m and int(m.group(1)) in idxs) else 1.0
+
+            freeze_flat, _ = ravel_pytree({k: jax.tree.map(
+                lambda p, _k=k: jnp.full_like(p, _keep(_k)), sub)
+                for k, sub in params.items()})
+            if pad:
+                freeze_flat = jnp.pad(freeze_flat, (0, pad))
+            n_frozen = int(float(jnp.sum(1.0 - freeze_flat)))
+            LOGGER.info(f"freeze: layers {sorted(idxs)} -> {n_frozen} params held")
 
         tx_inner = build_optimizer(p_flat, opt_name, lr0, momentum, decay, lr_at,
                                    momentum_schedule=momentum_at if warmup_steps else None,
@@ -389,11 +412,15 @@ class DetectionTrainer(CallbackMixin):
                 return loss, (items, mut["batch_stats"])
 
             (loss, (items, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(p_flat)
+            if freeze_flat is not None:
+                grads = grads * freeze_flat
             if fsdp_on:
                 # ZeRO backward: land the flat grad sharded (reduce-scatter),
                 # so momentum/update math runs on 1/n-sized shards
                 grads = jax.lax.with_sharding_constraint(grads, flat_sh)
             updates, new_opt = tx.update(grads, opt_state, p_flat)
+            if freeze_flat is not None:
+                updates = updates * freeze_flat  # no decay drift on frozen params
             new_pflat = p_flat + updates
             if fsdp_on:
                 new_pflat = jax.lax.with_sharding_constraint(new_pflat, flat_sh)

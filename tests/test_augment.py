@@ -377,3 +377,19 @@ def test_mosaic3_shapes_and_layout():
         jnp.asarray(imgs), jnp.asarray(cls), jnp.asarray(boxes), jnp.asarray(mask),
         jax.random.PRNGKey(1), S, hyp_zoom, mosaic=3)
     assert img2.shape == (B2, S, S, 3)
+
+
+def test_classify_erasing():
+    """erasing>0 zeroes one random rectangle per selected image (reference
+    classify pipeline appends T.RandomErasing(p=erasing), default 0.4)."""
+    from edgeyolo_tpu.data.augment_device import classify_augment_batch
+
+    imgs = np.full((8, 32, 32, 3), 200, np.uint8)
+    hyp = {"scale": 0.0, "fliplr": 0.0, "flipud": 0.0, "hsv_h": 0, "hsv_s": 0,
+           "hsv_v": 0, "erasing": 1.0}
+    out = np.asarray(classify_augment_batch(jnp.asarray(imgs), jax.random.PRNGKey(0), hyp))
+    zero_frac = (out < 1e-6).all(-1).mean(axis=(1, 2))
+    assert (zero_frac > 0.015).all() and (zero_frac < 0.40).all()  # one rect each, area in (2%, 33%)
+    hyp0 = dict(hyp, erasing=0.0)
+    out0 = np.asarray(classify_augment_batch(jnp.asarray(imgs), jax.random.PRNGKey(0), hyp0))
+    assert float((out0 < 1e-6).all(-1).mean()) == 0.0

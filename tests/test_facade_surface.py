@@ -247,3 +247,34 @@ def test_predictor_cached_across_identical_calls():
     assert m.predictor is p1
     m.predict(img, imgsz=64, conf=0.25, verbose=False)
     assert m.predictor is not p1
+
+
+def test_train_freeze_layers(tmp_path):
+    """freeze=N holds the first N layers' params (incl. against weight decay)
+    while the rest train (reference trainer.py:246 requires_grad gating)."""
+    import jax
+    from edgeyolo_tpu.data.synthetic import generate_dataset
+
+    data = generate_dataset(tmp_path / "ds", n_train=4, n_val=2, imgsz=64, nc=2)
+    m = YOLO("yolo11n.yaml")
+    m.train(data=str(data), epochs=1, imgsz=64, batch=4, nbs=4, val=False,
+            plots=False, workers=0, mosaic=0.0, warmup_epochs=0, freeze=4,
+            optimizer="SGD", project=str(tmp_path / "runs"), name="fz")
+    before = YOLO("yolo11n.yaml")
+    # fresh seed-0 init == the trainer's starting point (same seed path)
+    before.model = type(m.model)({**m.model.yaml})
+    before.model.init(0, imgsz=64)
+    v0, v1 = before.model.variables["params"], m.model.variables["params"]
+    frozen_same, trained_diff = [], []
+    for k in v1:
+        i = int(k.split("_")[0][1:])
+        a = np.concatenate([np.ravel(x) for x in jax.tree.leaves(v0[k])])
+        b = np.concatenate([np.ravel(x) for x in jax.tree.leaves(v1[k])])
+        if i < 4:
+            # EMA mixing (ema*d + (1-d)*p with p unchanged) leaves ~1-ulp
+            # fp32 drift on frozen params; anything beyond that is real motion
+            frozen_same.append(float(np.abs(a - b).max()) < 1e-6)
+        else:
+            trained_diff.append(float(np.abs(a - b).max()) > 1e-4)
+    assert all(frozen_same), "frozen layers moved"
+    assert any(trained_diff), "nothing trained"
