@@ -192,7 +192,10 @@ class DetectionPredictor:
                 if args.save or args.save_txt:
                     self.save_dir.mkdir(parents=True, exist_ok=True)
                     if args.save:
-                        res.save(self.save_dir / (Path(path).stem + ".jpg"))
+                        res.save(self.save_dir / (Path(path).stem + ".jpg"),
+                                 line_width=getattr(args, "line_width", None),
+                                 labels=bool(getattr(args, "show_labels", True)),
+                                 conf=bool(getattr(args, "show_conf", True)))
                     if args.save_txt:
                         res.save_txt(self.save_dir / "labels" / (Path(path).stem + ".txt"),
                                      save_conf=args.save_conf)

@@ -307,8 +307,8 @@ class Results:
                     draw.text((x1 + 1, y1 - 1), text, fill=(255, 255, 255), font=font)
         return np.asarray(im)
 
-    def save(self, filename: str | Path):
-        Image.fromarray(self.plot()).save(filename)
+    def save(self, filename: str | Path, **plot_kwargs):
+        Image.fromarray(self.plot(**plot_kwargs)).save(filename)
         return str(filename)
 
     def show(self, *a, **kw):
