@@ -486,9 +486,24 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key,
     if pcp > 0 and masks_out is not None and kpts_out is None and rboxes_out is None:
         from edgeyolo_tpu.ops.boxes import xywh2xyxy as _xyxy
 
-        fboxes = boxes_out.at[..., 0].set(1.0 - boxes_out[..., 0])  # (B,M,4)
-        fmasks = masks_out[..., ::-1]  # (B,M,Sm,Sm)
-        # ioa(flipped candidate, existing) on normalized xywh
+        cp_mode = str(hyp.get("copy_paste_mode", "flip"))
+        if cp_mode == "mixup" and B > 1:
+            # mixup mode: candidates come from a PARTNER image's instances,
+            # pasted via their masks (reference CopyPaste mode="mixup",
+            # augment.py:1692-1731 — labels2 from another dataset sample)
+            fboxes = jnp.roll(boxes_out, 1, axis=0)
+            fmasks = jnp.roll(masks_out, 1, axis=0)
+            fcls = jnp.roll(cls4, 1, axis=0)
+            fvalid = jnp.roll(valid, 1, axis=0)
+            src_img = jnp.roll(img01, 1, axis=0)
+        else:
+            # flip mode: mirror this image's instances horizontally
+            fboxes = boxes_out.at[..., 0].set(1.0 - boxes_out[..., 0])  # (B,M,4)
+            fmasks = masks_out[..., ::-1]  # (B,M,Sm,Sm)
+            fcls = cls4
+            fvalid = valid
+            src_img = img01[:, :, ::-1, :]
+        # ioa(candidate, existing) on normalized xywh
         a = _xyxy(fboxes)[:, :, None, :]   # (B,M,1,4) candidates
         bb = _xyxy(boxes_out)[:, None, :, :]  # (B,1,M,4) existing
         iw = jnp.clip(jnp.minimum(a[..., 2], bb[..., 2]) - jnp.maximum(a[..., 0], bb[..., 0]), 0)
@@ -499,13 +514,13 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key,
         area_e = jnp.clip(boxes_out[..., 2] * boxes_out[..., 3], 1e-9)
         ioa = iw * ih / area_e[:, None, :]  # (B,M,M) [cand, existing]
         ioa = jnp.where(valid[:, None, :], ioa, 0.0)
-        elig = valid & (jnp.max(ioa, axis=-1) < 0.30)
+        elig = fvalid & (jnp.max(ioa, axis=-1) < 0.30)
         sel = elig & (jax.random.uniform(jax.random.fold_in(key, 23), valid.shape) < pcp)
         paste = jnp.max(fmasks * sel[..., None, None], axis=1)  # (B,Sm,Sm)
         paste = jax.image.resize(paste, (B, S, S), method="nearest")
-        img01 = jnp.where((paste > 0.5)[..., None], img01[:, :, ::-1, :], img01)
+        img01 = jnp.where((paste > 0.5)[..., None], src_img, img01)
         boxes_out = jnp.concatenate([boxes_out, fboxes], axis=1)
-        cls4 = jnp.concatenate([cls4, cls4], axis=1)
+        cls4 = jnp.concatenate([cls4, fcls], axis=1)
         valid = jnp.concatenate([valid, sel], axis=1)
         masks_out = jnp.concatenate([masks_out, fmasks], axis=1)
 
@@ -575,7 +590,8 @@ def augment_batch(images, cls, bboxes, mask, key, imgsz: int, hyp: dict, mosaic:
     only keypoints were passed the extras slot is the keypoints array itself
     (back-compat with the pose path).
     """
-    hyp_key = tuple(sorted((k, float(v)) for k, v in hyp.items() if isinstance(v, (int, float))))
+    hyp_key = tuple(sorted((k, v if isinstance(v, str) else float(v))
+                           for k, v in hyp.items() if isinstance(v, (int, float, str))))
     out = _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key,
                         keypoints, masks, rboxes)
     if len(out) == 5 and keypoints is not None and masks is None and rboxes is None:

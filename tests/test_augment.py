@@ -393,3 +393,55 @@ def test_classify_erasing():
     hyp0 = dict(hyp, erasing=0.0)
     out0 = np.asarray(classify_augment_batch(jnp.asarray(imgs), jax.random.PRNGKey(0), hyp0))
     assert float((out0 < 1e-6).all(-1).mean()) == 0.0
+
+
+def test_copy_paste_mixup_mode_pastes_partner_instances():
+    """copy_paste_mode='mixup' pastes instances FROM ANOTHER IMAGE via their
+    masks (reference CopyPaste mode='mixup', augment.py:1692-1731), with the
+    partner's class labels appended."""
+    B2, S2, M2, Sm = 3, 64, 2, 32
+    key = jax.random.PRNGKey(5)
+    # solid-color images so pasted pixels identify their source
+    imgs = np.stack([np.full((S2, S2, 3), 60 * (i + 1), np.uint8) for i in range(B2)])
+    cls = jnp.asarray(np.arange(B2)[:, None] * np.ones((B2, M2), np.float32))
+    boxes = jnp.tile(jnp.array([[0.3, 0.3, 0.2, 0.2]]), (B2, M2, 1))
+    mask = jnp.concatenate([jnp.ones((B2, 1)), jnp.zeros((B2, M2 - 1))], 1)
+    mm = np.zeros((B2, M2, Sm, Sm), np.float32)
+    mm[:, 0, 7:12, 7:12] = 1.0
+    hyp = {"degrees": 0.0, "translate": 0.0, "scale": 0.0, "shear": 0.0,
+           "hsv_h": 0, "hsv_s": 0, "hsv_v": 0, "fliplr": 0.0, "flipud": 0.0,
+           "mixup": 0.0, "copy_paste": 1.0, "copy_paste_mode": "mixup"}
+    img01, c4, b4, v4, ex = augment_batch(jnp.asarray(imgs), cls, boxes, mask,
+                                          key, S2, hyp, mosaic=False,
+                                          masks=jnp.asarray(mm))
+    assert b4.shape == (B2, 2 * M2, 4)
+    v = np.asarray(v4)
+    pasted = v[:, M2:]
+    # overlap: the partner's instance sits at the SAME location as ours ->
+    # ioa>=0.3 rejects it; so move ours away first? Our box is at (0.3,0.3)
+    # and the partner's too — identical footprints have ioa 1.0 -> rejected.
+    assert not pasted.any()
+    # separate the boxes per image so partner instances land clear
+    boxes2 = np.tile(np.asarray([[0.3, 0.3, 0.2, 0.2]], np.float32), (B2, M2, 1))
+    boxes2[1, :, 0] = 0.7  # image 1's instance on the right
+    boxes2[2, :, 1] = 0.7
+    mm2 = np.zeros((B2, M2, Sm, Sm), np.float32)
+    mm2[0, 0, 7:12, 7:12] = 1.0
+    mm2[1, 0, 7:12, 20:25] = 1.0
+    mm2[2, 0, 20:25, 7:12] = 1.0
+    img01, c4, b4, v4, ex = augment_batch(jnp.asarray(imgs), cls, jnp.asarray(boxes2),
+                                          mask, key, S2, hyp, mosaic=False,
+                                          masks=jnp.asarray(mm2))
+    v = np.asarray(v4)
+    pasted = v[:, M2:]
+    assert pasted.any(), "no partner instance pasted"
+    cc = np.asarray(c4)
+    im = np.asarray(img01) * 255
+    for bi in range(B2):
+        for j in np.nonzero(pasted[bi])[0]:
+            partner = (bi - 1) % B2
+            assert cc[bi, M2 + j] == partner  # partner's class label rode along
+            # pasted pixels carry the partner image's color
+            bx = np.asarray(b4)[bi, M2 + j]
+            cx, cy = int(bx[0] * S2), int(bx[1] * S2)
+            assert abs(float(im[bi, cy, cx].mean()) - 60 * (partner + 1)) < 2

@@ -7,6 +7,7 @@ checkpoint round-trip.
 
 import numpy as np
 import pytest
+from pathlib import Path
 
 from edgeyolo_tpu import YOLO
 from edgeyolo_tpu.data.synthetic import generate_dataset
@@ -121,3 +122,33 @@ def test_train_partial_final_batch(tmp_path_factory):
 
     rows = list(_csv.DictReader(open(runs / "partial" / "results.csv")))
     assert rows and np.isfinite(float(rows[-1]["train/box_loss"]))
+
+
+def test_full_workflow_chain(shapes_ds, tmp_path_factory):
+    """The reference's canonical workflow smoke (test_python.py:230): ONE
+    model instance through train -> val -> predict -> export -> AutoBackend
+    reload, asserting each stage consumes the previous stage's artifact."""
+    import jax.numpy as jnp
+
+    from edgeyolo_tpu import YOLO
+    from edgeyolo_tpu.nn.autobackend import AutoBackend
+
+    runs = tmp_path_factory.mktemp("wf")
+    m = YOLO("yolo11n.yaml")
+    m.train(data=str(shapes_ds), epochs=1, imgsz=96, batch=4, nbs=4, val=False,
+            plots=False, workers=0, mosaic=0.0, warmup_epochs=0,
+            project=str(runs), name="t")
+    res = m.val(data=str(shapes_ds), imgsz=96, batch=4, plots=False)
+    assert "metrics/mAP50-95(B)" in res
+    img_dir = Path(str(shapes_ds)).parent / "images" / "val"
+    preds = m.predict(str(img_dir), imgsz=96, conf=0.001, verbose=False)
+    assert len(preds) >= 2
+    out = m.export(format="stablehlo", imgsz=96, project=str(runs), name="exp")
+    ab = AutoBackend(str(out))
+    y = ab(jnp.zeros((1, 96, 96, 3), jnp.float32))
+    assert np.asarray(y).ndim == 3
+    # reloading the trained checkpoint reproduces the facade surface
+    # (best.msgpack only exists when in-loop val improves fitness; this run
+    # trained with val=False, so last.msgpack is the artifact)
+    m2 = YOLO(str(runs / "t" / "last.msgpack"))
+    assert m2.model.nc == m.model.nc
