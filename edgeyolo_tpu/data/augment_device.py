@@ -639,6 +639,12 @@ def classify_augment_batch(images, key, hyp: dict):
         img01 = jnp.where(do[:, None, None, None], img01[:, ::-1, :, :], img01)
     hkeys = jax.random.split(jax.random.fold_in(key, 19), B)
     img01 = jax.vmap(lambda im, k: _hsv_aug(im, k, hyp))(img01, hkeys)
+    # RandAugment policy (reference classify default auto_augment=randaugment,
+    # augment.py:2472-2520; device implementation in data/randaugment.py)
+    if str(hyp.get("auto_augment", "")) == "randaugment":
+        from edgeyolo_tpu.data.randaugment import rand_augment_batch
+
+        img01 = rand_augment_batch(img01, jax.random.fold_in(key, 29))
     # RandomErasing (reference classify_augmentations appends
     # T.RandomErasing(p=erasing), augment.py:2403-2520; torchvision samples a
     # rect with area scale (0.02, 0.33) and log-uniform aspect (0.3, 3.3),

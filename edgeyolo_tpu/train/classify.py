@@ -109,6 +109,8 @@ class ClassificationTrainer(CallbackMixin):
         LOGGER.info(f"{colorstr('optimizer:')} {opt_name}(lr={lr0}) classify nc={nc} nb={nb}")
 
         hyp_dict = {k: v for k, v in vars(args).items() if isinstance(v, (int, float))}
+        # string-valued policy knob (reference classify default: randaugment)
+        hyp_dict["auto_augment"] = str(getattr(args, "auto_augment", "") or "")
         use_bf16 = bool(args.amp)
         n_avail = len(jax.devices())
         n_dev = max(n for n in range(1, n_avail + 1) if bs % n == 0)
