@@ -5,9 +5,10 @@ Behavioral spec: ultralytics/engine/exporter.py:107-1476 (15-format table,
 @try_export wrappers, metadata embedding). The TPU-native set starts from the
 XLA world: StableHLO text + a serialized jax.export artifact are the native
 formats; TF-family formats go through jax2tf (availability is probed by
-importing tensorflow at call time, never asserted); ONNX requires an onnx
-exporter package, probed the same way. Weight export to a name-mapped npz
-always works and feeds the PyTorch-interop converter.
+importing tensorflow at call time, never asserted); ONNX goes through the
+in-tree jaxpr->ModelProto bridge (jax2onnx.py — no onnx package needed).
+Weight export to a name-mapped npz always works and feeds the PyTorch-interop
+converter.
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ EXPORT_FORMATS = {
     "npz": (".npz", True),
     "saved_model": ("_saved_model", _has_tf),  # via jax2tf
     "tflite": (".tflite", _has_tf),  # via jax2tf + TFLiteConverter
-    "onnx": (".onnx", False),  # no onnx package in this image (probed)
+    "onnx": (".onnx", True),  # native jaxpr->ModelProto bridge (jax2onnx.py)
 }
 
 
@@ -114,12 +115,7 @@ class Exporter:
                 "'tflite' and convert externally"
             )
         if fmt == "onnx":
-            raise NotImplementedError(
-                "onnx export is not implemented in this build (no jax->onnx "
-                "bridge exists without the onnx/tf2onnx toolchain, absent in "
-                "this image); use stablehlo/jax_export (native), "
-                "saved_model/tflite (via tensorflow), or npz weights"
-            )
+            return self.export_onnx(fwd, x, out_dir / f"{name}.onnx", meta)
         raise ValueError(f"unknown export format '{fmt}'; supported: {list(EXPORT_FORMATS)}")
 
     @staticmethod
@@ -150,6 +146,23 @@ class Exporter:
     def export_jax(self, fwd, x, path: Path, meta: dict):
         exported = self._export_native(fwd, x)
         blob = exported.serialize()
+        path.write_bytes(blob)
+        path.with_suffix(".json").write_text(json.dumps(meta, default=str))
+        return str(path)
+
+    @try_export
+    def export_onnx(self, fwd, x, path: Path, meta: dict):
+        """Standard ONNX ModelProto (opset 17) via the in-tree jaxpr bridge
+        (export/jax2onnx.py) — no onnx package needed. Reference analog:
+        exporter.py:487-540 (torch.onnx.export + metadata_props).
+        Static shapes at the traced batch=1 (resize externally if needed);
+        metadata rides in the graph doc_string AND the .json sidecar."""
+        from edgeyolo_tpu.export.jax2onnx import export_onnx_bytes
+
+        blob = export_onnx_bytes(fwd, x, input_names=["images"],
+                                 output_prefix="output",
+                                 graph_name=path.stem,
+                                 doc=json.dumps(meta, default=str))
         path.write_bytes(blob)
         path.with_suffix(".json").write_text(json.dumps(meta, default=str))
         return str(path)

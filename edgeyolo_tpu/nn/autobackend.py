@@ -11,7 +11,9 @@ formats here are the XLA world:
   - weights             .npz (name-mapped arrays)   - re-attached to the spec
 
 TF-family formats (saved_model/tflite) round-trip through tensorflow;
-availability is probed by importing it, never asserted.
+availability is probed by importing it, never asserted. ONNX artifacts run
+through the in-tree numpy executor (export/onnx_runtime.py) — a correctness
+oracle; production serving uses onnxruntime/TensorRT on the same file.
 """
 
 from __future__ import annotations
@@ -115,6 +117,20 @@ class AutoBackend:
             self.model = cls(d)
             self.model.init(0, imgsz=64)
             self._load_npz(p)
+        elif suffix == ".onnx":
+            from edgeyolo_tpu.export.onnx_runtime import OnnxModel
+
+            self.kind = "onnx"
+            self._onnx = OnnxModel(p.read_bytes())
+            if not meta and self._onnx.doc:  # metadata rides the doc_string
+                try:
+                    meta = json.loads(self._onnx.doc)
+                    self.names = {int(k): v for k, v in (meta.get("names") or {}).items()}
+                    self.imgsz = int(meta.get("imgsz", self.imgsz))
+                    if meta.get("stride"):
+                        self.stride = tuple(meta["stride"])
+                except (ValueError, TypeError):
+                    pass
         elif suffix == ".tflite":
             tf = _import_tf("tflite")
             self.kind = "tflite"
@@ -157,6 +173,13 @@ class AutoBackend:
             return out["pred"] if isinstance(out, dict) else out
         if self.kind == "tflite":
             return self._run_tflite(img)
+        if self.kind == "onnx":
+            import jax.numpy as jnp
+
+            # in-tree numpy executor (export/onnx_runtime.py); production
+            # deployments run the same file under onnxruntime/TensorRT
+            out = self._onnx(np.asarray(img, np.float32))
+            return jnp.asarray(out[0] if isinstance(out, list) else out)
         if self.kind == "saved_model":
             import jax.numpy as jnp
 

@@ -50,7 +50,9 @@ def benchmark(model, imgsz: int = 640, batch: int = 1, iters: int = 30, data=Non
     utils/benchmarks.py:50-179): exports the model to every available native
     format, reloads each through AutoBackend, times the e2e pipeline and —
     when `data` is given — runs the validator against the reloaded artifact.
-    Gated formats (TF family, ONNX) appear with an honest 'gated' status.
+    Formats whose backend is genuinely absent appear with an honest 'gated'
+    status (none by default: TF family runs via tensorflow, ONNX via the
+    in-tree executor).
     """
     import jax
     import jax.numpy as jnp
@@ -145,7 +147,7 @@ def benchmark(model, imgsz: int = 640, batch: int = 1, iters: int = 30, data=Non
                 m_for_val = _BackendAdapter(ab, handle.nc, handle.names,
                                             getattr(handle, "head_name", "Detect"))
             jit_ok = fmt in ("native", "native-int8") or getattr(ab, "kind", "") not in (
-                "tflite", "saved_model")
+                "tflite", "saved_model", "onnx")
             pipeline = make_pipeline(backend_apply, jit_ok=jit_ok)
             compile_s, dt = _time_fn(pipeline, img, iters)
             ms_per_img = dt / batch * 1000

@@ -108,6 +108,9 @@ def test_cli_tune_mode_dispatches(monkeypatch):
     monkeypatch.setattr("edgeyolo_tpu.engine.model.YOLO", FakeYOLO)
     import edgeyolo_tpu
 
-    monkeypatch.setattr(edgeyolo_tpu, "YOLO", FakeYOLO, raising=False)
+    # setitem on the module dict, NOT setattr: the package resolves YOLO via
+    # a lazy __getattr__, so setattr's recorded "old value" would itself be
+    # the (already-patched) FakeYOLO and teardown would leak it permanently.
+    monkeypatch.setitem(vars(edgeyolo_tpu), "YOLO", FakeYOLO)
     assert cli.entrypoint(["detect", "tune", "iterations=3"]) == 0
     assert calls.get("iterations") == 3
