@@ -40,6 +40,13 @@ EXPORT_FORMATS = {
 }
 
 
+def format_available(fmt: str) -> bool:
+    """Resolve a format's availability entry (bool or zero-arg probe) to a
+    bool — the one place the bool-or-callable union is interpreted."""
+    avail = EXPORT_FORMATS.get(fmt, (None, False))[1]
+    return bool(avail() if callable(avail) else avail)
+
+
 def try_export(fn):
     def wrapper(*args, **kwargs):
         prefix = colorstr("export:")
@@ -156,13 +163,16 @@ class Exporter:
         (export/jax2onnx.py) — no onnx package needed. Reference analog:
         exporter.py:487-540 (torch.onnx.export + metadata_props).
         Static shapes at the traced batch=1 (resize externally if needed);
-        metadata rides in the graph doc_string AND the .json sidecar."""
+        metadata rides in ModelProto.metadata_props (what ultralytics-style
+        AutoBackends read), the graph doc_string AND the .json sidecar."""
         from edgeyolo_tpu.export.jax2onnx import export_onnx_bytes
 
         blob = export_onnx_bytes(fwd, x, input_names=["images"],
                                  output_prefix="output",
                                  graph_name=path.stem,
-                                 doc=json.dumps(meta, default=str))
+                                 doc=json.dumps(meta, default=str),
+                                 metadata={k: json.dumps(v, default=str)
+                                           for k, v in meta.items()})
         path.write_bytes(blob)
         path.with_suffix(".json").write_text(json.dumps(meta, default=str))
         return str(path)

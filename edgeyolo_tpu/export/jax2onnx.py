@@ -135,6 +135,11 @@ def _h_binary(ctx, eqn, ins):
     a, b = ctx.inp(ins[0]), ctx.inp(ins[1])
     if name == "rem":  # lax.rem is C-style fmod
         return [ctx.node("Mod", [a, b], fmod=1)]
+    if name in ("and", "or", "xor") and ins[0].dtype != np.bool_:
+        # lax and/or/xor are BITWISE on integer dtypes; ONNX And/Or/Xor are
+        # boolean-only and would silently change semantics
+        raise NotImplementedError(
+            f"onnx: bitwise lax.{name} on {ins[0].dtype} (bool only)")
     return [ctx.node(op, [a, b])]
 
 
@@ -366,6 +371,15 @@ def _h_conv(ctx, eqn, ins):
     else:
         w = ctx.node("Transpose", [ctx.inp(kv)], perm=perm_k)
 
+    # negative lax conv padding crops the input (reachable via some
+    # conv_transpose configs); ONNX Conv pads must be >=0 -> Slice crop first
+    if any(lo < 0 or hi < 0 for lo, hi in padding):
+        starts = [max(0, -lo) for lo, _ in padding]
+        ends = [d + min(0, hi) for d, (_, hi) in zip(x_shape[2:], padding)]
+        x = ctx.node("Slice", [x, ctx.i64(starts, "starts"),
+                               ctx.i64(ends, "ends"),
+                               ctx.i64(range(2, 2 + nsp), "axes")])
+        padding = [(max(0, lo), max(0, hi)) for lo, hi in padding]
     pads = [lo for lo, _ in padding] + [hi for _, hi in padding]
     y = ctx.node("Conv", [x, w], strides=strides, pads=pads,
                  dilations=rhs_dil, group=groups)
@@ -544,7 +558,7 @@ def _walk(ctx, jaxpr, env):
 
 def export_onnx_bytes(fn, *example_args, input_names=None,
                       output_prefix="output", graph_name="edgeyolo_tpu",
-                      doc="") -> bytes:
+                      doc="", metadata=None) -> bytes:
     """Trace `fn(*example_args)` and return ONNX ModelProto bytes (opset 17).
 
     Output tensors are named `{output_prefix}0..N` over the flattened pytree
@@ -586,4 +600,4 @@ def export_onnx_bytes(fn, *example_args, input_names=None,
         g_outputs.append(nm)
 
     graph = P.graph_proto(ctx.nodes, graph_name, ctx.inits, g_inputs, out_infos)
-    return P.model_proto(graph, opset=17, doc=doc)
+    return P.model_proto(graph, opset=17, doc=doc, metadata=metadata)

@@ -126,7 +126,8 @@ def graph_proto(nodes, name, initializers, inputs, outputs) -> bytes:
     return b
 
 
-def model_proto(graph: bytes, opset: int = 17, doc: str = "") -> bytes:
+def model_proto(graph: bytes, opset: int = 17, doc: str = "",
+                metadata: dict | None = None) -> bytes:
     b = fint(1, 8)  # ir_version 8
     b += fstr(2, "edgeyolo_tpu")  # producer_name
     b += fstr(3, "1.0")  # producer_version
@@ -134,6 +135,10 @@ def model_proto(graph: bytes, opset: int = 17, doc: str = "") -> bytes:
         b += fstr(6, doc)
     b += fbytes(7, graph)
     b += fbytes(8, fstr(1, "") + fint(2, opset))  # opset_import
+    # metadata_props (field 14, repeated StringStringEntryProto key=1/value=2)
+    # — what ultralytics-style AutoBackends read (ref exporter.py ~540)
+    for k, v in (metadata or {}).items():
+        b += fbytes(14, fstr(1, str(k)) + fstr(2, str(v)))
     return b
 
 
@@ -261,11 +266,16 @@ def parse_model(buf: bytes) -> dict:
         of = parse_message(o)
         opsets.append((_as_str(of.get(1, [b""])[0]), int(of.get(2, [0])[0])))
     g = parse_message(m[7][0])
+    meta = {}
+    for e in m.get(14, []):
+        ef = parse_message(e)
+        meta[_as_str(ef.get(1, [b""])[0])] = _as_str(ef.get(2, [b""])[0])
     return {
         "ir_version": int(m.get(1, [0])[0]),
         "producer": _as_str(m.get(2, [b""])[0]),
         "opsets": opsets,
         "doc": _as_str(m.get(6, [b""])[0]),
+        "metadata_props": meta,
         "name": _as_str(g.get(2, [b""])[0]),
         "nodes": [parse_node(n) for n in g.get(1, [])],
         "initializers": dict(parse_tensor(t) for t in g.get(5, [])),

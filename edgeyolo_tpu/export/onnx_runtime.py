@@ -152,7 +152,9 @@ class OnnxModel:
                 else np.expand_dims(r, at.get("axis", 0)))
         elif op == "CumSum":
             r = x[0]
-            ax = int(x[1])
+            # axis arrives as a 0-d or 1-element tensor; int(ndarray) is a
+            # hard error in newer numpy
+            ax = int(np.asarray(x[1]).reshape(-1)[0])
             if at.get("reverse"):
                 r = np.flip(np.cumsum(np.flip(r, ax), axis=ax), ax)
             else:
