@@ -27,6 +27,7 @@ CFG_FRACTION_KEYS = frozenset({
     "dropout", "lr0", "lrf", "momentum", "weight_decay", "warmup_momentum", "warmup_bias_lr",
     "hsv_h", "hsv_s", "hsv_v", "translate", "scale", "perspective", "flipud", "fliplr", "bgr",
     "mosaic", "mixup", "copy_paste", "conf", "iou", "fraction", "erasing", "crop_fraction",
+    "photometric",
 })
 CFG_INT_KEYS = frozenset({
     "epochs", "patience", "workers", "seed", "close_mosaic", "mask_ratio", "max_det",

@@ -476,6 +476,12 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key,
         valid = ex_out["_rvalid"]  # geometry filter from the rbox warp
 
     img01 = img / 255.0
+    # Albumentations-analog photometric stack rides between mixup/copy-paste
+    # and HSV in the reference compose order (augment.py:2278-2343); pixel-only,
+    # so labels/masks are untouched
+    from edgeyolo_tpu.data.photometric import bgr_swap_batch, photometric_batch
+
+    img01 = photometric_batch(img01, jax.random.fold_in(key, 43), hyp)
     img01 = jax.vmap(lambda im, k: _hsv_aug(im, k, hyp))(img01, keys[:, 1])
 
     # copy-paste (segment task: instance masks required). Reference semantics
@@ -563,6 +569,9 @@ def _augment_impl(images, cls, bboxes, mask, key, imgsz, mosaic, hyp_key,
         boxes_out = jnp.concatenate([boxes_out, boxes_out[other]], axis=1)
         cls4 = jnp.concatenate([cls4, cls4[other]], axis=1)
         valid = jnp.concatenate([valid, valid[other] & do_mix[:, None]], axis=1)
+
+    # Format-stage BGR swap (reference augment.py:2105) — last, like Format
+    img01 = bgr_swap_batch(img01, jax.random.fold_in(key, 47), hyp)
 
     boxes_out = boxes_out * valid[..., None]
     extras_ret = {}
