@@ -175,7 +175,19 @@ class DetectionTrainer(CallbackMixin):
         self.model.names = names
         imgsz = int(args.imgsz)
         epochs = int(args.epochs)
-        bs = int(args.batch)
+        bs_raw = float(args.batch)
+        if bs_raw <= 0 or 0 < bs_raw < 1:
+            # reference batch=-1 -> AutoBatch at 60% memory, 0<batch<1 -> that
+            # utilization fraction (engine/trainer.py:282-283, autobatch.py:14);
+            # here resolved by the XLA compile-time HBM estimate
+            from edgeyolo_tpu.utils.profiling import autobatch as _autobatch
+
+            frac = bs_raw if 0 < bs_raw < 1 else 0.60
+            if self.model.variables is None:
+                self.model.init(int(args.seed), imgsz=imgsz, batch=1)
+            bs_raw = _autobatch(self.model, imgsz=imgsz, fraction=frac, train=True)
+            args.batch = bs_raw
+        bs = int(bs_raw)
 
         self.save_dir.mkdir(parents=True, exist_ok=True)
         yaml_save(self.save_dir / "args.yaml", vars(args))

@@ -66,11 +66,15 @@ def memory_analysis(fn, *example_args) -> dict:
 
 
 def autobatch(model, imgsz: int = 640, fraction: float = 0.60, hbm_bytes: int | None = None,
-              candidates=(1, 2, 4, 8, 16, 32, 64)) -> int:
+              candidates=(1, 2, 4, 8, 16, 32, 64), train: bool = False) -> int:
     """Pick the largest batch whose compile-time memory fits `fraction` of HBM.
 
-    The reference binary-searches CUDA memory at runtime (autobatch.py:14-40);
-    XLA gives the footprint statically, so this never OOMs a real device.
+    The reference binary-searches CUDA memory at runtime with a fwd+bwd probe
+    (autobatch.py:14-40, torch_utils.profile); XLA gives the footprint
+    statically, so this never OOMs a real device. train=True probes a
+    fwd+grad program (the trainer's batch=-1 path); train=False probes
+    inference only. Raises RuntimeError when no candidate can be analyzed —
+    the reference's silent default-batch fallback hides real failures.
     """
     import jax
     import jax.numpy as jnp
@@ -84,25 +88,41 @@ def autobatch(model, imgsz: int = 640, fraction: float = 0.60, hbm_bytes: int | 
     budget = hbm_bytes * fraction
     if model.variables is None:
         model.init(0, imgsz=imgsz, batch=1)
-    best = candidates[0]
+    variables = model.variables
+    p_spec = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables["params"])
+    best, errors = None, []
     for b in candidates:
         x = jax.ShapeDtypeStruct((b, imgsz, imgsz, 3), jnp.float32)
 
         def fwd(img):
-            return model.net.apply(model.variables, img, train=False)["pred"]
+            return model.net.apply(variables, img, train=False)["pred"]
+
+        def loss_of(p, img):
+            out = model.net.apply({**variables, "params": p}, img,
+                                  train=False)["pred"]
+            return sum(jnp.sum(jnp.square(o))
+                       for o in jax.tree_util.tree_leaves(out))
 
         try:
-            mem = memory_analysis(fwd, x)
+            mem = (memory_analysis(jax.grad(loss_of), p_spec, x) if train
+                   else memory_analysis(fwd, x))
             peak = mem.get("peak_bytes") or 0
             if peak and peak <= budget:
                 best = b
             elif peak:
                 break
         except Exception as e:
-            LOGGER.warning(f"autobatch probe b={b} failed: {e}")
+            errors.append(f"b={b}: {e}")
             break
+    if best is None:
+        raise RuntimeError(
+            f"autobatch: could not size a batch for imgsz={imgsz} within "
+            f"{budget/1e9:.1f} GB ({'; '.join(errors) or 'no candidate fits'}); "
+            f"pass an explicit batch=")
     LOGGER.info(f"{colorstr('autobatch:')} batch={best} for imgsz={imgsz} "
-                f"(budget {budget/1e9:.1f} GB of {hbm_bytes/1e9:.1f} GB HBM)")
+                f"(budget {budget/1e9:.1f} GB of {hbm_bytes/1e9:.1f} GB HBM, "
+                f"{'train' if train else 'inference'} probe)")
     return best
 
 

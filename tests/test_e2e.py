@@ -152,3 +152,45 @@ def test_full_workflow_chain(shapes_ds, tmp_path_factory):
     # trained with val=False, so last.msgpack is the artifact)
     m2 = YOLO(str(runs / "t" / "last.msgpack"))
     assert m2.model.nc == m.model.nc
+
+
+def test_autobatch_resolves_batch_minus_one(shapes_ds, tmp_path_factory):
+    """batch=-1 routes through the compile-time HBM estimate (reference
+    engine/trainer.py:282-283 -> autobatch.py:14); the resolved batch is a
+    sane positive candidate recorded in args.yaml."""
+    import yaml
+
+    runs = tmp_path_factory.mktemp("runs_ab")
+    m = YOLO("yolo11n.yaml")
+    m.model = DetectionModel("yolo11n.yaml", nc=3)
+    m.train(data=str(shapes_ds), epochs=1, imgsz=96, batch=-1, nbs=4, val=False,
+            plots=False, close_mosaic=0, amp=False, workers=0, mosaic=0.0,
+            project=str(runs), name="ab", patience=5)
+    saved = yaml.safe_load((runs / "ab" / "args.yaml").read_text())
+    assert int(saved["batch"]) in (1, 2, 4, 8, 16, 32, 64)
+    assert int(saved["batch"]) >= 1
+
+
+def test_autobatch_estimator_direct():
+    """The estimator itself: monotone fit under a tight budget and a loud
+    error when nothing fits."""
+    import pytest as _pytest
+
+    from edgeyolo_tpu.utils.profiling import autobatch, memory_analysis
+
+    m = DetectionModel("yolo11n.yaml", nc=3)
+    m.init(0, imgsz=64, batch=1)
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32)
+    mem = memory_analysis(lambda img: m.net.apply(m.variables, img, train=False)["pred"], x)
+    peak1 = mem["peak_bytes"]
+    assert peak1 > 0
+    # generous budget picks a batch >= 2; a budget below b=1's peak raises
+    b = autobatch(m, imgsz=64, fraction=1.0, hbm_bytes=64 * peak1,
+                  candidates=(1, 2, 4))
+    assert b >= 2
+    with _pytest.raises(RuntimeError, match="autobatch"):
+        autobatch(m, imgsz=64, fraction=1.0, hbm_bytes=max(peak1 // 100, 1),
+                  candidates=(1, 2))
