@@ -1,5 +1,6 @@
 """Turnkey applications (reference ultralytics/solutions surface)."""
 
+from edgeyolo_tpu.solutions.plots import YOLOCompleteVisualizer
 from edgeyolo_tpu.solutions.solutions import (
     AIGym,
     Analytics,

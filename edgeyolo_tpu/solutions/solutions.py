@@ -224,6 +224,10 @@ class AIGym(BaseSolution):
         self.up_angle, self.down_angle = up_angle, down_angle
         self.count = 0
         self.stage = "up"
+        # stream state: per-person counters keyed by track id (reference
+        # ai_gym.py keeps parallel count/angle/stage lists per track)
+        self.counts: dict[int, int] = {}
+        self.stages: dict[int, str] = {}
 
     @staticmethod
     def angle(a, b, c) -> float:
@@ -242,8 +246,33 @@ class AIGym(BaseSolution):
             self.count += 1
         return self.count
 
-    def process(self, res):  # stream interface optional for gym
-        pass
+    def process(self, res):
+        """Stream interface (reference ai_gym.monitor): per-person rep
+        counting from a pose Result's keypoints, keyed by track id when
+        tracking is active, else by detection index."""
+        kp = getattr(res, "keypoints", None)
+        if kp is None or len(kp) == 0:
+            return
+        data = np.asarray(kp.data)  # (N, K, 2|3)
+        ids = None
+        if res.boxes is not None and getattr(res.boxes, "id", None) is not None:
+            ids = np.asarray(res.boxes.id).astype(int)
+        i, j, k = self.joints
+        for n in range(data.shape[0]):
+            pid = int(ids[n]) if ids is not None and n < len(ids) else n
+            ang = self.angle(data[n, i, :2], data[n, j, :2], data[n, k, :2])
+            stage = self.stages.get(pid, "up")
+            if ang < self.down_angle and stage == "up":
+                self.stages[pid] = "down"
+            elif ang > self.up_angle and stage == "down":
+                self.stages[pid] = "up"
+                self.counts[pid] = self.counts.get(pid, 0) + 1
+
+    @property
+    def total_count(self) -> int:
+        """Stream-path reps across all tracked people (+ the explicit
+        update() counter when that API was used)."""
+        return sum(self.counts.values()) + self.count
 
 
 class Analytics(BaseSolution):
