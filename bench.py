@@ -113,6 +113,9 @@ def main():
     # train metric fails LOUDLY: a broken train step must show in the bench
     # artifact, not silently report as a string (VERDICT r2 "weak")
     extras = {"int8_imgs_per_sec": round(int8_ips, 1),
+              # int8 is a deployment-compatibility mode on this compiler, not a
+              # speed lever — expected <= bf16 (measured + analyzed, PERF.md §int8)
+              "int8_note": "compatibility mode (see PERF.md §int8); bf16 is the speed path",
               "train_imgs_per_sec": round(_train_step_throughput(model, imgsz, on_tpu), 1)}
 
     print(json.dumps({

@@ -58,7 +58,7 @@ def benchmark(model, imgsz: int = 640, batch: int = 1, iters: int = 30, data=Non
     import jax.numpy as jnp
 
     from edgeyolo_tpu.cfg import get_cfg
-    from edgeyolo_tpu.export.exporter import EXPORT_FORMATS, Exporter
+    from edgeyolo_tpu.export.exporter import EXPORT_FORMATS, Exporter, format_available
     from edgeyolo_tpu.nn.autobackend import AutoBackend
     from edgeyolo_tpu.ops.nms import non_max_suppression
 
@@ -122,11 +122,9 @@ def benchmark(model, imgsz: int = 640, batch: int = 1, iters: int = 30, data=Non
     fmts = formats or ["native", "native-int8", *EXPORT_FORMATS]
     rows = []
     for fmt in fmts:
-        if fmt not in ("native", "native-int8"):
-            avail = EXPORT_FORMATS.get(fmt, (None, False))[1]
-            if not (avail() if callable(avail) else avail):
-                rows.append({"format": fmt, "status": "gated (backend not in image)"})
-                continue
+        if fmt not in ("native", "native-int8") and not format_available(fmt):
+            rows.append({"format": fmt, "status": "gated (backend not in image)"})
+            continue
         try:
             if fmt == "native":
                 backend_apply = lambda x: handle.apply(handle.variables, x, train=False)["pred"]
