@@ -96,11 +96,18 @@ class YOLODataset:
         task: str = "detect",
         kpt_shape: tuple[int, int] = (17, 3),
         mask_ratio: int = 4,
+        cache: bool | str = False,
     ):
         self.img_path = img_path
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = hyp
+        # RAM image cache (reference base.py:89-101 cache="ram"): memoize the
+        # decoded+letterboxed image per (index, target shape); labels are
+        # recomputed per call (cheap). "disk" is unnecessary here — the label
+        # cache already persists, and decode is the native fast path.
+        self.cache_ram = str(cache).lower() in ("true", "ram", "1")
+        self._im_cache: dict = {}
         self.rect = bool(rect) and not augment
         self._rect_shape = None
         self.single_cls = single_cls
@@ -316,7 +323,10 @@ class YOLODataset:
         """One sample: letterboxed uint8 image + padded normalized-xywh labels."""
         target = self._rect_shape[i] if (self.rect and self._rect_shape) else self.imgsz
         path = self.im_files[i]
-        if (isinstance(target, int) and path.lower().endswith((".jpg", ".jpeg"))
+        ck = (i, target)
+        if self.cache_ram and ck in self._im_cache:
+            img, r, (pw, ph), (h0, w0) = self._im_cache[ck]
+        elif (isinstance(target, int) and path.lower().endswith((".jpg", ".jpeg"))
                 and _native_io_enabled()):
             # native runtime fast path: threaded libjpeg decode + letterbox in
             # C++ (edgeyolo_tpu/native); pixel-equivalent to the PIL path
@@ -328,6 +338,8 @@ class YOLODataset:
             img0 = load_image_rgb(path)
             h0, w0 = img0.shape[:2]
             img, r, (pw, ph) = letterbox(img0, target, scaleup=self.augment)
+        if self.cache_ram and ck not in self._im_cache:
+            self._im_cache[ck] = (img, r, (pw, ph), (h0, w0))
         H, W = img.shape[:2]
         lab = self.labels[i]
         cls = lab["cls"].copy()

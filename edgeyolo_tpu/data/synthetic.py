@@ -16,6 +16,17 @@ from PIL import Image, ImageDraw
 PALETTE = [(220, 40, 40), (40, 180, 60), (50, 80, 220), (230, 200, 40), (160, 60, 200)]
 
 
+_SHAPES = ("rectangle", "ellipse", "cross")
+
+
+def class_names(nc: int) -> list[str]:
+    """Distinct name per class: (shape, color) pairs are unique for nc <= 15
+    (3 shapes x 5 palette colors, coprime cycle lengths)."""
+    if nc <= 3:
+        return list(_SHAPES[:nc])
+    return [f"{_SHAPES[c % 3]}_{c % len(PALETTE)}" for c in range(nc)]
+
+
 def generate_dataset(
     root: str | Path,
     n_train: int = 16,
@@ -23,6 +34,9 @@ def generate_dataset(
     imgsz: int = 320,
     nc: int = 3,
     max_objs: int = 4,
+    min_objs: int = 1,
+    min_size: float = 0.15,
+    max_size: float = 0.4,
     seed: int = 0,
     task: str = "detect",
 ) -> Path:
@@ -30,6 +44,10 @@ def generate_dataset(
 
     task selects the label format: detect (xywh), segment (polygons),
     pose (xywh + 5 keypoints: corners + center), obb (4-corner polygons).
+    Classes are (shape, color) pairs — unique appearance for nc <= 15.
+    The parity protocol (PARITY.md) uses the crowded form: min_objs/max_objs
+    high, min_size/max_size small, nc >= 8, so per-detection mAP noise drops
+    below the 0.02 gate.
     """
     root = Path(root)
     rng = np.random.RandomState(seed)
@@ -42,10 +60,10 @@ def generate_dataset(
             )
             draw = ImageDraw.Draw(img)
             lines = []
-            for _ in range(rng.randint(1, max_objs + 1)):
+            for _ in range(rng.randint(min_objs, max_objs + 1)):
                 c = int(rng.randint(0, nc))
-                w = rng.uniform(0.15, 0.4) * imgsz
-                h = rng.uniform(0.15, 0.4) * imgsz
+                w = rng.uniform(min_size, max_size) * imgsz
+                h = rng.uniform(min_size, max_size) * imgsz
                 color = PALETTE[c % len(PALETTE)]
                 S = imgsz
                 if task == "obb":
@@ -96,7 +114,7 @@ def generate_dataset(
             img.save(root / "images" / split / f"{split}_{i:04d}.jpg", quality=92)
             (root / "labels" / split / f"{split}_{i:04d}.txt").write_text("\n".join(lines) + "\n")
     yaml_path = root / "dataset.yaml"
-    names = "\n".join(f"  {i}: {n}" for i, n in enumerate(["rectangle", "ellipse", "cross"][:nc]))
+    names = "\n".join(f"  {i}: {n}" for i, n in enumerate(class_names(nc)))
     extra = ""
     if task == "pose":
         # corners (TL,TR,BR,BL) + center; lr-flip swaps TL<->TR and BL<->BR
@@ -106,3 +124,43 @@ def generate_dataset(
         f"path: {root}\ntrain: images/train\nval: images/val\nnc: {nc}\nnames:\n{names}\n{extra}"
     )
     return yaml_path
+
+
+def generate_classify_dataset(
+    root: str | Path,
+    nc: int = 4,
+    n_train_per_class: int = 8,
+    n_val_per_class: int = 4,
+    size_range: tuple[int, int] = (60, 140),
+    noise: float = 60.0,
+    seed: int = 0,
+) -> Path:
+    """ImageFolder-layout classification set: oriented-grating textures under
+    heavy pixel noise (PARITY.md classify protocol: a solid-color set trains
+    to top1=1.0 on both frameworks and cannot discriminate preprocessing
+    bugs; gratings + noise give a mid-scale operating point). Every image is
+    non-square with a random size so the shortest-edge-resize + center-crop
+    eval transform is genuinely exercised. Returns the dataset root.
+    """
+    root = Path(root)
+    rng = np.random.RandomState(seed)
+    for split, n in (("train", n_train_per_class), ("val", n_val_per_class)):
+        for c in range(nc):
+            d = root / split / f"grating_{c}"
+            d.mkdir(parents=True, exist_ok=True)
+            theta = c * np.pi / nc  # class = grating orientation
+            for i in range(n):
+                h = int(rng.randint(size_range[0], size_range[1] + 1))
+                w = int(rng.randint(size_range[0], size_range[1] + 1))
+                if h == w:
+                    w += 3  # force non-square
+                yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+                period = rng.uniform(8, 16)
+                phase = rng.uniform(0, 2 * np.pi)
+                g = np.sin((xx * np.cos(theta) + yy * np.sin(theta))
+                           * (2 * np.pi / period) + phase)
+                base = 127 + 70 * g
+                im = base[..., None] + rng.normal(0, noise, (h, w, 3))
+                Image.fromarray(np.clip(im, 0, 255).astype(np.uint8)).save(
+                    d / f"{split}_{c}_{i:04d}.jpg", quality=92)
+    return root

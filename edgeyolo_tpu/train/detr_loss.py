@@ -132,20 +132,31 @@ class RTDETRDetectionLoss:
         self.g = (cls_gain, bbox_gain, giou_gain)
         self.c = (cost_class, cost_bbox, cost_giou)
 
+    def match_cost(self, sc, bb, gc, gb, mg):
+        """One image's matcher cost matrix (M, nq), masked rows at 1e6.
+
+        This IS the matrix `_single_layer` assigns over (it calls this) —
+        exposed so the fixed-iteration auction can be audited against an
+        exact Hungarian solver on real training matrices
+        (tools/parity_run.py rtdetr branch; reference matcher:
+        models/utils/loss.py:357 HungarianMatcher with gains 2/5/2)."""
+        nc = sc.shape[-1]
+        cc, cb, cg = self.c
+        prob = jax.nn.sigmoid(sc)  # (nq, nc)
+        cls_cost = -prob[:, jnp.clip(gc, 0, nc - 1)]  # (nq, M)
+        l1 = jnp.sum(jnp.abs(bb[:, None, :] - gb[None, :, :]), axis=-1)  # (nq, M)
+        giou = _giou_xywh(bb[:, None, :], gb[None, :, :])  # (nq, M)
+        cost = (cc * cls_cost + cb * l1 + cg * (1 - giou)).T  # (M, nq)
+        return jnp.where(mg[:, None] > 0, cost, 1e6)
+
     def _single_layer(self, scores, bboxes, gt_cls, gt_boxes, mask_gt):
         """scores (B, nq, nc) logits; bboxes (B, nq, 4) normalized cxcywh;
         gt_boxes (B, M, 4) normalized cxcywh."""
         B, nq, nc = scores.shape
         M = gt_boxes.shape[1]
-        cc, cb, cg = self.c
 
         def per_image(sc, bb, gc, gb, mg):
-            prob = jax.nn.sigmoid(sc)  # (nq, nc)
-            cls_cost = -prob[:, jnp.clip(gc, 0, nc - 1)]  # (nq, M)
-            l1 = jnp.sum(jnp.abs(bb[:, None, :] - gb[None, :, :]), axis=-1)  # (nq, M)
-            giou = _giou_xywh(bb[:, None, :], gb[None, :, :])  # (nq, M)
-            cost = (cc * cls_cost + cb * l1 + cg * (1 - giou)).T  # (M, nq)
-            cost = jnp.where(mg[:, None] > 0, cost, 1e6)
+            cost = self.match_cost(sc, bb, gc, gb, mg)
             col = auction_assign(cost, mg > 0)  # (M,)
             matched = col >= 0
             colc = jnp.clip(col, 0, nq - 1)

@@ -213,6 +213,7 @@ class DetectionTrainer(CallbackMixin):
             data_cfg["train"], imgsz=imgsz, augment=True,
             single_cls=bool(args.single_cls), fraction=float(args.fraction), names=names,
             task=task, kpt_shape=kpt_shape, mask_ratio=int(args.mask_ratio),
+            cache=getattr(args, "cache", False),
         )
         # per-host loader: each process feeds bs/n_proc samples of its own
         # disjoint stride; host_local_batch assembles the global jax.Arrays

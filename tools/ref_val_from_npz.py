@@ -29,7 +29,7 @@ tm.eval().float()
 m = YOLO(model_yaml, task="detect")  # GFLv2 heads aren't in the facade's guess table
 m.model = tm
 m.model.args = m.overrides
-metrics = m.val(data=data_yaml, imgsz=imgsz, device="cpu", plots=False, verbose=False)
+metrics = m.val(data=data_yaml, imgsz=imgsz, device="cpu", plots=False, verbose=False, rect=False)
 json.dump({
     "map50_95": float(metrics.box.map),
     "map50": float(metrics.box.map50),

@@ -32,7 +32,7 @@ m.model.args = m.overrides
 from ultralytics.models.yolo.detect.val import DetectionValidator as _DV
 
 _DV.print_results = lambda self: None
-metrics = m.val(data=data_yaml, imgsz=imgsz, device="cpu", plots=False, verbose=False)
+metrics = m.val(data=data_yaml, imgsz=imgsz, device="cpu", plots=False, verbose=False, rect=False)
 json.dump({
     "map50_95": float(metrics.box.map),
     "map50": float(metrics.box.map50),

@@ -26,7 +26,7 @@ tm.eval().float()
 m = YOLO(model_yaml, task="segment")
 m.model = tm
 m.model.args = m.overrides
-metrics = m.val(data=data_yaml, imgsz=imgsz, device="cpu", plots=False, verbose=False)
+metrics = m.val(data=data_yaml, imgsz=imgsz, device="cpu", plots=False, verbose=False, rect=False)
 json.dump({
     "box_map50_95": float(metrics.box.map),
     "box_map50": float(metrics.box.map50),
