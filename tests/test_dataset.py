@@ -234,3 +234,72 @@ def test_dataloader_process_sharding(tmp_path):
     assert len(i0) == len(i1) == 5  # 11 -> truncate to 10 -> 5 each
     assert not set(i0) & set(i1)
     assert len(l0) == len(l1) == 3  # ceil(5/2) batches, lockstep
+
+
+def test_ram_cache_returns_identical_items(tmp_path):
+    """cache=ram memoizes the decoded+letterboxed image (reference
+    base.py:89-101); items are bit-identical to the uncached path."""
+    import numpy as np
+
+    from edgeyolo_tpu.data.dataset import YOLODataset
+    from edgeyolo_tpu.data.synthetic import generate_dataset
+
+    generate_dataset(tmp_path, n_train=4, n_val=2, imgsz=96, nc=3)
+    names = {0: "a", 1: "b", 2: "c"}
+    cold = YOLODataset(str(tmp_path / "images" / "train"), imgsz=96, names=names)
+    warm = YOLODataset(str(tmp_path / "images" / "train"), imgsz=96, names=names,
+                       cache="ram")
+    for i in range(4):
+        a, b = cold.get_item(i), warm.get_item(i)
+        np.testing.assert_array_equal(a["img"], b["img"])
+        np.testing.assert_array_equal(a["bboxes"], b["bboxes"])
+    # second pass is served from the cache and stays identical
+    for i in range(4):
+        np.testing.assert_array_equal(warm.get_item(i)["img"],
+                                      cold.get_item(i)["img"])
+    assert len(warm._im_cache) == 4 and not cold._im_cache
+
+
+def test_crowded_generator_nc8_names_and_density(tmp_path):
+    """nc>3 gets unique (shape,color) class names; crowding knobs control
+    instance count (the round-4 parity protocol's noise-floor lever)."""
+    from edgeyolo_tpu.data.synthetic import class_names, generate_dataset
+
+    names = class_names(8)
+    assert len(set(names)) == 8
+    y = generate_dataset(tmp_path, n_train=4, n_val=2, imgsz=128, nc=8,
+                         min_objs=4, max_objs=6, min_size=0.08, max_size=0.2)
+    txt = y.read_text()
+    assert "nc: 8" in txt and names[7] in txt
+    counts = [len((tmp_path / "labels" / "train" / f"train_{i:04d}.txt")
+                  .read_text().strip().splitlines()) for i in range(4)]
+    assert all(4 <= c <= 6 for c in counts)
+    classes = set()
+    for i in range(4):
+        for ln in (tmp_path / "labels" / "train" / f"train_{i:04d}.txt").read_text().strip().splitlines():
+            classes.add(int(ln.split()[0]))
+    assert max(classes) >= 3  # classes beyond the old 3-name cap get drawn
+
+
+def test_classify_grating_generator(tmp_path):
+    """ImageFolder layout, non-square sizes, orientation-discriminable."""
+    import numpy as np
+    from PIL import Image
+
+    from edgeyolo_tpu.data.synthetic import generate_classify_dataset
+
+    root = generate_classify_dataset(tmp_path, nc=4, n_train_per_class=2,
+                                     n_val_per_class=1)
+    for split, n in (("train", 2), ("val", 1)):
+        for c in range(4):
+            files = sorted((root / split / f"grating_{c}").glob("*.jpg"))
+            assert len(files) == n
+            im = Image.open(files[0])
+            assert im.size[0] != im.size[1]  # non-square
+    # gratings of different classes differ in dominant orientation: the
+    # energy of row-wise vs column-wise differences separates 0 vs 90 deg
+    a = np.asarray(Image.open(next((root / "train" / "grating_0").glob("*.jpg"))).convert("L"), float)
+    b = np.asarray(Image.open(next((root / "train" / "grating_2").glob("*.jpg"))).convert("L"), float)
+    ratio_a = np.abs(np.diff(a, axis=1)).mean() / np.abs(np.diff(a, axis=0)).mean()
+    ratio_b = np.abs(np.diff(b, axis=1)).mean() / np.abs(np.diff(b, axis=0)).mean()
+    assert ratio_a > ratio_b  # class 0 varies along x; class 2 along y

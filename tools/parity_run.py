@@ -38,6 +38,7 @@ TASKS = {
     "classify": ("yolo11n-cls.yaml", "yolo11n-cls.yaml", "classify", "ref_val_cls_from_npz.py"),
     "v10": ("yolov10n.yaml", "yolov10n.yaml", "detect", "ref_val_from_npz.py"),
     "rtdetr": ("rtdetr-l.yaml", "rtdetr-l.yaml", "detect", "ref_val_rtdetr_from_npz.py"),
+    "world": ("yolov8s-worldv2.yaml", "yolov8s-worldv2.yaml", "detect", "ref_val_world_from_npz.py"),
 }
 
 NC = 8
@@ -152,6 +153,17 @@ def main():
     else:
         m = YOLO(model_yaml)
         opt = dict(optimizer="SGD", lr0=0.01)
+    if task == "world":
+        # fixed shared text embeddings on BOTH sides (reference world
+        # training freezes the per-dataset text bank, world/train.py:24;
+        # CLIP itself is offline-gated, so a deterministic unit-norm matrix
+        # stands in as the shared bank)
+        from edgeyolo_tpu.data.synthetic import class_names
+
+        emb = np.random.RandomState(7).randn(NC, 512).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+        np.savez(out / "text_emb.npz", emb=emb)
+        m.model.set_classes(emb, names=class_names(NC))
     imgsz = 128 if task == "classify" else IMGSZ
     train_kw = dict(data=str(data), epochs=epochs, imgsz=imgsz, batch=16,
                     amp=False, val=False, plots=False, cache="ram",
@@ -169,7 +181,10 @@ def main():
     np.savez(npz, **sd)
 
     ref_json = out / "ref_val.json"
-    if task == "classify":
+    if task == "world":
+        args = [str(npz), ref_yaml, str(NC), str(out / "text_emb.npz"),
+                str(data), str(imgsz), str(ref_json)]
+    elif task == "classify":
         args = [str(npz), ref_yaml, str(NC), str(data), str(imgsz), str(ref_json)]
     elif task == "pose":
         args = [str(npz), ref_yaml, str(NC), "5", "3", str(data), str(imgsz), str(ref_json)]
