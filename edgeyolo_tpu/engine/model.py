@@ -188,17 +188,45 @@ class YOLO:
         # dataset's class count, like the reference trainer's
         # get_model(cfg, nc=data['nc']) (models/yolo/detect/train.py:86-91);
         # once weights exist the trainer's strict nc check stands
+        if self.model.variables is None and self.task == "classify":
+            # reference ClassificationTrainer builds the model with the
+            # DATASET's nc (models/yolo/classify/train.py:59-64), so a
+            # yaml zoo file's nc=1000 never reaches training
+            try:
+                from edgeyolo_tpu.data.classify import check_cls_dataset
+
+                nc = int(check_cls_dataset(args.data)["nc"])
+            except Exception:
+                nc = None
+            if nc and nc != self.model.nc:
+                LOGGER.info(f"rebuilding classify head for dataset nc={nc} "
+                            f"(was {self.model.nc})")
+                d = dict(self.model.yaml)
+                d["nc"] = nc
+                self.model = type(self.model)(d)
         if self.model.variables is None and self.task != "classify":
             try:
                 from edgeyolo_tpu.data.dataset import check_det_dataset
 
-                nc = int(check_det_dataset(args.data)["nc"])
+                data_cfg = check_det_dataset(args.data)
+                nc = int(data_cfg["nc"])
             except Exception:
-                nc = None
-            if nc and nc != self.model.nc:
-                LOGGER.info(f"rebuilding model head for dataset nc={nc} (was {self.model.nc})")
+                data_cfg, nc = {}, None
+            # pose: a data-level kpt_shape overrides the yaml literal, like
+            # the reference PoseTrainer's get_model(...,
+            # data_kpt_shape=data['kpt_shape']) (models/yolo/pose/train.py:41)
+            kpt = data_cfg.get("kpt_shape") if self.task == "pose" else None
+            kpt = tuple(int(x) for x in kpt) if kpt else None
+            cur_kpt = tuple(self.model.yaml.get("kpt_shape", (17, 3)))
+            if (nc and nc != self.model.nc) or (kpt and kpt != cur_kpt):
+                LOGGER.info(f"rebuilding model head for dataset nc={nc} "
+                            f"(was {self.model.nc})"
+                            + (f", kpt_shape={list(kpt)} (was {list(cur_kpt)})"
+                               if kpt and kpt != cur_kpt else ""))
                 d = dict(self.model.yaml)
-                d["nc"] = nc
+                d["nc"] = nc or self.model.nc
+                if kpt:
+                    d["kpt_shape"] = list(kpt)
                 self.model = type(self.model)(d)  # trainer sets dataset names
         trainer_cls = self.task_map[self.task]["trainer"]
         save_dir = get_save_dir(args, name=args.name or "train")

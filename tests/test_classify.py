@@ -103,3 +103,18 @@ def test_classify_augment_batch_shapes():
                                   "hsv_s": 0.7, "hsv_v": 0.4})
     assert out.shape == (4, 32, 32, 3)
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_classify_facade_adapts_nc(cls_ds, tmp_path_factory):
+    """A yaml-built classify model (zoo nc=1000) must rebuild its head to the
+    dataset's class count before training, like the reference
+    ClassificationTrainer's get_model(cfg, nc=self.data['nc'])
+    (models/yolo/classify/train.py:59-64). Regression: the facade adapted nc
+    for detection tasks only, so train() on a 3-class folder raised."""
+    runs = tmp_path_factory.mktemp("runs_nc")
+    m = YOLO("yolo11-cls.yaml", task="classify")
+    assert m.model.nc == 1000
+    m.train(data=str(cls_ds), epochs=1, imgsz=64, batch=4, nbs=4, val=False,
+            plots=False, amp=False, workers=0, project=str(runs), name="nc",
+            patience=5, warmup_epochs=0)
+    assert m.model.nc == 3

@@ -194,3 +194,29 @@ def test_autobatch_estimator_direct():
     with _pytest.raises(RuntimeError, match="autobatch"):
         autobatch(m, imgsz=64, fraction=1.0, hbm_bytes=max(peak1 // 100, 1),
                   candidates=(1, 2))
+
+
+def test_pose_head_adapts_to_data_kpt_shape(tmp_path_factory):
+    """A yaml-built pose model must rebuild its head to the DATASET's
+    kpt_shape before training, like the reference PoseTrainer's
+    get_model(..., data_kpt_shape=data['kpt_shape'])
+    (models/yolo/pose/train.py:41). Regression: the facade adapted nc but
+    left kpt_shape at the yaml's [17,3], so a 5-kpt dataset trained a 17-kpt
+    head (pose loss/val silently zero)."""
+    runs = tmp_path_factory.mktemp("runs_kpt")
+    root = tmp_path_factory.mktemp("pose_kpt")
+    data = generate_dataset(root, n_train=4, n_val=4, imgsz=96, nc=2, task="pose")
+    m = YOLO("yolo11n-pose.yaml")
+    assert tuple(m.model.yaml.get("kpt_shape", (17, 3))) == (17, 3)
+    m.train(data=str(data), epochs=1, imgsz=96, batch=4, nbs=4, val=False,
+            plots=False, close_mosaic=0, amp=False, workers=0,
+            project=str(runs), name="kpt", patience=3)
+    assert tuple(m.model.yaml["kpt_shape"]) == (5, 3)
+    # the head's pose tower now emits K*D=15 channels
+    from edgeyolo_tpu.engine.validator import PoseValidator
+    from edgeyolo_tpu.cfg import get_cfg
+
+    vargs = get_cfg(overrides={"mode": "val", "task": "pose", "data": str(data),
+                               "imgsz": 96, "plots": False})
+    res = PoseValidator(vargs, save_dir=runs / "val")(m.model, data=str(data))
+    assert np.isfinite(res["metrics/mAP50-95(P)"])

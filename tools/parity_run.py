@@ -173,7 +173,27 @@ def main():
     t_train = time.time() - t0
     print(f"[parity:{task}] trained {epochs} epochs in {t_train:.0f}s")
 
-    ours = m.val(data=str(data), imgsz=imgsz, plots=False)
+    ours_native = None
+    if task == "segment":
+        # the reference's DEFAULT val path compares masks at PROTO resolution
+        # (process_mask upsample=False, segment/val.py:52); gate the parity
+        # table on the like-for-like proto comparison, and record our
+        # higher-fidelity native-resolution metric alongside (PARITY.md §seg)
+        from edgeyolo_tpu.cfg import get_cfg
+        from edgeyolo_tpu.engine.validator import SegmentationValidator
+
+        vargs = get_cfg(overrides={"mode": "val", "task": "segment",
+                                   "data": str(data), "imgsz": imgsz,
+                                   "plots": False})
+        ours_native = SegmentationValidator(
+            vargs, save_dir=out / "val_native")(m.model, data=str(data))
+        ours = SegmentationValidator(
+            vargs, save_dir=out / "val_proto",
+            mask_iou_res="proto")(m.model, data=str(data))
+        print(f"[parity:{task}] ours (native): "
+              f"{json.dumps({k: round(float(v), 4) for k, v in ours_native.items()})}")
+    else:
+        ours = m.val(data=str(data), imgsz=imgsz, plots=False)
     print(f"[parity:{task}] ours: {json.dumps({k: round(float(v), 4) for k, v in ours.items()})}")
 
     sd = export_state_dict(m.model.variables, key_fn=key_fn)
@@ -226,6 +246,10 @@ def main():
               "epochs": epochs, "imgsz": imgsz, "nc": NC,
               "train_s": round(t_train, 1), "table": table,
               "worst_absdiff": round(worst, 6), "gate_0.02": worst <= 0.02}
+    if ours_native is not None:
+        result["ours_native_mask"] = {
+            "mask mAP50-95": round(float(ours_native["metrics/mAP50-95(M)"]), 6),
+            "mask mAP50": round(float(ours_native["metrics/mAP50(M)"]), 6)}
     if task == "rtdetr":
         result["matcher_audit"] = rtdetr_matcher_audit(m, data)
         print(f"[parity:rtdetr] matcher audit: {json.dumps(result['matcher_audit'])}")
