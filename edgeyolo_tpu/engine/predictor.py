@@ -65,6 +65,26 @@ class DetectionPredictor:
             LOGGER.warning("augment=True is detect-only (reference nn/tasks.py:375); "
                            "reverting to single-scale prediction")
 
+        if getattr(model, "end2end", False):
+            # NMS-free passthrough: head pred is the score-sorted
+            # (B, max_det, 6) xyxy top-k (reference ops.py:224-228)
+            @jax.jit
+            def infer_e2e(v, img):
+                pred = model.apply(v, img, train=False)["pred"]
+                keep = pred[..., 4] > conf
+                if cls_filter is not None:
+                    want = jnp.asarray(list(cls_filter), pred.dtype)
+                    keep &= (pred[..., 5:6] == want[None, None]).any(-1)
+                k = min(int(args.max_det), pred.shape[1])
+                det = jnp.where(keep[..., None], pred, 0.0)[:, :k]
+                # cls_filter can punch holes in the score-sorted prefix;
+                # compact so nvalid rows are leading (cheap stable sort on ~k)
+                order = jnp.argsort(~keep[:, :k], axis=1, stable=True)
+                det = jnp.take_along_axis(det, order[..., None], axis=1)
+                return det, keep[:, :k].sum(axis=1).astype(jnp.int32)
+
+            return infer_e2e
+
         @jax.jit
         def infer(v, img):
             out = model.apply(v, img, train=False)

@@ -124,6 +124,7 @@ class DetectionValidator:
 
         if self._infer is None:
             is_detr = getattr(model, "head_name", "") == "RTDETRDecoder"
+            is_e2e = bool(getattr(model, "end2end", False))
 
             @jax.jit
             def infer(v, img, gtb, gtc, gtv, geom):
@@ -148,6 +149,14 @@ class DetectionValidator:
                     ], axis=-1)
                     det = jnp.where((top > conf)[..., None], det, 0.0)
                     nvalid = (top > conf).sum(axis=1).astype(jnp.int32)
+                elif is_e2e:
+                    # NMS-free passthrough: the head already returns the
+                    # score-sorted (B, max_det, 6) xyxy selection (reference
+                    # ops.py:224-228 `pred[pred[:, 4] > conf_thres]`)
+                    keep = pred[..., 4] > conf
+                    k = min(int(args.max_det), pred.shape[1])
+                    det = jnp.where(keep[..., None], pred, 0.0)[:, :k]
+                    nvalid = keep[:, :k].sum(axis=1).astype(jnp.int32)
                 else:
                     det, nvalid = non_max_suppression(
                         pred, conf_thres=conf, iou_thres=float(args.iou),

@@ -85,7 +85,7 @@ class Exporter:
         # live variables are untouched.
         from edgeyolo_tpu.nn.tasks import fuse_conv_bn
 
-        variables = fuse_conv_bn(variables)
+        variables = fuse_conv_bn(variables, eps=getattr(model, "bn_eps", None))
 
         def fwd(img):
             return model.net.apply(variables, img, train=False)["pred"]

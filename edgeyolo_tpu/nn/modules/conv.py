@@ -3,10 +3,16 @@
 TPU-first re-design of the reference conv zoo (behavioral spec:
 ultralytics/nn/modules/conv.py — Conv=conv+BN+SiLU:41, DSConv:87, DWConv:124,
 GhostConv:180, Focus:161, Concat:345). Everything is channels-last so XLA
-tiles convs straight onto the MXU; BN runs in fp32 with the reference's
-settings — plain torch BatchNorm2d defaults, eps=1e-5 / momentum=0.1 (flax
-momentum=0.9): ultralytics 8.x Conv builds nn.BatchNorm2d(c2) with NO
-overrides (reference conv.py:50), unlike the old yolov5-era 1e-3/0.03 pair.
+tiles convs straight onto the MXU; BN runs in fp32. BN eps/momentum follow
+the reference's TWO-LEVEL convention: modules are built with plain torch
+BatchNorm2d defaults (eps=1e-5 / momentum=0.1, reference conv.py:50), but
+`initialize_weights` — called from DetectionModel.__init__ (reference
+nn/tasks.py:367) — then overrides EVERY BatchNorm2d to eps=1e-3 /
+momentum=0.03 (reference utils/torch_utils.py:410-419). ClassificationModel
+never calls it (reference nn/tasks.py:457-480), so classify keeps the
+constructor defaults. Here the override is a trace-time `bn_config` scope
+that the detection-family GraphNet enters (see nn/tasks.py), mirroring the
+model-level (not module-level) nature of the reference override.
 """
 
 from __future__ import annotations
@@ -21,8 +27,40 @@ from flax import linen as nn
 # torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))
 KERNEL_INIT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
+# torch BatchNorm2d constructor defaults (flax momentum 0.9 == torch 0.1);
+# what a bare module uses outside any model — matches reference modules
+# instantiated standalone (e.g. unit parity dumps).
 BN_EPS = 1e-5
-BN_MOMENTUM = 0.9  # flax semantics; equals torch momentum 0.1 (the default)
+BN_MOMENTUM = 0.9
+# the initialize_weights override every detection-family model runs with
+# (reference utils/torch_utils.py:410-419; flax momentum 0.97 == torch 0.03)
+MODEL_BN_EPS = 1e-3
+MODEL_BN_MOMENTUM = 0.97
+
+_BN_SCOPE = {"eps": BN_EPS, "momentum": BN_MOMENTUM}
+
+
+def bn_eps() -> float:
+    return _BN_SCOPE["eps"]
+
+
+def bn_momentum() -> float:
+    return _BN_SCOPE["momentum"]
+
+
+class bn_config:
+    """Trace-time scope for the BN eps/momentum convention (the TPU analog of
+    the reference's initialize_weights BN override, torch_utils.py:410-419)."""
+
+    def __init__(self, eps: float = MODEL_BN_EPS, momentum: float = MODEL_BN_MOMENTUM):
+        self.val = {"eps": eps, "momentum": momentum}
+
+    def __enter__(self):
+        self.prev = dict(_BN_SCOPE)
+        _BN_SCOPE.update(self.val)
+
+    def __exit__(self, *exc):
+        _BN_SCOPE.update(self.prev)
 
 
 def autopad(k: int, p: int | None = None, d: int = 1) -> int:
@@ -88,8 +126,8 @@ class ConvBN(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
+            momentum=bn_momentum(),
+            epsilon=bn_eps(),
             dtype=jnp.float32,
             name="bn",
         )(x).astype(x.dtype)  # f32 norm math, then back to the compute dtype
@@ -164,8 +202,8 @@ class DWConv(nn.Module):
                     padding=[(pad, pad), (pad, pad)], feature_group_count=g,
                     kernel_dilation=(self.d, self.d), use_bias=False,
                     kernel_init=KERNEL_INIT, dtype=x.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=jnp.float32, name="bn")(x).astype(x.dtype)
+        x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum(),
+                         epsilon=bn_eps(), dtype=jnp.float32, name="bn")(x).astype(x.dtype)
         return _apply_act(x, self.act)
 
 
@@ -192,8 +230,8 @@ class DSConv(nn.Module):
                     kernel_init=KERNEL_INIT, dtype=x.dtype, name="dw")(x)
         x = nn.Conv(self.c2, (1, 1), use_bias=False, kernel_init=KERNEL_INIT,
                     dtype=x.dtype, name="pw")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=jnp.float32, name="bn")(x).astype(x.dtype)
+        x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum(),
+                         epsilon=bn_eps(), dtype=jnp.float32, name="bn")(x).astype(x.dtype)
         return jax.nn.silu(x)
 
 
@@ -264,8 +302,8 @@ class ConvTranspose(nn.Module):
                              use_bias=not self.bn, kernel_init=KERNEL_INIT,
                              dtype=x.dtype, name="conv_transpose")(x)
         if self.bn:
-            x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                             epsilon=BN_EPS, dtype=jnp.float32, name="bn")(x).astype(x.dtype)
+            x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum(),
+                             epsilon=bn_eps(), dtype=jnp.float32, name="bn")(x).astype(x.dtype)
         return _apply_act(x, self.act)
 
 

@@ -370,10 +370,10 @@ class MulGate(nn.Module):
         g = jax.nn.relu6(f1) * f2
         z = nn.Conv(c, (1, 1), use_bias=False, kernel_init=nn.initializers.zeros,
                     dtype=x.dtype, name="mix")(g)
-        from edgeyolo_tpu.nn.modules.conv import BN_EPS, BN_MOMENTUM
+        from edgeyolo_tpu.nn.modules.conv import bn_eps, bn_momentum
 
-        z = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=jnp.float32,
+        z = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum(),
+                         epsilon=bn_eps(), dtype=jnp.float32,
                          scale_init=nn.initializers.zeros, name="bn")(z).astype(x.dtype)
         gamma = self.param("gamma", lambda _: jnp.full((c,), self.gamma0, jnp.float32))
         return x + gamma * z

@@ -25,7 +25,7 @@ import numpy as np
 from flax import linen as nn
 
 from edgeyolo_tpu.nn.modules.block import C3, C3k, SPP, Bottleneck, max_pool_same
-from edgeyolo_tpu.nn.modules.conv import (BN_EPS, BN_MOMENTUM, KERNEL_INIT, ConvBN, DSConv,
+from edgeyolo_tpu.nn.modules.conv import (bn_eps, bn_momentum, KERNEL_INIT, ConvBN, DSConv,
                                            DWConv, GhostConv)
 from edgeyolo_tpu.nn.modules.edgeline import DSC3k, DSBottleneck, DWT2D, _bilinear_resize
 
@@ -360,8 +360,8 @@ class RepConv(nn.Module):
         b = ConvBN(self.c2, 1, self.s, None, self.g, act=False, name="conv2")(x, train)
         out = a + b
         if self.bn and x.shape[-1] == self.c2 and self.s == 1:
-            idn = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                               epsilon=BN_EPS, dtype=jnp.float32, name="bn")(x).astype(x.dtype)
+            idn = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum(),
+                               epsilon=bn_eps(), dtype=jnp.float32, name="bn")(x).astype(x.dtype)
             out = out + idn
         return _apply_act(out, self.act)
 
@@ -550,7 +550,7 @@ class BottleneckCSP(nn.Module):
         y1 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=KERNEL_INIT, dtype=x.dtype, name="cv3")(y1)
         y2 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=KERNEL_INIT, dtype=x.dtype, name="cv2")(x)
         y = jnp.concatenate([y1, y2], axis=-1)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+        y = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum(), epsilon=bn_eps(),
                          dtype=jnp.float32, name="bn")(y).astype(y.dtype)
         y = jax.nn.silu(y)
         return ConvBN(self.c2, 1, name="cv4")(y, train)

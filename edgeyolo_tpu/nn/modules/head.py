@@ -26,12 +26,29 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from edgeyolo_tpu.nn.modules.block import dfl_decode
-from edgeyolo_tpu.nn.modules.conv import BN_EPS, BN_MOMENTUM, KERNEL_INIT, ConvBN, DWConv
+from edgeyolo_tpu.nn.modules.conv import bn_eps, bn_momentum, KERNEL_INIT, ConvBN, DWConv
 from edgeyolo_tpu.ops.boxes import dist2bbox, make_anchors
 
 
 def _bias_const(v: float):
     return lambda key, shape, dtype=jnp.float32: jnp.full(shape, v, dtype)
+
+
+def e2e_postprocess(preds, max_det: int, nc: int):
+    """NMS-free top-k selection for end2end heads (reference Detect.postprocess,
+    head.py:167-189): top max_det anchors by best class score, then a flat
+    (anchor x class) top-k for multi-label selection. preds (B, A, 4+nc) with
+    xyxy boxes -> (B, max_det, 6) [x1, y1, x2, y2, score, cls], score-sorted."""
+    boxes = preds[..., :4]
+    scores = preds[..., 4:4 + nc]
+    k = min(max_det, scores.shape[1])
+    _, ix = jax.lax.top_k(scores.max(-1), k)
+    boxes = jnp.take_along_axis(boxes, ix[..., None], axis=1)
+    scores = jnp.take_along_axis(scores, ix[..., None], axis=1)
+    top, fi = jax.lax.top_k(scores.reshape(scores.shape[0], -1), k)
+    bsel = jnp.take_along_axis(boxes, (fi // nc)[..., None], axis=1)
+    return jnp.concatenate(
+        [bsel, top[..., None], (fi % nc)[..., None].astype(preds.dtype)], axis=-1)
 
 
 class Detect(nn.Module):
@@ -94,12 +111,18 @@ class Detect(nn.Module):
         shapes = [(f.shape[1], f.shape[2]) for f in feats]
         anchors, strides = make_anchors(shapes, self.stride, 0.5)
         dist = dfl_decode(box_logits, self.reg_max)
-        dbox = dist2bbox(dist, anchors[None], xywh=True) * strides[None]
+        # end2end decodes straight to xyxy (reference decode_bboxes,
+        # head.py:163-165: xywh and (not self.end2end)) and applies the
+        # NMS-free top-k selection (head.py:167-189) -> (B, max_det, 6)
+        dbox = dist2bbox(dist, anchors[None], xywh=not self.end2end) * strides[None]
         cls_prob = jax.nn.sigmoid(cls_logits)
         if quality is not None:
             q = jnp.concatenate([qi.reshape(b, -1, 1) for qi in quality], axis=1)
             cls_prob = cls_prob * jnp.clip(q, 1e-6, 1 - 1e-6)
-        return jnp.concatenate([dbox, cls_prob], axis=-1)
+        out = jnp.concatenate([dbox, cls_prob], axis=-1)
+        if self.end2end:
+            out = e2e_postprocess(out, self.max_det, self.nc)
+        return out
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -434,7 +457,7 @@ class RTDETRDecoder(nn.Module):
         for i, x in enumerate(xs):
             p = nn.Conv(self.hd, (1, 1), use_bias=False, kernel_init=KERNEL_INIT,
                         dtype=x.dtype, name=f"input_proj_{i}_conv")(x)
-            p = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+            p = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum(), epsilon=bn_eps(),
                              dtype=jnp.float32, name=f"input_proj_{i}_bn")(p)
             h, w = p.shape[1:3]
             feats_l.append(p.reshape(b, h * w, self.hd))

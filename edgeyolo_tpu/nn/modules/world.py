@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from edgeyolo_tpu.nn.modules.block import Bottleneck, dfl_decode
-from edgeyolo_tpu.nn.modules.conv import BN_EPS, BN_MOMENTUM, KERNEL_INIT, ConvBN
+from edgeyolo_tpu.nn.modules.conv import bn_eps, bn_momentum, KERNEL_INIT, ConvBN
 from edgeyolo_tpu.nn.modules.head import Detect, _bias_const
 
 
@@ -146,7 +146,7 @@ class BNContrastiveHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, w, train: bool = False):
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+        x = nn.BatchNorm(use_running_average=not train, momentum=bn_momentum(), epsilon=bn_eps(),
                          dtype=jnp.float32, name="norm")(x).astype(x.dtype)
         bias = self.param("bias", lambda k: jnp.asarray([-10.0]))
         logit_scale = self.param("logit_scale", lambda k: jnp.asarray(-1.0))

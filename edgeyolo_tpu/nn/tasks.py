@@ -13,6 +13,7 @@ Strides are derived statically from the graph (no dummy forward needed).
 from __future__ import annotations
 
 import ast
+import contextlib
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Sequence
@@ -424,6 +425,10 @@ class GraphNet(nn.Module):
     head_stride: tuple[int, ...] = ()
     default_act: str = "silu"  # yaml `activation:` override, applied to every
     # act=True conv in the graph incl. nested ones (reference Conv.default_act)
+    bn: tuple[float, float] | None = None  # (eps, flax momentum) convention for
+    # every BN in the graph — the detection family passes the reference's
+    # initialize_weights override 1e-3/0.03 (torch_utils.py:410-419); classify
+    # leaves the torch constructor defaults (None)
 
     def setup(self):
         mods = []
@@ -436,9 +441,11 @@ class GraphNet(nn.Module):
 
     def __call__(self, x, train: bool = False, text=None, dn=None, embed=None,
                  capture=None):
+        from edgeyolo_tpu.nn.modules.conv import bn_config
         from edgeyolo_tpu.nn.modules.conv import default_act as _act_scope
 
-        with _act_scope(self.default_act):
+        bn_scope = bn_config(*self.bn) if self.bn else contextlib.nullcontext()
+        with _act_scope(self.default_act), bn_scope:
             return self._walk(x, train=train, text=text, dn=dn, embed=embed,
                               capture=capture)
 
@@ -493,7 +500,7 @@ class GraphNet(nn.Module):
         return out
 
 
-def fuse_conv_bn(variables):
+def fuse_conv_bn(variables, eps=None):
     """Fold BatchNorm affine+running stats into the preceding conv kernel.
 
     Matches the two conv->BN scope patterns the module zoo produces —
@@ -507,8 +514,9 @@ def fuse_conv_bn(variables):
     into the conv epilogue at compile time) — this exists for API parity and
     for export paths that want literal folded weights.
     """
-    from edgeyolo_tpu.nn.modules.conv import BN_EPS
+    from edgeyolo_tpu.nn.modules.conv import MODEL_BN_EPS
 
+    eps = MODEL_BN_EPS if eps is None else eps
     params = jax.tree.map(lambda a: a, variables["params"])
     stats = jax.tree.map(lambda a: a, variables.get("batch_stats", {}))
 
@@ -525,12 +533,12 @@ def fuse_conv_bn(variables):
                 mean, var = bn_s["mean"], bn_s["var"]
                 scale = bn_p.get("scale", jnp.ones_like(mean))
                 bias = bn_p.get("bias", jnp.zeros_like(mean))
-                g = scale / jnp.sqrt(var + BN_EPS)
+                g = scale / jnp.sqrt(var + eps)
                 sub["kernel"] = sub["kernel"] * g  # broadcasts over out-features
                 bn_p["scale"] = jnp.ones_like(scale)
                 bn_p["bias"] = bias - mean * g
                 bn_s["mean"] = jnp.zeros_like(mean)
-                bn_s["var"] = jnp.ones_like(var) - BN_EPS  # sqrt(var+eps) == 1
+                bn_s["var"] = jnp.ones_like(var) - eps  # sqrt(var+eps) == 1
                 break
         for key, sub in p.items():
             if isinstance(sub, dict) and key != "bn":
@@ -575,12 +583,29 @@ class BaseModel:
         # head DFL bin count, for criteria that must match the head geometry
         # (reference v8DetectionLoss reads m.reg_max, loss.py:310)
         self.reg_max = int(dict(head_sp.kwargs).get("reg_max", 16))
+        # NMS-free heads (v10Detect/E2EDetect/...): criterion must be
+        # E2EDetectLoss and val/predict take the (B, max_det, 6) passthrough
+        # (reference tasks.py:411-413 keys on getattr(m, 'end2end', False))
+        head_cls = _REG.get(head_sp.name, (None, None))[0]
+        self.end2end = bool(dict(head_sp.kwargs).get(
+            "end2end", getattr(head_cls, "end2end", False)))
         if head_sp.name in _HEADS:
             self.stride = tuple(int(strides[j]) for j in head_sp.f)
         else:
             self.stride = (int(max(strides)),) if strides else (32,)
+        # BN convention: the reference's initialize_weights forces every BN to
+        # eps=1e-3/momentum=0.03 in DetectionModel.__init__ (nn/tasks.py:367,
+        # torch_utils.py:410-419); ClassificationModel never runs it, keeping
+        # the torch constructor defaults (nn/tasks.py:457-480).
+        from edgeyolo_tpu.nn.modules.conv import (BN_EPS, MODEL_BN_EPS,
+                                                  MODEL_BN_MOMENTUM)
+
+        self.bn_override = (None if self.task == "classify"
+                            else (MODEL_BN_EPS, MODEL_BN_MOMENTUM))
+        self.bn_eps = self.bn_override[0] if self.bn_override else BN_EPS
         self.net = GraphNet(self.spec, self.save, head_stride=self.stride,
-                            default_act=info.get("act", "silu"))
+                            default_act=info.get("act", "silu"),
+                            bn=self.bn_override)
         self.names = {i: f"{i}" for i in range(self.nc)}
         self.variables = None  # {"params": ..., "batch_stats": ...}
         self.quant = None  # QuantState: int8 inference when set (nn/quant.py)
@@ -642,7 +667,7 @@ class BaseModel:
         Idempotent; the forward stays numerically identical. See fuse_conv_bn
         for why this is a no-op for XLA speed."""
         assert self.variables is not None, "call .init() or load weights first"
-        self.variables = fuse_conv_bn(self.variables)
+        self.variables = fuse_conv_bn(self.variables, eps=self.bn_eps)
         self.fused = True
         return self
 

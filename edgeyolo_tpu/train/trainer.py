@@ -622,7 +622,12 @@ class DetectionTrainer(CallbackMixin):
             from edgeyolo_tpu.train.detr_loss import RTDETRDetectionLoss
 
             return RTDETRDetectionLoss(self.model)
-        if "E2E" in self.model.head_name:
+        # key on the end2end attribute, NOT the head-name string: v10Detect is
+        # end2end without "E2E" in its name (reference tasks.py:411-413
+        # `E2EDetectLoss(self) if getattr(self, "end2end", False) else ...`);
+        # name-matching silently trained v10's one2one branch with zero
+        # gradient (the one2many-only criterion) — 150 epochs to mAP 0.0000
+        if getattr(self.model, "end2end", False) or "E2E" in self.model.head_name:
             return E2EDetectLoss(self.model, hyp=args)
         return DetectionLoss(self.model, hyp=args)
 

@@ -47,9 +47,10 @@ def test_fuse_folds_convbn_stats(nano):
             if (isinstance(p.get(key), dict) and "kernel" in p[key]
                     and isinstance(s.get("bn"), dict) and "mean" in s["bn"]):
                 assert float(jnp.abs(s["bn"]["mean"]).max()) == 0.0
-                from edgeyolo_tpu.nn.modules.conv import BN_EPS
+                # detection-family eps (the fork's initialize_weights override)
+                eps = nano.model.bn_eps
                 np.testing.assert_allclose(np.asarray(s["bn"]["var"]),
-                                           1.0 - BN_EPS, rtol=1e-6)
+                                           1.0 - eps, rtol=1e-6)
                 folded[0] += 1
         for k, v in p.items():
             if isinstance(v, dict) and k != "bn":
