@@ -235,12 +235,38 @@ def split_packed_attention(sd: dict) -> dict:
     return sd
 
 
+def pack_attention(sd: dict) -> dict:
+    """Inverse of split_packed_attention: repack X_q/X_k/X_v/X_o dense keys
+    into torch nn.MultiheadAttention's in_proj_weight/in_proj_bias/out_proj.
+    Needed on EXPORT so the reference can load_state_dict our MHA weights
+    (reference AIFI `self.ma` and DeformableTransformerDecoderLayer
+    `self.self_attn` are nn.MultiheadAttention, transformer.py:160,280)."""
+    sd = dict(sd)
+    for k in [k for k in sd if k.endswith("_q.weight")]:
+        base = k[: -len("_q.weight")]
+        if not all(f"{base}_{nm}.{p}" in sd for nm in "qkvo" for p in ("weight", "bias")):
+            continue
+        sd[base + ".in_proj_weight"] = np.concatenate(
+            [sd.pop(f"{base}_{nm}.weight") for nm in "qkv"], axis=0)
+        sd[base + ".in_proj_bias"] = np.concatenate(
+            [sd.pop(f"{base}_{nm}.bias") for nm in "qkv"], axis=0)
+        sd[base + ".out_proj.weight"] = sd.pop(base + "_o.weight")
+        sd[base + ".out_proj.bias"] = sd.pop(base + "_o.bias")
+    return sd
+
+
 def rtdetr_torch_key(path: tuple) -> str:
     """flax path -> RT-DETR reference state_dict key."""
     k = flax_path_to_torch_key(path)
     for pat, rep in RTDETR_REWRITE_RULES:
         k = re.sub(pat, rep, k)
     return k
+
+
+def export_rtdetr_state_dict(variables: dict) -> dict:
+    """export_state_dict with the RT-DETR name mapping + attention repack —
+    the exact inverse of convert_rtdetr_state_dict."""
+    return pack_attention(export_state_dict(variables, key_fn=rtdetr_torch_key))
 
 
 def convert_rtdetr_state_dict(torch_sd: dict, variables: dict, strict: bool = True):

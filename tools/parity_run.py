@@ -196,7 +196,12 @@ def main():
         ours = m.val(data=str(data), imgsz=imgsz, plots=False)
     print(f"[parity:{task}] ours: {json.dumps({k: round(float(v), 4) for k, v in ours.items()})}")
 
-    sd = export_state_dict(m.model.variables, key_fn=key_fn)
+    if task == "rtdetr":
+        from edgeyolo_tpu.utils.torch_convert import export_rtdetr_state_dict
+
+        sd = export_rtdetr_state_dict(m.model.variables)
+    else:
+        sd = export_state_dict(m.model.variables, key_fn=key_fn)
     npz = out / "weights_torch.npz"
     np.savez(npz, **sd)
 

@@ -27,6 +27,9 @@ assert not unexpected, f"unexpected: {unexpected[:8]}"
 learnable = [k for k in missing if not k.endswith((".anchors", ".valid_mask"))]
 assert not learnable, f"missing learnable keys: {learnable[:8]}"
 tm.eval().float()
+# hand-constructed models miss the ckpt-attached attrs AutoBackend reads
+tm.stride = torch.tensor([32.0])
+tm.names = {i: str(i) for i in range(nc)}
 
 m = RTDETR(model_yaml)  # task_map -> RTDETRValidator (models/rtdetr/val.py)
 m.model = tm
