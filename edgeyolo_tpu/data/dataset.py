@@ -402,24 +402,36 @@ class YOLODataset:
     def _rasterize_masks(self, segments, n, w0, h0, r, pw, ph, H=None, W=None):
         """Polygons (normalized, original space) -> (max_gt, H/ratio, W/ratio).
 
-        Mirrors the reference's polygon2mask (data/utils.py:250-271): fill at
-        FULL input resolution with int-truncated coords, then downsample with
-        cv2's INTER_LINEAR — which at an integer ratio is a 2x2 (even ratio)
-        or 1-tap (odd) sample pattern, not an area average. Direct low-res
-        rasterization (round 2) shifted boundary pixels enough to move mask
-        IoUs at the high thresholds (PARITY.md seg table)."""
-        from PIL import Image, ImageDraw
-
+        Mirrors the reference's polygon2mask (data/utils.py:250-271) exactly
+        when cv2 is importable: cv2.fillPoly at FULL input resolution with
+        int-truncated coords, then cv2.resize to imgsz/ratio. The scan-fill
+        boundary convention matters: PIL's polygon fill differs from
+        cv2.fillPoly by a ring of boundary pixels, which at proto resolution
+        (80x80 at 320px input) moved mask IoUs of small crowded instances
+        across whole mAP thresholds (round-4 segment parity, PARITY.md).
+        A PIL emulation (fill + the INTER_LINEAR integer-ratio tap pattern)
+        remains as the no-cv2 fallback."""
         H = H or self.imgsz
         W = W or self.imgsz
         rr = self.mask_ratio
         sh, sw = H // rr, W // rr
         out = np.zeros((self.max_gt, sh, sw), np.float32)
+        try:
+            import cv2
+        except ImportError:
+            cv2 = None
         for j, poly in enumerate(segments[:n]):
             pts = poly.copy()
             pts[:, 0] = pts[:, 0] * w0 * r + pw
             pts[:, 1] = pts[:, 1] * h0 * r + ph
             pts = pts.astype(np.int32)  # reference truncates (np.int32 cast)
+            if cv2 is not None:
+                m = np.zeros((H, W), np.uint8)
+                cv2.fillPoly(m, [pts.reshape(-1, 2)], color=1)
+                out[j] = cv2.resize(m, (sw, sh)).astype(np.float32)
+                continue
+            from PIL import Image, ImageDraw
+
             im = Image.new("L", (W, H), 0)
             ImageDraw.Draw(im).polygon([tuple(p) for p in pts.tolist()], fill=1)
             full = np.asarray(im, np.float32)
@@ -435,6 +447,21 @@ class YOLODataset:
                      + full[lo::rr, lo + 1::rr][:sh, :sw]
                      + full[lo + 1::rr, lo + 1::rr][:sh, :sw])
                 out[j] = (s >= 2.0).astype(np.float32)
+        if n > 1:
+            # overlap_mask=True semantics (the reference default): instances
+            # are merged into one index map drawn area-descending with clip,
+            # so an overlapped pixel belongs to the LAST-drawn (smallest)
+            # covering instance (polygons2masks_overlap, data/utils.py:257).
+            # Both the seg loss (reference loss.py:486 `masks == idx+1`) and
+            # the val TP matching (segment/val.py overlap=True) consume these
+            # exclusive masks; replicate the exact drawing order incl. ties.
+            areas = out[:n].reshape(n, -1).sum(1)
+            order = np.argsort(-areas, kind="stable")
+            merged = np.zeros((sh, sw), np.int32)
+            for rank, j in enumerate(order):
+                merged = np.clip(merged + out[j].astype(np.int32) * (rank + 1), 0, rank + 1)
+            for rank, j in enumerate(order):
+                out[j] = (merged == rank + 1).astype(np.float32)
         return out
 
 

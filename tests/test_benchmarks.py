@@ -32,8 +32,13 @@ def test_benchmark_table_with_int8_row(tmp_path):
 
 
 def test_benchmark_reports_gated_formats():
+    """onnx is a WORKING row since the in-tree jaxpr->ONNX exporter landed
+    (round 3); 'engine' (TensorRT) has no toolchain in this image and must
+    be reported as gated, not crash the table."""
     m = YOLO("yolo11n.yaml")
     m.model = DetectionModel("yolo11n.yaml", nc=3)
     rows = benchmark(m, imgsz=64, batch=1, iters=2,
-                     formats=["onnx"], verbose=False)
-    assert rows[0]["status"].startswith("gated")
+                     formats=["onnx", "engine"], verbose=False)
+    by_fmt = {r["format"]: r for r in rows}
+    assert by_fmt["onnx"]["status"] == "ok"
+    assert by_fmt["engine"]["status"].startswith("gated")

@@ -303,3 +303,55 @@ def test_classify_grating_generator(tmp_path):
     ratio_a = np.abs(np.diff(a, axis=1)).mean() / np.abs(np.diff(a, axis=0)).mean()
     ratio_b = np.abs(np.diff(b, axis=1)).mean() / np.abs(np.diff(b, axis=0)).mean()
     assert ratio_a > ratio_b  # class 0 varies along x; class 2 along y
+
+
+def test_segment_masks_cv2_exact_and_exclusive(tmp_path):
+    """GT instance masks must follow the reference's overlap_mask=True
+    convention exactly (data/utils.py:250-296): cv2.fillPoly at full input
+    resolution with int-truncated coords, cv2.resize to imgsz/4, then a
+    merge drawn area-DESCENDING with clip so an overlapped pixel belongs to
+    the smallest covering instance. PIL-fill boundary pixels moved mask IoUs
+    of ~5px proto-res instances across whole mAP thresholds (round-4 segment
+    parity); this pins the cv2 path + the exclusivity rule."""
+    import numpy as np
+
+    from edgeyolo_tpu.data.synthetic import generate_dataset
+    from edgeyolo_tpu.data.dataset import YOLODataset
+
+    data = generate_dataset(tmp_path, n_train=2, n_val=4, imgsz=320, nc=4,
+                            min_objs=4, max_objs=8, min_size=0.08,
+                            max_size=0.30, seed=3, task="segment")
+    ds = YOLODataset(str(tmp_path / "images" / "val"), imgsz=320, augment=False,
+                     names={i: str(i) for i in range(4)}, task="segment",
+                     mask_ratio=4)
+    cv2 = pytest.importorskip("cv2")
+    saw_overlap = False
+    for idx in range(len(ds)):
+        item = ds.get_item(idx)
+        segs = ds.labels[idx]["segments"]
+        n = len(segs)
+        m = item["masks"][:n]
+        assert m.shape[1:] == (80, 80)
+        # exclusivity: no pixel belongs to two instances
+        assert (m.sum(0) <= 1.0 + 1e-6).all()
+        # cv2-exact per-instance rasterization, pre-merge: the union of our
+        # exclusive masks over any overlap region equals the union of the
+        # independent cv2 rasterizations (merge only reassigns, never adds)
+        full = np.zeros((n, 80, 80), np.uint8)
+        for j, s in enumerate(segs):
+            buf = np.zeros((320, 320), np.uint8)
+            pts = np.stack([s[:, 0] * 320, s[:, 1] * 320], 1).astype(np.int32)
+            cv2.fillPoly(buf, [pts], color=1)
+            full[j] = cv2.resize(buf, (80, 80))
+        assert ((m.sum(0) > 0) == (full.sum(0) > 0)).all()
+        if (full.sum(0) > 1).any():
+            saw_overlap = True
+            # in an overlapped pixel, the smallest covering instance wins
+            yy, xx = np.nonzero(full.sum(0) > 1)
+            areas = full.reshape(n, -1).sum(1)
+            for y, x in zip(yy[:32], xx[:32]):
+                covering = np.nonzero(full[:, y, x])[0]
+                winner = np.nonzero(m[:, y, x])[0]
+                assert len(winner) == 1
+                assert areas[winner[0]] == areas[covering].min()
+    assert saw_overlap, "crowded generator should produce overlapping instances"
