@@ -368,11 +368,16 @@ class LoadStreams:
     interleaves (source, frame) round-robin until every stream ends.
     """
 
-    def __init__(self, sources, buffer_size: int = 30):
+    def __init__(self, sources, buffer_size: int = 30, buffer: bool = False):
         import cv2
 
         self.sources = (sources.split("|") if isinstance(sources, str)
                         else [str(s) for s in sources])
+        # stream_buffer semantics (reference loaders.py:92-161 via
+        # cfg `stream_buffer`): buffer=True delivers EVERY frame — the reader
+        # waits when <=30 frames are queued instead of dropping the oldest;
+        # buffer=False (default) is latest-wins for real-time sources
+        self.buffer = bool(buffer)
         self.running = True
         self._caps, self._queues = [], []
         for src in self.sources:
@@ -392,26 +397,47 @@ class LoadStreams:
         while self.running:
             ok, frame = cap.read()
             if not ok:
-                # end-of-stream sentinel: same drop-oldest discipline as the
-                # frame path — a blocking put here would wedge this thread
-                # forever (skipping cap.release) if the consumer stopped
-                # draining, and close() cannot unblock a blocked put
-                if q.full():
+                # end-of-stream sentinel. Buffered mode: wait politely like
+                # the frame path (evicting would lose the last real frames);
+                # unbuffered: same drop-oldest discipline as frames — a
+                # blocking put would wedge this thread forever (skipping
+                # cap.release) if the consumer stopped draining, and close()
+                # cannot unblock a blocked put
+                if self.buffer:
+                    while self.running:
+                        try:
+                            q.put(None, timeout=0.25)
+                            break
+                        except queue_mod.Full:
+                            continue
+                else:
+                    if q.full():
+                        try:
+                            q.get_nowait()
+                        except queue_mod.Empty:
+                            pass
                     try:
+                        q.put_nowait(None)
+                    except queue_mod.Full:
+                        pass
+                break
+            rgb = np.ascontiguousarray(frame[..., ::-1])  # BGR -> RGB
+            if self.buffer:
+                # deliver every frame: wait for the consumer, but wake
+                # periodically so close() can stop a wedged stream
+                while self.running:
+                    try:
+                        q.put(rgb, timeout=0.25)
+                        break
+                    except queue_mod.Full:
+                        continue
+            else:
+                if q.full():
+                    try:  # latest-wins: drop the oldest buffered frame
                         q.get_nowait()
                     except queue_mod.Empty:
                         pass
-                try:
-                    q.put_nowait(None)
-                except queue_mod.Full:
-                    pass
-                break
-            if q.full():
-                try:  # latest-wins: drop the oldest buffered frame
-                    q.get_nowait()
-                except queue_mod.Empty:
-                    pass
-            q.put(np.ascontiguousarray(frame[..., ::-1]))  # BGR -> RGB
+                q.put(rgb)
         cap.release()
 
     def __iter__(self):
@@ -433,7 +459,8 @@ class LoadStreams:
         self.close()
 
 
-def load_inference_source(source, batch: int = 1, vid_stride: int = 1):
+def load_inference_source(source, batch: int = 1, vid_stride: int = 1,
+                          stream_buffer: bool = False):
     """Dispatch any source to a (path, frame) iterator + SourceTypes flags."""
     st = SourceTypes()
     if isinstance(source, np.ndarray) and source.ndim == 4:
@@ -468,7 +495,7 @@ def load_inference_source(source, batch: int = 1, vid_stride: int = 1):
                 "directly (FrameStream buffers it), or use an MJPEG-over-HTTP "
                 "camera URL") from e
         st.stream = True
-        return LoadStreams(s), st
+        return LoadStreams(s, buffer=stream_buffer), st
     if s == "screen":
         raise NotImplementedError(
             "screenshot capture needs mss (import probe: not installed)")

@@ -231,6 +231,16 @@ class YOLO:
         trainer_cls = self.task_map[self.task]["trainer"]
         save_dir = get_save_dir(args, name=args.name or "train")
         self._ensure_init(args.imgsz)
+        # pretrained=<path> seeds the (possibly yaml-built) model with those
+        # weights before training, shape-intersected — the reference's
+        # setup_model `elif isinstance(self.args.pretrained, (str, Path)):
+        # attempt_load_one_weight(...)` (engine/trainer.py:580-582).
+        # bool pretrained is advisory there (pretrained-download gating) and
+        # a no-op in this offline image.
+        pre = getattr(args, "pretrained", None)
+        if isinstance(pre, (str, Path)) and str(pre) not in ("True", "False", ""):
+            LOGGER.info(f"loading pretrained weights from {pre}")
+            self.load(pre)
         trainer = trainer_cls(self.model, args, save_dir=save_dir,
                               callbacks=getattr(self, "callbacks", None))
         self.trainer = trainer

@@ -24,12 +24,13 @@ from edgeyolo_tpu.utils import LOGGER
 IMG_EXTS = {".bmp", ".jpeg", ".jpg", ".png", ".tif", ".tiff", ".webp"}
 
 
-def _iter_source(source, vid_stride: int = 1):
+def _iter_source(source, vid_stride: int = 1, stream_buffer: bool = False):
     """Yield (path, HWC RGB uint8) frames via the loaders dispatcher
     (images/dirs/globs/arrays/PIL/tensors/frame-iterables; data/loaders.py)."""
     from edgeyolo_tpu.data.loaders import load_inference_source
 
-    loader, _types = load_inference_source(source, vid_stride=vid_stride)
+    loader, _types = load_inference_source(source, vid_stride=vid_stride,
+                                           stream_buffer=stream_buffer)
     yield from loader
 
 
@@ -225,7 +226,8 @@ class DetectionPredictor:
                 yield res
 
         buf = []
-        for path, img0 in _iter_source(source, vid_stride=int(getattr(args, 'vid_stride', 1) or 1)):
+        for path, img0 in _iter_source(source, vid_stride=int(getattr(args, 'vid_stride', 1) or 1),
+                                       stream_buffer=bool(getattr(args, 'stream_buffer', False))):
             t0 = time.perf_counter()
             img, r, (pw, ph) = letterbox(img0, imgsz, scaleup=True)
             buf.append((path, img0, img, r, (pw, ph), (time.perf_counter() - t0) * 1e3))

@@ -563,6 +563,7 @@ class OBBValidator(DetectionValidator):
                 det, n = nms_rotated(
                     pred, conf_thres=conf, iou_thres=float(args.iou),
                     max_det=int(args.max_det), max_nms=max_nms,
+                    multi_label=True,  # reference val setting (obb/val.py:53)
                 )
                 return det, n
 

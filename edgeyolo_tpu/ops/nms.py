@@ -182,16 +182,28 @@ def non_max_suppression(
     return det, n
 
 
-@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "classes"))
+@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det", "max_nms", "classes",
+                                   "multi_label"))
 def nms_rotated(pred: jnp.ndarray, conf_thres: float = 0.25, iou_thres: float = 0.45,
-                max_det: int = 300, max_nms: int = 2048, classes=None):
+                max_det: int = 300, max_nms: int = 2048, classes=None,
+                multi_label: bool = False):
     """Batched rotated NMS via probiou suppression.
 
     pred: (B, A, 4+nc+1) — xywh (rotated extents), class probs, angle (rad).
-    Mirrors the reference's probiou upper-triangle suppression
-    (ultralytics/utils/ops.py:146-165) with the same fixed-point greedy
-    semantics as the axis-aligned matrix path. classes: optional static class
-    id filter (see non_max_suppression). Returns
+    Mirrors the reference's rotated path EXACTLY (ops.py:146-165 nms_rotated
+    via non_max_suppression rotated=True): candidates sorted by score, then a
+    SINGLE-PASS upper-triangle suppression — a box is dropped when ANY
+    higher-scored same-class box overlaps it above iou_thres, even if that
+    box was itself dropped. (This differs from the axis-aligned path, where
+    torchvision's greedy semantics are reproduced by the fixed-point sweep —
+    the reference deliberately uses the cheaper matrix rule for rotated
+    boxes.) The reference separates classes by the max_wh center-offset
+    trick; the same_cls mask here is equivalent (probiou of boxes offset by
+    7680px is 0). multi_label=True expands candidates to every
+    (anchor, class) pair above conf_thres, the reference validator's setting
+    (val multi_label=True at conf 0.001); False keeps the argmax class per
+    anchor (predict path). classes: optional static class id filter (see
+    non_max_suppression). Returns
     (dets (B, max_det, 7) [cx, cy, w, h, angle, conf, cls], n_valid (B,)).
     """
     from edgeyolo_tpu.ops.boxes import probiou
@@ -207,34 +219,29 @@ def nms_rotated(pred: jnp.ndarray, conf_thres: float = 0.25, iou_thres: float = 
     angle = pred[..., -1:]
 
     def per_image(bx, sc, ang):
-        best = jnp.max(sc, axis=-1)
-        cls_ix_all = jnp.argmax(sc, axis=-1).astype(jnp.float32)
-        n_cand = min(max_nms, a)
-        top_sc, top_ix = jax.lax.top_k(best, n_cand)
+        if multi_label:
+            # every (anchor, class) pair is a candidate (reference ops.py:279
+            # `(cls > conf_thres).nonzero`), ranked by its own class score
+            flat = sc.reshape(-1)  # (A*nc,)
+            n_cand = min(max_nms, flat.shape[0])
+            top_sc, top_fi = jax.lax.top_k(flat, n_cand)
+            top_ix = top_fi // nc
+            cls_ix = (top_fi % nc).astype(jnp.float32)
+        else:
+            best = jnp.max(sc, axis=-1)
+            n_cand = min(max_nms, a)
+            top_sc, top_ix = jax.lax.top_k(best, n_cand)
+            cls_ix = jnp.argmax(sc, axis=-1).astype(jnp.float32)[top_ix]
         cand = jnp.concatenate([bx[top_ix], ang[top_ix]], axis=-1)  # (n,5) xywhr
         cand_sc = jnp.where(top_sc > conf_thres, top_sc, 0.0)
-        cls_ix = cls_ix_all[top_ix]
 
         iou = probiou(cand[:, None, :], cand[None, :, :])[..., 0]  # (n,n)
         same_cls = cls_ix[:, None] == cls_ix[None, :]
         higher = jnp.arange(n_cand)[:, None] < jnp.arange(n_cand)[None, :]
-        sup_edge = higher & (iou > iou_thres) & same_cls
-        valid0 = cand_sc > 0.0
-
-        # bound = n_cand: after k sweeps the first k ranks are final (see
-        # _greedy_nms_matrix); real scenes exit on `changed` in single digits
-        def cond(state):
-            alive, changed, it = state
-            return changed & (it < n_cand)
-
-        def body(state):
-            alive, _, it = state
-            suppressed = jnp.any(sup_edge & alive[:, None], axis=0)
-            new_alive = valid0 & ~suppressed
-            return new_alive, jnp.any(new_alive != alive), it + 1
-
-        alive, _, _ = jax.lax.while_loop(cond, body, (valid0, jnp.asarray(True), 0))
-        kept = jnp.where(alive, cand_sc, 0.0)
+        # single-pass matrix rule: suppressed by any higher-ranked same-class
+        # candidate (reference `ious.triu_(1).max(dim=0) < threshold`)
+        suppressed = jnp.any(higher & (iou > iou_thres) & same_cls, axis=0)
+        kept = jnp.where((cand_sc > 0.0) & ~suppressed, cand_sc, 0.0)
         ksc, kidx = jax.lax.top_k(kept, min(max_det, n_cand))
         det = jnp.concatenate(
             [cand[kidx], ksc[:, None], cls_ix[kidx][:, None]], axis=-1

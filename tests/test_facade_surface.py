@@ -279,3 +279,35 @@ def test_train_freeze_layers(tmp_path):
             trained_diff.append(float(np.abs(a - b).max()) > 1e-4)
     assert all(frozen_same), "frozen layers moved"
     assert any(trained_diff), "nothing trained"
+
+
+def test_train_pretrained_path_seeds_weights(tmp_path):
+    """pretrained=<path> loads those weights into the model before training
+    (reference trainer setup_model engine/trainer.py:580-582). Train one
+    model a step, save it, then train a fresh yaml-built model with
+    pretrained= pointing at the save: its post-train params must sit near the
+    donor's, far from a fresh seed-0 init."""
+    import jax
+    from edgeyolo_tpu.data.synthetic import generate_dataset
+
+    data = generate_dataset(tmp_path / "ds", n_train=4, n_val=2, imgsz=64, nc=2)
+    kw = dict(data=str(data), epochs=1, imgsz=64, batch=4, nbs=4, val=False,
+              plots=False, workers=0, mosaic=0.0, warmup_epochs=0, lr0=1e-5,
+              optimizer="SGD", project=str(tmp_path / "runs"))
+    donor = YOLO("yolo11n.yaml")
+    donor.train(name="donor", **kw)
+    ckpt = donor.save(tmp_path / "donor.msgpack")
+
+    m = YOLO("yolo11n.yaml")
+    m.train(name="seeded", pretrained=str(ckpt), **kw)
+
+    def flat(model):
+        return np.concatenate([np.ravel(np.asarray(x))
+                               for x in jax.tree.leaves(model.model.variables["params"])])
+
+    fresh = YOLO("yolo11n.yaml")
+    fresh.model.init(0, imgsz=64)
+    d_donor = float(np.abs(flat(m) - flat(donor)).mean())
+    d_fresh = float(np.abs(flat(m) - flat(fresh)).mean())
+    assert d_donor < 1e-3, f"pretrained weights not loaded (drift {d_donor})"
+    assert d_fresh > 10 * d_donor, (d_donor, d_fresh)

@@ -257,3 +257,23 @@ def test_vid_stride_skips_frames(tmp_path):
     strided = list(LoadVideo(str(p), vid_stride=3))
     assert len(all_f) == 7 and len(strided) == 3  # frames 0, 3, 6
     assert [s[0].rsplit(":", 1)[1] for s in strided] == ["0", "3", "6"]
+
+
+def test_load_streams_buffered_delivers_every_frame(tmp_path):
+    """stream_buffer=True (cfg key, reference loaders.py:92-161): the reader
+    WAITS for the consumer instead of dropping the oldest frame, so a slow
+    consumer still sees every frame exactly once and in order."""
+    import time
+
+    from edgeyolo_tpu.data.loaders import LoadStreams
+
+    p = tmp_path / "cam.mp4"
+    _write_mp4(p, n=12)
+    ls = LoadStreams(str(p), buffer_size=2, buffer=True)
+    got = []
+    for src, frame in ls:
+        got.append(int(frame.mean()))
+        time.sleep(0.05)  # slower than the reader; would shed frames unbuffered
+    ls.close()
+    assert len(got) == 12
+    assert got == sorted(got)  # in order: constant plates brighten monotonically

@@ -163,3 +163,54 @@ def test_nms_rotated_classes_filter():
                          max_det=10, max_nms=8, classes=(0,))
     assert int(n[0]) == 2
     assert set(np.asarray(det[0, :2, 6]).astype(int).tolist()) == {0}
+
+
+def test_nms_rotated_matches_reference_matrix_rule():
+    """Pin the EXACT reference rotated-NMS semantics (ops.py:146-165 via
+    non_max_suppression rotated=True): candidates = (anchor, class) pairs
+    above conf when multi_label (the val setting), sorted by score; a
+    candidate is suppressed when ANY higher-scored same-class candidate
+    overlaps it above iou_thres — single pass, suppressed boxes still
+    suppress (NOT greedy). Oracle below replicates that rule in numpy with
+    the same probiou."""
+    from edgeyolo_tpu.ops.boxes import probiou
+    from edgeyolo_tpu.ops.nms import nms_rotated
+
+    rng = np.random.RandomState(5)
+    A, nc = 60, 3
+    pred = np.zeros((1, A, 4 + nc + 1), np.float32)
+    pred[0, :, 0:2] = rng.uniform(40, 120, (A, 2))  # clustered -> overlaps
+    pred[0, :, 2:4] = rng.uniform(15, 50, (A, 2))
+    pred[0, :, 4:4 + nc] = rng.uniform(0, 1, (A, nc)) ** 2
+    pred[0, :, -1] = rng.uniform(-0.7, 0.7, A)
+
+    for multi_label in (False, True):
+        det, n = nms_rotated(jnp.asarray(pred), conf_thres=0.1, iou_thres=0.5,
+                             max_det=64, max_nms=A * nc, multi_label=multi_label)
+        n = int(n[0])
+        got = np.asarray(det[0, :n])  # cx,cy,w,h,angle,conf,cls
+
+        # numpy oracle
+        if multi_label:
+            ai, ci = np.nonzero(pred[0, :, 4:4 + nc] > 0.1)
+            sc = pred[0, ai, 4 + ci]
+        else:
+            ci = pred[0, :, 4:4 + nc].argmax(-1)
+            sc = pred[0, np.arange(A), 4 + ci]
+            ai = np.nonzero(sc > 0.1)[0]
+            sc, ci = sc[ai], ci[ai]
+        order = np.argsort(-sc)
+        ai, ci, sc = ai[order], ci[order], sc[order]
+        rb = np.concatenate([pred[0, ai, :4], pred[0, ai, -1:]], 1)
+        iou = np.asarray(probiou(jnp.asarray(rb)[:, None], jnp.asarray(rb)[None]))
+        iou = iou.reshape(len(ai), len(ai))
+        m = len(ai)
+        higher = np.arange(m)[:, None] < np.arange(m)[None, :]
+        sup = ((higher & (iou > 0.5) & (ci[:, None] == ci[None, :]))).max(0)
+        keep = ~sup
+        want = sorted(zip(np.round(sc[keep], 5), ci[keep], ai[keep]))
+        have = sorted(zip(np.round(got[:, 5], 5), got[:, 6].astype(int),
+                          [int(np.argmin(np.abs(pred[0, :, 0] - x))) for x in got[:, 0]]))
+        assert len(want) == len(have), (multi_label, len(want), len(have))
+        for (ws, wc, wa), (hs, hc, ha) in zip(want, have):
+            assert abs(ws - hs) < 1e-4 and wc == hc, (multi_label, ws, wc, hs, hc)

@@ -187,7 +187,11 @@ def main():
     sweep = [("edgeline-yolo.yaml", 128), ("yolo11n.yaml", 128),
              ("yolo11s.yaml", 128), ("yolo11m.yaml", 64), ("yolo11m.yaml", 128)]
     for spec, b in sweep:
-        for stage in (("feats", "decode", "e2e") if stages else ("e2e",)):
+        # stage isolation only where the analysis needs it (the compute-bound
+        # yolo11m regime, round-3 verdict #3) — every extra stage is a full
+        # XLA compile on the shared chip
+        iso = stages and spec == "yolo11m.yaml"
+        for stage in (("feats", "decode", "e2e") if iso else ("e2e",)):
             r = bench_one(spec, b, stage=stage)
             print(json.dumps(r), flush=True)
             rows.append(r)

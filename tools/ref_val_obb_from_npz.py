@@ -32,7 +32,13 @@ m.model.args = m.overrides
 from ultralytics.models.yolo.detect.val import DetectionValidator as _DV
 
 _DV.print_results = lambda self: None
-metrics = m.val(data=data_yaml, imgsz=imgsz, device="cpu", plots=False, verbose=False, rect=False)
+# batch=2, NOT the default 16: the reference's NMS carries a wall-clock
+# bailout (ops.py:311, 2.0 + 0.05*bs seconds per batch) and crowded rotated
+# NMS on CPU exceeds it at bs=16 — the loop then silently returns ZERO
+# detections for the rest of the batch, which tanked the first round-4 obb
+# table to 0.42 mAP (31 of 64 images empty). At bs=2 postprocess is ~0.4s
+# per batch against a 2.1s limit.
+metrics = m.val(data=data_yaml, imgsz=imgsz, device="cpu", plots=False, verbose=False, rect=False, batch=2)
 json.dump({
     "map50_95": float(metrics.box.map),
     "map50": float(metrics.box.map50),
