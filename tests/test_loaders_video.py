@@ -267,8 +267,15 @@ def test_load_streams_buffered_delivers_every_frame(tmp_path):
 
     from edgeyolo_tpu.data.loaders import LoadStreams
 
+    import cv2
+
     p = tmp_path / "cam.mp4"
-    _write_mp4(p, n=12)
+    # plates i*15 (NOT _write_mp4's i*40: uint8 wraps at i>=7, breaking the
+    # monotone-order check below)
+    w = cv2.VideoWriter(str(p), cv2.VideoWriter_fourcc(*"mp4v"), 5, (64, 64))
+    for i in range(12):
+        w.write(np.full((64, 64, 3), i * 15, np.uint8))
+    w.release()
     ls = LoadStreams(str(p), buffer_size=2, buffer=True)
     got = []
     for src, frame in ls:
