@@ -64,6 +64,7 @@ def test_classify_dataset_items(cls_ds):
     assert 0 <= int(it["cls"]) < 3
 
 
+@pytest.mark.slow
 def test_classify_train_artifacts(trained):
     m, run_dir = trained
     assert (run_dir / "last.msgpack").exists()
@@ -71,6 +72,7 @@ def test_classify_train_artifacts(trained):
     assert "train/loss" in csv and "metrics/accuracy_top1" in csv
 
 
+@pytest.mark.slow
 def test_classify_val_metrics(trained, cls_ds):
     m, _ = trained
     res = m.val(data=str(cls_ds), imgsz=64, batch=4)
@@ -81,6 +83,7 @@ def test_classify_val_metrics(trained, cls_ds):
     assert res["metrics/accuracy_top1"] >= 0.5
 
 
+@pytest.mark.slow
 def test_classify_predict_probs(trained, cls_ds):
     m, _ = trained
     results = m.predict(str(cls_ds / "val" / "class_0"), imgsz=64, verbose=False)
@@ -105,6 +108,7 @@ def test_classify_augment_batch_shapes():
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
 
+@pytest.mark.slow
 def test_classify_facade_adapts_nc(cls_ds, tmp_path_factory):
     """A yaml-built classify model (zoo nc=1000) must rebuild its head to the
     dataset's class count before training, like the reference

@@ -26,6 +26,7 @@ def test_auction_respects_row_mask():
     assert (col[:2] >= 0).all() and (col[2:] == -1).all()
 
 
+@pytest.mark.slow
 def test_detr_loss_differentiable():
     rng = np.random.RandomState(0)
     nq, nc, B, M = 16, 3, 2, 4

@@ -13,6 +13,8 @@ from edgeyolo_tpu import YOLO
 from edgeyolo_tpu.data.synthetic import generate_dataset
 from edgeyolo_tpu.nn.tasks import DetectionModel
 
+pytestmark = pytest.mark.slow  # heavy: see README fast tier
+
 
 @pytest.fixture(scope="module")
 def shapes_ds(tmp_path_factory):

@@ -68,6 +68,7 @@ tf_missing = __import__("importlib.util", fromlist=["util"]).find_spec("tensorfl
 
 
 @pytest.mark.skipif(tf_missing, reason="tensorflow not importable")
+@pytest.mark.slow
 def test_saved_model_roundtrip(small_model, tmp_path):
     """export -> tf.saved_model -> AutoBackend load -> numerically equal pred.
 
@@ -88,6 +89,7 @@ def test_saved_model_roundtrip(small_model, tmp_path):
 
 
 @pytest.mark.skipif(tf_missing, reason="tensorflow not importable")
+@pytest.mark.slow
 def test_tflite_roundtrip(small_model, tmp_path):
     from edgeyolo_tpu.cfg import get_cfg
     from edgeyolo_tpu.export.exporter import Exporter
@@ -107,6 +109,7 @@ def test_tflite_roundtrip(small_model, tmp_path):
     assert np.asarray(ab(xb)).shape[0] == 2
 
 
+@pytest.mark.slow
 def test_tflite_int8_export_roundtrip(small_model, tmp_path):
     """Full-int8 tflite (representative-dataset calibration — reference
     exporter.py:1055): converts, loads, and stays within int8-scale error of

@@ -250,6 +250,7 @@ def test_predictor_cached_across_identical_calls():
     assert m.predictor is not p1
 
 
+@pytest.mark.slow
 def test_train_freeze_layers(tmp_path):
     """freeze=N holds the first N layers' params (incl. against weight decay)
     while the rest train (reference trainer.py:246 requires_grad gating)."""
@@ -281,6 +282,7 @@ def test_train_freeze_layers(tmp_path):
     assert any(trained_diff), "nothing trained"
 
 
+@pytest.mark.slow
 def test_train_pretrained_path_seeds_weights(tmp_path):
     """pretrained=<path> loads those weights into the model before training
     (reference trainer setup_model engine/trainer.py:580-582). Train one

@@ -13,6 +13,8 @@ import pytest
 from edgeyolo_tpu.nn.tasks import DetectionModel
 from edgeyolo_tpu.train.loss import DetectionLoss, E2EDetectLoss
 
+pytestmark = pytest.mark.slow  # heavy: see README fast tier
+
 FAMILIES = [
     ("yolov3-tiny.yaml", DetectionLoss),
     ("yolov5n.yaml", DetectionLoss),

@@ -140,6 +140,7 @@ def test_initializer_dedup_is_content_keyed():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_detection_model_onnx_matches_jax():
     """Full fused yolov8n forward: export -> numpy execute -> compare."""
     from edgeyolo_tpu.engine.model import YOLO
@@ -156,6 +157,7 @@ def test_detection_model_onnx_matches_jax():
     _roundtrip(fwd, x, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_exporter_autobackend_onnx_roundtrip(tmp_path):
     """Exporter(format=onnx) -> AutoBackend('.onnx') -> pred equals native;
     metadata recovered from the doc_string when the sidecar is removed."""

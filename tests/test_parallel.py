@@ -45,6 +45,7 @@ def test_psum_gradient_semantics(mesh):
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_local), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_train_step_on_mesh():
     """The driver's dryrun contract: full training step over 8 devices."""
     import __graft_entry__ as ge
@@ -59,6 +60,7 @@ def test_shard_batch_keeps_meta(mesh):
     assert len(sb["img"].sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_classify_train_step_on_mesh():
     """Classification training shards over the same data-parallel mesh."""
     import jax
@@ -99,6 +101,7 @@ def test_classify_train_step_on_mesh():
     assert bool(jnp.isfinite(loss))
 
 
+@pytest.mark.slow
 def test_world_forward_on_mesh():
     """WorldModel text-conditioned forward shards the batch over the mesh."""
     import jax
@@ -169,6 +172,7 @@ def test_multichip_training_converges_and_matches_single_device(tmp_path_factory
         np.testing.assert_allclose(res8[k], res1[k], atol=5e-3, err_msg=k)
 
 
+@pytest.mark.slow
 def test_data_parallel_val_equals_single_device(tmp_path_factory):
     """Data-parallel eval (SURVEY §2.9): the validator sharded over the
     8-device CPU mesh must produce the same mAP as single-device val —
@@ -247,6 +251,7 @@ def test_fsdp_training_matches_data_parallel(tmp_path_factory):
         np.testing.assert_allclose(res_f[k], res_d[k], atol=5e-3, err_msg=k)
 
 
+@pytest.mark.slow
 def test_spatial_partitioned_forward_matches_replicated():
     """Sequence/context-parallel inference (SURVEY §2.9 stretch goal): the
     image H axis sharded 8-way through the FULL detect network — conv halo

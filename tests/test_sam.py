@@ -8,6 +8,8 @@ what is testable without pretrained checkpoints.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: see README fast tier
+
 
 @pytest.fixture(scope="module")
 def tiny_sam():

@@ -11,6 +11,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: see README fast tier
+
 REPO = Path(__file__).parent.parent
 CACHE = Path(__file__).parent / ".cache"
 CACHE.mkdir(exist_ok=True)

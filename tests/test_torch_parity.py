@@ -24,7 +24,7 @@ REF = Path("/root/reference")
 REPO = Path(__file__).resolve().parents[1]
 CACHE = Path("/tmp/ptparity")
 
-pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference checkout not mounted")
+pytestmark = [pytest.mark.skipif(not REF.exists(), reason="reference checkout not mounted"), pytest.mark.slow]
 
 CASES = [
     # (cache name, reference cfg, our cfg, box tol in px @64)

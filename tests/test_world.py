@@ -41,6 +41,7 @@ def test_world_val(world_model, shapes_ds):
     assert "metrics/mAP50-95(B)" in res
 
 
+@pytest.mark.slow
 def test_world_train_step(world_model, shapes_ds, tmp_path_factory):
     runs = tmp_path_factory.mktemp("wruns")
     fit = world_model.train(data=str(shapes_ds), epochs=1, imgsz=96, batch=4, nbs=4,
