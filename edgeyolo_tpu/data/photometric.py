@@ -197,12 +197,26 @@ def photometric_one(im, key):
     return im
 
 
-def photometric_batch(img01, key, hyp: dict):
-    """Vmapped Albumentations-analog stage; static-gated by hyp['photometric']."""
+def photometric_batch(img01, key, hyp: dict, chunk: int = 8):
+    """Albumentations-analog stage; static-gated by hyp['photometric'].
+
+    Memory diet: mapped over the batch in `chunk`-image slices (lax.map
+    batch_size) rather than one full-batch vmap. The branchless stack
+    materializes every candidate (the 9-tap median stack alone is
+    9*B*S*S*3 floats — ~5.7 GB at B=128/640px, which OOMed a train step
+    already at 15.4/16 GB HBM); chunking bounds the stage's live temporaries
+    to the slice while computing the identical result. The stage is a tiny
+    fraction of step FLOPs, so serializing it costs little (measured:
+    PERF.md §photometric).
+    """
     if not float(hyp.get("photometric", 1.0)):
         return img01
-    keys = jax.random.split(key, img01.shape[0])
-    return jax.vmap(photometric_one)(img01, keys)
+    B = img01.shape[0]
+    keys = jax.random.split(key, B)
+    if B <= chunk:
+        return jax.vmap(photometric_one)(img01, keys)
+    return jax.lax.map(lambda xk: photometric_one(*xk), (img01, keys),
+                       batch_size=chunk)
 
 
 def bgr_swap_batch(img01, key, hyp: dict):

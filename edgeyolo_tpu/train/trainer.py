@@ -345,7 +345,13 @@ class DetectionTrainer(CallbackMixin):
         criterion = self._build_criterion(task, args, kpt_shape)
         has_quality = "GF" in self.model.head_name or "E2E" in self.model.head_name
         is_rtdetr = self.model.head_name == "RTDETRDecoder"
-        head_is_dict_loss = task in ("segment", "pose", "obb") or is_rtdetr
+        # end2end heads (v10Detect, E2EDetect, GFLHeadv2_E2E) use
+        # E2EDetectLoss which consumes the full output DICT (it needs both
+        # feats and one2one_feats) — must match _build_criterion's keying
+        # exactly or the 2-arg __call__ gets 3 args and facade training
+        # crashes for every end2end model (round-4 regression).
+        is_e2e = bool(getattr(self.model, "end2end", False)) or "E2E" in self.model.head_name
+        head_is_dict_loss = task in ("segment", "pose", "obb") or is_rtdetr or is_e2e
         # all label types ride the fused geometric warp (masks at mask_ratio
         # resolution, rboxes via corner projection + rect refit)
         geo_aug_ok = task in ("detect", "pose", "segment", "obb")
