@@ -120,8 +120,11 @@ def generate_dataset(
         # corners (TL,TR,BR,BL) + center; lr-flip swaps TL<->TR and BL<->BR
         # (reference pose datasets carry kpt_shape/flip_idx in the data yaml)
         extra = "kpt_shape: [5, 3]\nflip_idx: [1, 0, 3, 2, 4]\n"
+    # always an absolute root: a relative `path:` would be re-joined against
+    # the yaml's own directory by check_det_dataset (doubling the prefix when
+    # the caller passed a cwd-relative root — tools/bench_table.py bug, r4)
     yaml_path.write_text(
-        f"path: {root}\ntrain: images/train\nval: images/val\nnc: {nc}\nnames:\n{names}\n{extra}"
+        f"path: {root.resolve()}\ntrain: images/train\nval: images/val\nnc: {nc}\nnames:\n{names}\n{extra}"
     )
     return yaml_path
 

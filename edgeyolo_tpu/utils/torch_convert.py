@@ -53,20 +53,32 @@ def flax_path_to_torch_key(path: tuple[str, ...]) -> str:
     return re.sub(r"reg_conf\.(\d+)\.1\.", r"reg_conf.\1.2.", key)
 
 
-def _to_flax(arr: np.ndarray, flax_shape: tuple[int, ...], leaf: str) -> np.ndarray | None:
+def _to_flax(arr: np.ndarray, flax_shape: tuple[int, ...], leaf: str,
+             is_convt: bool = False) -> np.ndarray | None:
     """Reshape/transpose a torch tensor into the flax layout; None if impossible.
 
     Kernels transpose BEFORE the identity-shape shortcut: a square torch
     Linear weight (out==in) has the same shape as the flax kernel but still
     needs the (out,in)->(in,out) transpose.
+
+    `is_convt` MUST be passed for ConvTranspose kernels: torch's deconv weight
+    is (in,out,kh,kw) applied spatially FLIPPED relative to flax.ConvTranspose.
+    When in==out the regular-conv transpose produces the same SHAPE, so shape
+    probing alone silently picks the wrong (channel-swapped, unflipped)
+    transform — this corrupted Proto's square 256->256 upsample in every
+    cross-framework segment run until round 5 (the reference read our masks
+    through a scrambled proto branch and scored ~0.03 low).
     """
     if leaf == "kernel":
+        if arr.ndim == 4 and is_convt:
+            t = arr[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+            return t if t.shape == tuple(flax_shape) else None
         if arr.ndim == 4:  # conv OIHW -> HWIO (grouped convs transpose identically)
             t = arr.transpose(2, 3, 1, 0)
             if t.shape == tuple(flax_shape):
                 return t
-            # ConvTranspose: torch (in,out,kh,kw), and torch's deconv applies
-            # the kernel spatially FLIPPED relative to flax.ConvTranspose
+            # ConvTranspose reached without the hint (non-square channels
+            # disambiguate by shape)
             t = arr[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
             if t.shape == tuple(flax_shape):
                 return t
@@ -115,7 +127,8 @@ def convert_state_dict(torch_sd: dict, variables: dict, strict: bool = True,
             missing.append(f"{coll}:{'/'.join(path)} -> {tk}")
             new_flat[(coll, path)] = leaf
             continue
-        conv = _to_flax(sd[tk], tuple(leaf.shape), path[-1])
+        conv = _to_flax(sd[tk], tuple(leaf.shape), path[-1],
+                        is_convt="conv_transpose" in path)
         if conv is None:
             shape_errors.append(f"{tk} {sd[tk].shape} vs {'/'.join(path)} {leaf.shape}")
             new_flat[(coll, path)] = leaf
@@ -406,7 +419,13 @@ def export_state_dict(variables: dict, key_fn=None) -> dict:
             arr = np.asarray(leaf)
             leafname = path[-1]
             if leafname == "kernel":
-                if arr.ndim == 4:      # HWIO -> OIHW
+                if arr.ndim == 4 and "conv_transpose" in path:
+                    # inverse of _to_flax's convT rule: (kh,kw,in,out) ->
+                    # torch (in,out,kh,kw) spatially flipped. The generic conv
+                    # transform has the same SHAPE when in==out (Proto's
+                    # square upsample) but scrambles the deconv semantics.
+                    arr = arr.transpose(2, 3, 0, 1)[:, :, ::-1, ::-1]
+                elif arr.ndim == 4:    # HWIO -> OIHW
                     arr = arr.transpose(3, 2, 0, 1)
                 elif arr.ndim == 2:    # (in, out) -> (out, in)
                     arr = arr.T

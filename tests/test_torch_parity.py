@@ -624,3 +624,40 @@ def test_mulgate_module_parity():
     y = m.apply(jax.tree.map(jnp.asarray, nv), x)
     d = float(np.abs(z["__y__"].transpose(0, 2, 3, 1) - np.asarray(y)).max())
     assert d < 1e-5, f"MulGate diverged from torch: {d}"
+
+
+def test_square_convtranspose_export_convention():
+    """Square (in==out) ConvTranspose kernels cannot be disambiguated from
+    regular conv kernels by shape: torch's deconv weight is (in,out,kh,kw)
+    applied spatially flipped vs flax. Until round 5 both converter directions
+    silently took the regular-conv branch for Proto's 256->256 upsample —
+    bit-exact round-trips (the mistakes were symmetric), scrambled torch
+    forwards. Pins torch-forward equality in both directions for a square
+    deconv (reference block.py:123 Proto.upsample)."""
+    import torch
+
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from edgeyolo_tpu.utils.torch_convert import _to_flax
+
+    rng = np.random.RandomState(0)
+    cin = cout = 4
+    w_t = rng.randn(cin, cout, 2, 2).astype(np.float32)
+    x = rng.rand(1, cin, 6, 6).astype(np.float32)
+    tm = torch.nn.ConvTranspose2d(cin, cout, 2, 2, 0, bias=False)
+    with torch.no_grad():
+        tm.weight.copy_(torch.from_numpy(w_t))
+        y_t = tm(torch.from_numpy(x)).numpy()
+
+    # import direction: is_convt hint must produce torch-equal forwards
+    k = _to_flax(w_t, (2, 2, cin, cout), "kernel", is_convt=True)
+    m = nn.ConvTranspose(cout, (2, 2), strides=(2, 2), padding="SAME", use_bias=False)
+    y_f = m.apply({"params": {"kernel": jnp.asarray(k)}},
+                  jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(y_f).transpose(0, 3, 1, 2), y_t, atol=1e-5)
+
+    # export direction: the exact inverse (round-trip identity through the
+    # convT-specific transform, NOT the regular-conv one)
+    w_back = np.ascontiguousarray(k.transpose(2, 3, 0, 1)[:, :, ::-1, ::-1])
+    np.testing.assert_array_equal(w_back, w_t)

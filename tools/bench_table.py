@@ -63,7 +63,7 @@ def main():
             f"{r.get('imgs/s', '—')} | {r.get('mAP50-95', '—')} |")
     native = next((r for r in rows if r["format"] == "native"), {})
     ok = [r for r in rows if r.get("status") == "ok" and isinstance(r.get("mAP50-95"), float)]
-    if native and ok:
+    if native.get("status") == "ok" and isinstance(native.get("mAP50-95"), float) and ok:
         worst = max(abs(r["mAP50-95"] - native["mAP50-95"]) for r in ok)
         lines += ["", f"Worst |mAP - native| across ok formats: **{worst:.4f}** "
                       f"(native {native['mAP50-95']}); train took {t_train:.0f}s."]
