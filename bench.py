@@ -54,7 +54,10 @@ def main():
 
     @jax.jit
     def step(v, img_u8, salt):
-        x = (img_u8.astype(dt_in) + salt) / 255.0
+        # salt must be cast to the compute dtype: bf16 + f32-scalar promotes
+        # the input (and, via dtype=x.dtype convs, the WHOLE network) to f32.
+        # Rounds 2-4 unknowingly measured fp32 because of exactly that.
+        x = (img_u8.astype(dt_in) + salt.astype(dt_in)) / 255.0
         out = model.net.apply(v, x, train=False)
         det, n = non_max_suppression(
             out["pred"].astype(jnp.float32), conf_thres=0.25, iou_thres=0.7,
@@ -87,7 +90,7 @@ def main():
 
     @jax.jit
     def stepq(v, img_u8, salt):
-        x = (img_u8.astype(dt_in) + salt) / 255.0
+        x = (img_u8.astype(dt_in) + salt.astype(dt_in)) / 255.0
         out = model.apply(v, x, train=False)
         det, n = non_max_suppression(
             out["pred"].astype(jnp.float32), conf_thres=0.25, iou_thres=0.7,
@@ -215,11 +218,19 @@ def _train_step_throughput(model_ref, imgsz: int, on_tpu: bool, B: int | None = 
         float(loss)
         return time.perf_counter() - t0
 
-    run(1)
-    run(1)
-    t1 = min(run(1), run(1))
-    tn = min(run(5), run(5))
-    return B / ((tn - t1) / 4)
+    try:
+        run(1)
+        run(1)
+        t1 = min(run(1), run(1))
+        tn = min(run(5), run(5))
+        return B / ((tn - t1) / 4), B
+    except Exception as e:  # noqa: BLE001 — halve batch on HBM exhaustion
+        msg = str(e)
+        if B > 8 and ("RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+                      or "out of memory" in msg):
+            return _train_step_throughput(model_ref, imgsz, on_tpu, B=B // 2,
+                                          M=M, photometric=photometric)
+        raise
 
 
 if __name__ == "__main__":

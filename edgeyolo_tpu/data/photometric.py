@@ -81,11 +81,25 @@ def box_blur(im, k: int):
 
 
 def median3(im):
-    """3x3 median filter of (S,S,C) with replicate edges (cv2.medianBlur k=3)."""
+    """3x3 median filter of (S,S,C) with replicate edges (cv2.medianBlur k=3).
+
+    Median-of-9 via the Smith exchange network (19 min/max pairs) — pure VPU
+    elementwise ops, no sort; jnp.median's general sort was ~3x slower on
+    TPU (PERF.md §photometric)."""
     p = jnp.pad(im, ((1, 1), (1, 1), (0, 0)), mode="edge")
     S = im.shape[0]
-    taps = jnp.stack([p[dy:dy + S, dx:dx + S] for dy in range(3) for dx in range(3)])
-    return jnp.median(taps, axis=0)
+    t = [p[dy:dy + S, dx:dx + S] for dy in range(3) for dx in range(3)]
+
+    def cx(i, j):
+        lo, hi = jnp.minimum(t[i], t[j]), jnp.maximum(t[i], t[j])
+        t[i], t[j] = lo, hi
+
+    # J. L. Smith's 19-exchange median-of-9 network
+    for i, j in ((1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2),
+                 (4, 5), (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4),
+                 (2, 5), (4, 7), (4, 2), (6, 4), (4, 2)):
+        cx(i, j)
+    return t[4]
 
 
 def to_gray(im):
@@ -108,32 +122,53 @@ def clahe(im, clip_limit, grid: int = 8, bins: int = 256):
     luma = im @ jnp.asarray(_LUMA, im.dtype)
     q = jnp.clip(jnp.round(luma * (bins - 1)), 0, bins - 1).astype(jnp.int32)
 
-    tile_id = (jnp.arange(S)[:, None] // ts) * grid + jnp.arange(S)[None, :] // ts
-    hist = jnp.zeros((grid * grid, bins), jnp.float32).at[
-        tile_id.ravel(), q.ravel()].add(1.0).reshape(grid, grid, bins)
+    # per-tile histogram as a compare-and-reduce (TPU: a scatter-add here was
+    # 22x slower — 28 ms vs 1.3 ms for 8 images at 640px, PERF.md
+    # §photometric)
+    qt = q.reshape(grid, ts, grid, ts).transpose(0, 2, 1, 3).reshape(
+        grid, grid, ts * ts)
+    hist = jnp.sum((qt[..., None] == jnp.arange(bins, dtype=jnp.int32)
+                    ).astype(jnp.float32), axis=2)  # (grid, grid, bins)
     limit = jnp.maximum(clip_limit * ts * ts / bins, 1.0)
     excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=-1, keepdims=True)
     hist = jnp.minimum(hist, limit) + excess / bins
     cdf = jnp.cumsum(hist, axis=-1)
     # cv2: lut = round((cdf - cdf_min) scaled); the standard simple form maps
-    # cdf/(tile pixels) onto [0, bins-1]
-    lut = cdf / (ts * ts) * (bins - 1)  # (grid, grid, bins)
+    # cdf/(tile pixels) onto [0, bins-1]; normalized to [0,1] here so the
+    # onehot reduce below accumulates small numbers
+    lut = cdf / (ts * ts)  # (grid, grid, bins) in [0,1]
 
-    yy = (jnp.arange(S, dtype=jnp.float32) + 0.5) / ts - 0.5
-    t0 = jnp.clip(jnp.floor(yy), 0, grid - 1).astype(jnp.int32)
-    t1 = jnp.clip(t0 + 1, 0, grid - 1)
-    # fractional distance between tile centers; at the borders t0 == t1 so
-    # the (then-arbitrary) weight cancels
-    f = yy - jnp.floor(yy)
-
-    def at(ty, tx):
-        return lut[ty[:, None], tx[None, :], q]
-
-    v = (at(t0, t0) * (1 - f)[:, None] * (1 - f)[None, :]
-         + at(t0, t1) * (1 - f)[:, None] * f[None, :]
-         + at(t1, t0) * f[:, None] * (1 - f)[None, :]
-         + at(t1, t1) * f[:, None] * f[None, :])
-    new_luma = v / (bins - 1)
+    # LUT application WITHOUT a per-pixel gather (a (S,S) gather from the
+    # (grid,grid,bins) table was 129 ms for 8 images — the whole CLAHE cost;
+    # interpolating the LUTs to a per-pixel (S,S,bins) tensor materialized
+    # 4x420 MB instead): pad by a half tile so every pixel falls in one of
+    # (grid+1)^2 aligned blocks whose FOUR neighbor-tile LUTs are constant,
+    # then one batched onehot(q) @ LUT4 einsum per block — MXU/VPU work with
+    # only a (G^2,bins,4) table (measured 4.6 ms for 8 images). This is also
+    # cv2's border semantics (edge tiles replicate); the per-pixel
+    # formulation it replaces interpolated INTO tile 1 at the top/left
+    # border.
+    h2 = ts // 2
+    G = grid + 1
+    qp = jnp.pad(q, ((h2, h2), (h2, h2)), mode="edge")
+    qb = qp.reshape(G, ts, G, ts).transpose(0, 2, 1, 3).reshape(G * G, ts * ts)
+    oh = jax.nn.one_hot(qb, bins, dtype=jnp.bfloat16)
+    c0 = jnp.clip(jnp.arange(G) - 1, 0, grid - 1)
+    c1 = jnp.clip(jnp.arange(G), 0, grid - 1)
+    Lb = lut.astype(jnp.bfloat16)
+    L4 = jnp.stack([Lb[c0[:, None], c0[None, :]], Lb[c0[:, None], c1[None, :]],
+                    Lb[c1[:, None], c0[None, :]], Lb[c1[:, None], c1[None, :]]],
+                   axis=-1).reshape(G * G, bins, 4)
+    vb = jnp.einsum("bpc,bcd->bpd", oh, L4,
+                    preferred_element_type=jnp.float32)  # (G^2, ts^2, 4)
+    fy = (jnp.arange(ts, dtype=jnp.float32) + 0.5) / ts
+    vb = vb.reshape(G, G, ts, ts, 2, 2)
+    v = (vb[..., 0, 0] * (1 - fy)[:, None] * (1 - fy)[None, :]
+         + vb[..., 0, 1] * (1 - fy)[:, None] * fy[None, :]
+         + vb[..., 1, 0] * fy[:, None] * (1 - fy)[None, :]
+         + vb[..., 1, 1] * fy[:, None] * fy[None, :])
+    v = v.transpose(0, 2, 1, 3).reshape(S + ts, S + ts)[h2:-h2, h2:-h2]
+    new_luma = v
     ratio = (new_luma + 1e-6) / (luma + 1e-6)
     return jnp.clip(im * ratio[..., None], 0.0, 1.0)
 
@@ -178,45 +213,76 @@ def jpeg_compress(im, quality):
     return jnp.clip(jnp.stack([r2, g2, b2], axis=-1) / 255.0, 0.0, 1.0)
 
 
-def photometric_one(im, key):
-    """Apply the Albumentations-analog stack to one (S,S,3) [0,1] image."""
-    kp, kb, kc, kq = jax.random.split(key, 4)
-    p = jax.random.uniform(kp, (5,))
-
+def _rare_one(im, key, pscale: float = 1.0):
+    """The p=0.01 ops (blur / median / gray / CLAHE) on one image, each
+    probability scaled by `pscale` (used by the subset formulation below)."""
+    kp, kb, kc = jax.random.split(key, 3)
+    p = jax.random.uniform(kp, (4,))
     bk = jax.random.randint(kb, (), 0, 3)  # blur kernel in {3,5,7}
     blurred = jnp.select([bk == 0, bk == 1], [box_blur(im, 3), box_blur(im, 5)],
                          box_blur(im, 7))
-    im = jnp.where(p[0] < P_BLUR, blurred, im)
-    im = jnp.where(p[1] < P_MEDIAN, median3(im), im)
-    im = jnp.where(p[2] < P_GRAY, to_gray(im), im)
+    im = jnp.where(p[0] < P_BLUR * pscale, blurred, im)
+    im = jnp.where(p[1] < P_MEDIAN * pscale, median3(im), im)
+    im = jnp.where(p[2] < P_GRAY * pscale, to_gray(im), im)
     cl = jax.random.uniform(kc, (), minval=1.0, maxval=4.0)  # alb clip_limit (1,4)
-    im = jnp.where(p[3] < P_CLAHE, clahe(im, cl), im)
-    if im.shape[0] % 8 == 0:
-        q = jax.random.uniform(kq, (), minval=75.0, maxval=100.0)
-        im = jnp.where(p[4] < P_JPEG, jpeg_compress(im, q), im)
+    im = jnp.where(p[3] < P_CLAHE * pscale, clahe(im, cl), im)
     return im
 
 
-def photometric_batch(img01, key, hyp: dict, chunk: int = 8):
+def photometric_one(im, key):
+    """Apply the Albumentations-analog stack to one (S,S,3) [0,1] image."""
+    kr, kp, kq = jax.random.split(key, 3)
+    im = _rare_one(im, kr)
+    if im.shape[0] % 8 == 0:
+        q = jax.random.uniform(kq, (), minval=75.0, maxval=100.0)
+        im = jnp.where(jax.random.uniform(kp) < P_JPEG, jpeg_compress(im, q), im)
+    return im
+
+
+def photometric_batch(img01, key, hyp: dict, k_rare: int = 8, jpeg_chunk: int = 32):
     """Albumentations-analog stage; static-gated by hyp['photometric'].
 
-    Memory diet: mapped over the batch in `chunk`-image slices (lax.map
-    batch_size) rather than one full-batch vmap. The branchless stack
-    materializes every candidate (the 9-tap median stack alone is
-    9*B*S*S*3 floats — ~5.7 GB at B=128/640px, which OOMed a train step
-    already at 15.4/16 GB HBM); chunking bounds the stage's live temporaries
-    to the slice while computing the identical result. The stage is a tiny
-    fraction of step FLOPs, so serializing it costs little (measured:
-    PERF.md §photometric).
+    Subset formulation (round 5): the original branchless stack computed
+    every candidate op for every image — at B=128/640px that is 9-tap median
+    stacks (~5.7 GB live, which OOMed the 15.4/16 GB train step) and 128
+    CLAHE scatter-add histograms for ops that fire with p=0.01; the chunked
+    lax.map that bounded the memory then serialized the batch 16x (measured:
+    full train step 519 -> 34 img/s, PERF.md §photometric). Instead:
+
+    - rare ops (blur/median/gray/CLAHE, p=0.01 each): gather `k_rare`
+      randomly-chosen images, run the stack only there with probabilities
+      scaled by B/k_rare — the marginal per-image probability is exactly p —
+      and scatter back. Truncation bias: at most k_rare images per batch can
+      receive rare ops (P(Poisson(4*0.01*128) > 8) ~ 7%) and the ops
+      correlate onto the same subset; immaterial for an augmentation analog,
+      while the heavy compute drops from B images to k_rare.
+    - JPEG (p=0.5): exactly round(B*p) images via an independent permutation
+      (same mean as per-image Bernoulli, slightly lower variance), computed
+      in `jpeg_chunk` slices — the DCT einsums are MXU-cheap; chunking only
+      bounds the (3,S/8,S/8,8,8) block temporaries.
     """
     if not float(hyp.get("photometric", 1.0)):
         return img01
     B = img01.shape[0]
-    keys = jax.random.split(key, B)
-    if B <= chunk:
-        return jax.vmap(photometric_one)(img01, keys)
-    return jax.lax.map(lambda xk: photometric_one(*xk), (img01, keys),
-                       batch_size=chunk)
+    if B <= k_rare:
+        return jax.vmap(photometric_one)(img01, jax.random.split(key, B))
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    ridx = jax.random.permutation(k1, B)[:k_rare]
+    sub = jnp.take(img01, ridx, axis=0)
+    rkeys = jax.random.split(k2, k_rare)
+    sub = jax.vmap(lambda im, kk: _rare_one(im, kk, pscale=B / k_rare))(sub, rkeys)
+    img01 = img01.at[ridx].set(sub)
+
+    if img01.shape[1] % 8 == 0 and img01.shape[1] == img01.shape[2]:
+        nj = max(1, int(round(B * P_JPEG)))
+        jidx = jax.random.permutation(k3, B)[:nj]
+        jq = jax.random.uniform(k4, (nj,), minval=75.0, maxval=100.0)
+        js = jnp.take(img01, jidx, axis=0)
+        js = jax.lax.map(lambda xq: jpeg_compress(*xq), (js, jq),
+                         batch_size=min(jpeg_chunk, nj))
+        img01 = img01.at[jidx].set(js)
+    return img01
 
 
 def bgr_swap_batch(img01, key, hyp: dict):

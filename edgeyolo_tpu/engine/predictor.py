@@ -192,7 +192,14 @@ class DetectionPredictor:
             # stays one compiled shape; padded outputs are simply not read
             n_real = len(frames)
             imgs = [f[2] for f in frames] + [frames[-1][2]] * (bs - n_real)
-            x = jnp.asarray(np.stack(imgs), jnp.float32) / 255.0
+            # half=True runs the network in bf16 (reference predictor half arg,
+            # engine/predictor.py preprocess half cast): every conv computes in
+            # the input dtype (conv.py dtype=x.dtype) while the head's decode
+            # stays an f32 island (head.py flat.astype(float32)), so box
+            # precision is unaffected. On a byte-bound nano model this halves
+            # HBM traffic (PERF.md §bf16).
+            dt = jnp.bfloat16 if bool(getattr(args, "half", False)) else jnp.float32
+            x = jnp.asarray(np.stack(imgs), dt) / 255.0
             if want_int8 and model.quant is None:
                 # PTQ auto-calibration on the first chunk (validator
                 # calibrates on a full val batch; the first frames are the

@@ -188,9 +188,12 @@ class DetectionValidator:
         LOGGER.info(f"{colorstr('validating:')} {split} imgsz={imgsz} bs={bs} conf={conf} "
                     f"devices={mesh.devices.size}")
 
+        # half=True: bf16 network compute (conv.py dtype=x.dtype), f32 decode
+        # island in the head — same contract as the predictor's half arg
+        in_dt = jnp.bfloat16 if bool(getattr(self.args, "half", False)) else jnp.float32
         for batch in loader:
             t0 = time.perf_counter()
-            img = jnp.asarray(batch["img"], jnp.float32) / 255.0
+            img = jnp.asarray(batch["img"], in_dt) / 255.0
             gtb_h, gtc_h, gtv_h, geom_h = self._gt_arrays(batch)
             img, gtb, gtc, gtv, geom = self._shard(img, gtb_h, gtc_h, gtv_h, geom_h)
             t1 = time.perf_counter()

@@ -96,10 +96,13 @@ def main():
             with default_act(net.default_act), \
                     (bn_config(*net.bn) if net.bn else __import__("contextlib").nullcontext()):
                 if isinstance(xx, list):
-                    xx = [x + (salt if k == 0 else 0) for k, x in enumerate(xx)]
+                    # cast salt to the input dtype: f32 salt + bf16 x would
+                    # silently promote the whole layer to f32 timing
+                    xx = [x + (salt.astype(x.dtype) if k == 0 else 0)
+                          for k, x in enumerate(xx)]
                     o = mod.apply(vv, xx, train=False)
                 else:
-                    o = mod.apply(vv, xx + salt, train=False)
+                    o = mod.apply(vv, xx + salt.astype(xx.dtype), train=False)
             leaves = jax.tree.leaves(o)
             return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
 
@@ -126,7 +129,7 @@ def main():
 
     # fused e2e feats for the comparison line
     def feats_fn(vv, img, salt):
-        x = img + salt
+        x = img + salt.astype(img.dtype)
         out = net.apply(vv, x, train=False)
         return sum(jnp.sum(f.astype(jnp.float32)) for f in out["feats"])
 

@@ -30,7 +30,7 @@ def bench_fused(spec: str, batch: int, imgsz: int = 640):
     v = fuse_conv_bn(model.variables, eps=getattr(model, "bn_eps", None))
 
     def pipeline(v, img_u8, salt):
-        x = (img_u8.astype(jnp.bfloat16) + salt) / 255.0
+        x = (img_u8.astype(jnp.bfloat16) + salt.astype(jnp.bfloat16)) / 255.0
         out = model.net.apply(v, x, train=False)
         return sum(jnp.sum(f.astype(jnp.float32)) for f in out["feats"])
 

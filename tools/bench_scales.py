@@ -53,7 +53,7 @@ def bench_one(spec: str, batch: int, imgsz: int = 640, stage: str = "e2e"):
     v = model.variables
 
     def pipeline(v, img_u8, salt):
-        x = (img_u8.astype(jnp.bfloat16) + salt) / 255.0
+        x = (img_u8.astype(jnp.bfloat16) + salt.astype(jnp.bfloat16)) / 255.0
         out = model.net.apply(v, x, train=False)
         if stage == "feats":
             return sum(jnp.sum(f.astype(jnp.float32)) for f in out["feats"])

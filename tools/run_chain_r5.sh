@@ -9,6 +9,11 @@ run v10 150 4500
 log "START bench_table"
 timeout 4500 python tools/bench_table.py 40 runs/benchmark_table.md > runs/bench_table_tpu.log 2>&1
 log "DONE bench_table rc=$?"
+# re-sweep the scales table in REAL bf16: rounds 2-4 unknowingly measured
+# fp32 (f32 salt promoted the whole net); every PERF.md roofline row moves
+log "START bench_scales_bf16"
+timeout 3600 python tools/bench_scales.py --stages > runs/bench_scales_bf16.log 2>&1
+log "DONE bench_scales_bf16 rc=$?"
 # m-scale train-step roofline + optimization A/B (round-4 demand #6)
 log "START bench_m_opt"
 timeout 3600 python tools/bench_m_opt.py > runs/bench_m_opt.log 2>&1
