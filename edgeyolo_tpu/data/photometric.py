@@ -200,12 +200,19 @@ def jpeg_compress(im, quality):
     qc = jnp.clip(jnp.floor((jnp.asarray(_QC, jnp.float32) * scale + 50) / 100), 1, 255)
     tbl = jnp.stack([qy, qc, qc])  # (3,8,8)
 
-    blocks = ycc.reshape(3, n, 8, n, 8).transpose(0, 1, 3, 2, 4)  # (3,n,n,8,8)
+    # per-8-block 2-D DCT as two BLOCK-DIAGONAL (S,S) matmuls — kron(I, D) —
+    # instead of batched 8x8 einsums over a (3,n,n,8,8) relayout: the tiny
+    # matmuls underfill the MXU and the two transposes are pure HBM traffic.
+    # The zero blocks waste FLOPs (S/8x more) but DCT compute is negligible
+    # and the matmul is MXU-shaped; f32 keeps the quantize/round exact.
     D = _dct_matrix()
-    coef = jnp.einsum("ij,cnmjk,lk->cnmil", D, blocks, D)
-    deq = jnp.round(coef / tbl[:, None, None]) * tbl[:, None, None]
-    rec = jnp.einsum("ji,cnmjk,kl->cnmil", D, deq, D)
-    ycc2 = rec.transpose(0, 1, 3, 2, 4).reshape(3, S, S)
+    BD = jnp.kron(jnp.eye(n, dtype=jnp.float32), D)  # (S, S)
+    coef = jnp.einsum("ij,cjk,lk->cil", BD, ycc, BD,
+                      preferred_element_type=jnp.float32)
+    tbl_full = jnp.tile(tbl, (1, n, n))  # (3,S,S): the 8x8 table per block
+    deq = jnp.round(coef / tbl_full) * tbl_full
+    ycc2 = jnp.einsum("ji,cjk,kl->cil", BD, deq, BD,
+                      preferred_element_type=jnp.float32)
     y2, cb2, cr2 = ycc2[0] + 128.0, ycc2[1], ycc2[2]
     r2 = y2 + 1.402 * cr2
     g2 = y2 - 0.344136 * cb2 - 0.714136 * cr2
