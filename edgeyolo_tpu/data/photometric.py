@@ -273,22 +273,37 @@ def photometric_batch(img01, key, hyp: dict, k_rare: int = 8, jpeg_chunk: int = 
     B = img01.shape[0]
     if B <= k_rare:
         return jax.vmap(photometric_one)(img01, jax.random.split(key, B))
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k2, k4 = jax.random.split(key)
 
-    ridx = jax.random.permutation(k1, B)[:k_rare]
-    sub = jnp.take(img01, ridx, axis=0)
+    # STATIC strided subset positions, not a random permutation: this stage
+    # runs INSIDE the pjit'd train step on a batch-sharded tensor, and a
+    # traced gather over the batch axis would all-gather the whole image
+    # batch over ICI. A reshape + leading-slice is shard-local and spreads
+    # the k_rare images evenly across devices; which IMAGE sits at a
+    # selected position is already random (dataloader shuffle), and the
+    # per-image Bernoulli gates in _rare_one re-randomize per step.
+    stride = B // k_rare
+    ns = k_rare * stride
+    g = img01[:ns].reshape(k_rare, stride, *img01.shape[1:])
+    sub = g[:, 0]
     rkeys = jax.random.split(k2, k_rare)
     sub = jax.vmap(lambda im, kk: _rare_one(im, kk, pscale=B / k_rare))(sub, rkeys)
-    img01 = img01.at[ridx].set(sub)
+    g = g.at[:, 0].set(sub)
+    img01 = jnp.concatenate([g.reshape(ns, *img01.shape[1:]), img01[ns:]], 0) \
+        if ns < B else g.reshape(B, *img01.shape[1:])
 
     if img01.shape[1] % 8 == 0 and img01.shape[1] == img01.shape[2]:
-        nj = max(1, int(round(B * P_JPEG)))
-        jidx = jax.random.permutation(k3, B)[:nj]
+        # JPEG p=0.5 == every even position (same static-position argument;
+        # the 75-100 quality draw is random per image per step)
+        nj = B // 2
+        g = img01[:nj * 2].reshape(nj, 2, *img01.shape[1:])
         jq = jax.random.uniform(k4, (nj,), minval=75.0, maxval=100.0)
-        js = jnp.take(img01, jidx, axis=0)
-        js = jax.lax.map(lambda xq: jpeg_compress(*xq), (js, jq),
+        js = jax.lax.map(lambda xq: jpeg_compress(*xq), (g[:, 0], jq),
                          batch_size=min(jpeg_chunk, nj))
-        img01 = img01.at[jidx].set(js)
+        g = g.at[:, 0].set(js)
+        img01 = jnp.concatenate([g.reshape(nj * 2, *img01.shape[1:]),
+                                 img01[nj * 2:]], 0) \
+            if nj * 2 < B else g.reshape(B, *img01.shape[1:])
     return img01
 
 
