@@ -125,11 +125,15 @@ class DetectionValidator:
         if self._infer is None:
             is_detr = getattr(model, "head_name", "") == "RTDETRDecoder"
             is_e2e = bool(getattr(model, "end2end", False))
+            # backend adapters (onnx executor / tf interpreters via
+            # utils/benchmarks._BackendAdapter) consume concrete arrays — the
+            # network runs eagerly and only the post (NMS + native-space
+            # scale + TP matching) is jitted
+            eager_net = bool(getattr(model, "eager_only", False))
 
-            @jax.jit
-            def infer(v, img, gtb, gtc, gtv, geom):
-                out = model.apply(v, img, train=False)
-                pred = out["pred"]
+            def infer_body(v, img, gtb, gtc, gtv, geom, pred=None):
+                if pred is None:
+                    pred = model.apply(v, img, train=False)["pred"]
                 if is_detr:
                     # query-based: no NMS; scale normalized cxcywh to pixels,
                     # take per-query argmax class (reference RTDETRValidator)
@@ -177,6 +181,19 @@ class DetectionValidator:
                 tp = jax.vmap(match_predictions_device)(
                     det[..., 5], gtc, gtv > 0, dvalid, iou)
                 return det, nvalid, tp
+
+            if eager_net:
+                post = jax.jit(lambda pred, img, gtb, gtc, gtv, geom:
+                               infer_body(None, img, gtb, gtc, gtv, geom, pred=pred))
+
+                def infer(v, img, gtb, gtc, gtv, geom):
+                    import numpy as _np
+                    pred = jnp.asarray(model.apply(
+                        v, _np.asarray(img, _np.float32), train=False)["pred"],
+                        jnp.float32)
+                    return post(pred, img, gtb, gtc, gtv, geom)
+            else:
+                infer = jax.jit(infer_body)
 
             self._infer = infer
         infer = self._infer

@@ -74,7 +74,12 @@ class Exporter:
         # the cfg surface accepts list imgsz; export is square (TPU-static
         # H/W), so take the long side
         imgsz = int(max(raw_sz)) if isinstance(raw_sz, (list, tuple)) else int(raw_sz)
-        batch = 1
+        # static-shape formats (onnx via the in-tree jaxpr bridge) bake this
+        # batch into the graph; callers that re-val the artifact at batch N
+        # (utils/benchmarks.py) set `exporter.trace_batch = N`. Deliberately
+        # NOT args.batch: the cfg default (16) is a training knob and would
+        # silently bake into every standalone export.
+        batch = max(1, int(getattr(self, "trace_batch", 1) or 1))
         name = Path(getattr(model.yaml, "get", lambda *_: "model")("yaml_file") or "model").stem
 
         variables = model.variables
@@ -202,7 +207,13 @@ class Exporter:
         spec = tf.TensorSpec((None,) + tuple(x.shape[1:]), tf.float32)
         tf_fn = tf.function(
             jax2tf.convert(fwd, with_gradient=False,
-                           polymorphic_shapes=[f"(b, {x.shape[1]}, {x.shape[2]}, 3)"]),
+                           polymorphic_shapes=[f"(b, {x.shape[1]}, {x.shape[2]}, 3)"],
+                           # lower for BOTH platforms: native serialization
+                           # otherwise embeds the exporting host's platform
+                           # and a TPU-exported saved_model refuses to run on
+                           # the CPU tf runtime ("platform CPU is not among
+                           # the platforms required by the module")
+                           native_serialization_platforms=("cpu", "tpu")),
             input_signature=[spec],
             autograph=False,
         )

@@ -19,6 +19,9 @@ class _BackendAdapter:
     """Expose an AutoBackend artifact through the model-handle surface the
     validator drives (apply/nc/names/variables), enabling per-format mAP."""
 
+    eager_only = True  # interpreters consume concrete arrays; the validator
+    # runs the network eagerly and jits only its post (NMS/scale/match)
+
     def __init__(self, backend, nc: int, names: dict, head_name: str = "Detect"):
         self._b = backend
         self.nc = nc
@@ -67,6 +70,11 @@ def benchmark(model, imgsz: int = 640, batch: int = 1, iters: int = 30, data=Non
     task = getattr(model, "task", getattr(handle, "task", "detect"))
     nc = handle.nc
     use_bf16 = jax.devices()[0].platform != "cpu"
+    # one batch for EVERYTHING (latency, static-shape exports, val): the val
+    # runs at >=8, and the onnx bridge bakes the traced batch into its
+    # reshapes, so a batch-1 export cannot serve the batch-8 re-val
+    if data is not None:
+        batch = max(batch, 8)
     rng = np.random.RandomState(0)
     img = jnp.asarray(rng.randint(0, 255, (batch, imgsz, imgsz, 3), dtype=np.uint8))
 
@@ -131,14 +139,28 @@ def benchmark(model, imgsz: int = 640, batch: int = 1, iters: int = 30, data=Non
                 m_for_val = handle
             elif fmt == "native-int8":
                 # int8 PTQ row (reference int8 export rows, exporter.py:879,
-                # :1055): calibrate once on the bench image, route through the
-                # quantized interceptor (nn/quant.py)
-                handle.quantize(img.astype(jnp.float32) / 255.0)
+                # :1055): calibrate once, route through the quantized
+                # interceptor (nn/quant.py). Calibration uses REAL val images
+                # when available — noise calibration misranges the activation
+                # scales (measured -0.14 mAP50-95 vs native on the bench_table
+                # set; real-batch calibration is what the validator does)
+                calib = img.astype(jnp.float32) / 255.0
+                if data is not None:
+                    from edgeyolo_tpu.data.dataset import (
+                        YOLODataset, build_dataloader, check_det_dataset)
+                    dcfg = check_det_dataset(str(data))
+                    dsv = YOLODataset(dcfg["val"], imgsz=imgsz, augment=False,
+                                      names=dcfg["names"])
+                    first = build_dataloader(dsv, min(8, len(dsv)), shuffle=False,
+                                             seed=0).first_batch()
+                    calib = jnp.asarray(first["img"], jnp.float32) / 255.0
+                handle.quantize(calib)
                 backend_apply = lambda x: handle.apply(handle.variables, x, train=False)["pred"]
                 m_for_val = handle
             else:
                 ex = Exporter(get_cfg(overrides={"mode": "export", "imgsz": imgsz,
                                                  "format": fmt}))
+                ex.trace_batch = batch  # static-shape formats serve the re-val batch
                 path = ex(handle, out_dir=out_dir)
                 ab = AutoBackend(path, task=task)
                 backend_apply = lambda x, _ab=ab: _ab(x)
