@@ -8,7 +8,11 @@ Purpose: turn "feats runs 1.45x above its naive bound" into a per-shape
 ledger — either some layer is fixably slow, or the gap decomposes into many
 small shapes each near ITS OWN bound (= the XLA floor, a ceiling argument).
 
-  python tools/bench_m_layers.py [model.yaml] [batch]
+  python tools/bench_m_layers.py [model.yaml] [batch] [start_layer] [end_layer]
+
+start/end bound the measured layer range (inclusive) — for re-measuring a
+subset in a quiet window without repeating the whole sweep; the fused-e2e
+comparison line only runs for a full sweep.
 """
 import json
 import sys
@@ -44,6 +48,8 @@ def _timeit(step, *args):
 def main():
     spec_yaml = sys.argv[1] if len(sys.argv) > 1 else "yolo11m.yaml"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    lo = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    hi = int(sys.argv[4]) if len(sys.argv) > 4 else 10**9
     imgsz = 640
 
     import jax
@@ -71,6 +77,8 @@ def main():
     rng = np.random.RandomState(0)
     rows = []
     for li, sp in enumerate(net.spec):
+        if not (lo <= li <= hi):
+            continue
         if sp.name in net.TEXT_MODULES or sp.name in ("Detect", "Segment", "Pose",
                                                       "OBB", "RTDETRDecoder"):
             continue  # heads measured as the e2e-feats delta; text models n/a
@@ -128,6 +136,10 @@ def main():
         print(json.dumps(rows[-1]), flush=True)
 
     # fused e2e feats for the comparison line
+    if lo > 0 or hi < n_layers - 1:
+        Path("/tmp/bench_m_layers_partial.json").write_text(json.dumps(rows))
+        return
+
     def feats_fn(vv, img, salt):
         x = img + salt.astype(img.dtype)
         out = net.apply(vv, x, train=False)
