@@ -42,3 +42,21 @@ def test_benchmark_reports_gated_formats():
     by_fmt = {r["format"]: r for r in rows}
     assert by_fmt["onnx"]["status"] == "ok"
     assert by_fmt["engine"]["status"].startswith("gated")
+
+
+@pytest.mark.slow
+def test_benchmark_eager_backend_rows_val_ok(tmp_path):
+    """onnx/tf-family rows val through the eager-network path (the validator
+    jits only its post stage for eager_only adapters) and the static-batch
+    onnx artifact is exported at the re-val batch — the two integration
+    breaks the first full TPU bench_table run surfaced (round 5)."""
+    from edgeyolo_tpu.data.synthetic import generate_dataset
+
+    data = generate_dataset(tmp_path / "ds", n_train=4, n_val=4, imgsz=64, nc=3)
+    m = YOLO("yolo11n.yaml")
+    m.model = DetectionModel("yolo11n.yaml", nc=3)
+    rows = benchmark(m, imgsz=64, batch=2, iters=2, data=str(data),
+                     formats=["onnx"], out_dir=tmp_path / "exp", verbose=False)
+    (row,) = rows
+    assert row["status"] == "ok", row
+    assert isinstance(row["mAP50-95"], float)

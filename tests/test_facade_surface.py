@@ -313,3 +313,18 @@ def test_train_pretrained_path_seeds_weights(tmp_path):
     d_fresh = float(np.abs(flat(m) - flat(fresh)).mean())
     assert d_donor < 1e-3, f"pretrained weights not loaded (drift {d_donor})"
     assert d_fresh > 10 * d_donor, (d_donor, d_fresh)
+
+
+def test_predict_half_bf16(tmp_path, nano):
+    """half=True runs the network in bf16 (predictor/validator wire the
+    declared cfg arg since round 5); decode stays an f32 island so the
+    Results boxes come back f32 and finite."""
+    import cv2
+
+    img = (np.random.RandomState(0).rand(80, 96, 3) * 255).astype(np.uint8)
+    p = tmp_path / "i.jpg"
+    cv2.imwrite(str(p), img)
+    res = nano.predict(str(p), imgsz=64, half=True, verbose=False)
+    assert res[0].boxes.data.dtype == np.float32
+    res32 = nano.predict(str(p), imgsz=64, half=False, verbose=False)
+    assert res32[0].boxes.data.dtype == np.float32
